@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` maps SURVEY.md §2 operators onto the driver-generated tables
+(TESTDATA.md). The zipkin core pipeline runs on a deterministic span forest
+derived from orders/lineitem (zipkin_dependencies_spark/testdata.py); both the
+Spark implementation and the DuckDB oracle derive the SAME spans, so the
+comparison checks the engine (grouping, linker kernel, aggregation), not the
+fixture. Alias discipline: every computed column is aliased identically in
+Spark and SQL.
 """
 
 from __future__ import annotations
@@ -12,27 +14,267 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_SMOKE_DIR = "/root/testdata/sf0.001"
+
+WINDOW_1996_US = (820_454_400_000_000, 852_076_800_000_000 - 1)  # [1996-01-01, 1997-01-01)
+
+
+# --- zipkin core -------------------------------------------------------------
+
+def q_dependency_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: scan → normalize → groupBy(trace) → linker kernel → global agg
+    (SURVEY §2.5 G2, §2.6, §2.7 A1/A2)."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    spans = derived_spans(spark, sf_dir)
+    return links_from_spans(normalize_spans(spans))
+
+
+def q_dependency_links_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 Cassandra-parity day filter: traces whose root timestamp falls
+    outside the window are dropped whole (SURVEY §2.3 F2)."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    spans = derived_spans(spark, sf_dir)
+    return links_from_spans(normalize_spans(spans), window=WINDOW_1996_US)
+
+
+def q_v1_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v1 two-table → v2 span reconstruction matrix (SURVEY §2.6 MySQL path)."""
+    from zipkin_dependencies_spark.functions.spans import error_flag
+    from zipkin_dependencies_spark.sources.v1 import v1_to_v2_spans
+    from zipkin_dependencies_spark.testdata import derived_v1_tables
+
+    spans, annos = derived_v1_tables(spark, sf_dir)
+    v2 = v1_to_v2_spans(spans, annos)
+    return v2.select(
+        "trace_id",
+        "parent_id",
+        "id",
+        "kind",
+        F.col("local_endpoint.service_name").alias("local_service"),
+        F.col("remote_endpoint.service_name").alias("remote_service"),
+        error_flag("tags").alias("is_error"),
+    )
+
+
+def q_v1_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MySQL-parity path: v1 tables → v2 spans → linker → links."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+    from zipkin_dependencies_spark.sources.v1 import v1_to_v2_spans
+    from zipkin_dependencies_spark.testdata import derived_v1_tables
+
+    spans, annos = derived_v1_tables(spark, sf_dir)
+    return links_from_spans(normalize_spans(v1_to_v2_spans(spans, annos)))
+
+
+def q_trace_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 trace-id normalization: lowercase, pad to 16/32, 128→64-bit key."""
+    from zipkin_dependencies_spark.functions.trace import (
+        lenient_trace_key,
+        normalize_trace_id,
+    )
+    from zipkin_dependencies_spark.testdata import load
+
+    orders = load(spark, sf_dir, "orders")
+    lo16 = lambda c: F.lpad(F.lower(F.hex(c)), 16, "0")  # noqa: E731
+    raw = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.upper(F.hex(F.col("o_orderkey"))))
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.concat(lo16(F.col("o_custkey")), lo16(F.col("o_orderkey"))),
+        )
+        .otherwise(F.col("o_orderkey").cast("string"))
+    )
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        raw.alias("raw_id"),
+        normalize_trace_id(raw).alias("norm_id"),
+        lenient_trace_key(raw).alias("low64"),
+    )
+
+
+# --- relational operators on the TPC-H-ish tables (SURVEY §2.1/2.3/2.4/2.7) --
+
+def q_s3_join_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 analog: window filter + left equi-join with key filter + DISTINCT."""
+    from zipkin_dependencies_spark.testdata import load
+
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("timestamp").between("1996-01-01", "1996-12-31")
+    )
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_outer")
+        .select(
+            orders.o_orderkey.alias("orderkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .dropDuplicates(["orderkey", "suppkey", "priority"])
+    )
+
+
+def q_a2_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 analog: hash partial+final aggregation (money summed as cents for
+    bit-exact cross-engine hashing)."""
+    from zipkin_dependencies_spark.testdata import load
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag"),
+                      F.col("l_linestatus").alias("linestatus")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_cents"),
+    )
+
+
+def q_f1_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 analog: per-row time window pushed to the scan."""
+    from zipkin_dependencies_spark.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.filter(
+        F.col("ts").between("2024-01-08 00:00:00", "2024-01-14 23:59:59.999999")
+    ).select("event_id", "user_id", "event_type")
+
+
+def q_day_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 analog: UTC day bucketing + per-day counts."""
+    from zipkin_dependencies_spark.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        F.col("event_type").alias("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_dependency_links(spark, SF_SMOKE_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "dependency_links": q_dependency_links,
+        "dependency_links_f2_window": q_dependency_links_f2,
+        "v1_reconstruct": q_v1_reconstruct,
+        "v1_links": q_v1_links,
+        "trace_normalize": q_trace_normalize,
+        "s3_join_distinct": q_s3_join_distinct,
+        "a2_agg_lineitem": q_a2_agg_lineitem,
+        "f1_window_events": q_f1_window_events,
+        "day_rollup_events": q_day_rollup_events,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from zipkin_dependencies_spark.testdata import (
+        LINKS_SQL,
+        SPANS_SQL_CTE,
+        V1_RECONSTRUCT_SQL,
+        V1_SQL_CTES,
+    )
+
+    links_oracle = "WITH " + SPANS_SQL_CTE.strip() + "\n" + LINKS_SQL
+
+    links_f2_oracle = (
+        "WITH "
+        + SPANS_SQL_CTE.strip()
+        + f""",
+eligible AS (
+  SELECT trace_id FROM spans
+  WHERE parent_id IS NULL
+    AND ts IS NOT NULL AND ts <> 0
+    AND ts BETWEEN {WINDOW_1996_US[0]} AND {WINDOW_1996_US[1]}
+),
+spans_in AS (
+  SELECT s.* FROM spans s SEMI JOIN eligible e ON s.trace_id = e.trace_id
+)
+"""
+        + LINKS_SQL.replace("FROM spans", "FROM spans_in")
+    )
+
+    # build the v1 links oracle from the same matrix CTEs, replacing the final
+    # projection with the emit rule (headless flat traces: kind matrix + null
+    # guards only — documented in testdata.py)
+    v1_links_oracle = (
+        V1_RECONSTRUCT_SQL[: V1_RECONSTRUCT_SQL.rindex("SELECT lpad")]
+        + """
+SELECT parent, child,
+       CAST(count(*) AS BIGINT) AS call_count,
+       CAST(coalesce(sum(CASE WHEN is_error THEN 1 ELSE 0 END), 0) AS BIGINT) AS error_count
+FROM (
+  SELECT CASE WHEN kind IN ('SERVER', 'CONSUMER') THEN remote_service
+              ELSE local_service END AS parent,
+         CASE WHEN kind IN ('SERVER', 'CONSUMER') THEN local_service
+              ELSE remote_service END AS child,
+         is_error
+  FROM matrix
+) WHERE parent IS NOT NULL AND child IS NOT NULL
+GROUP BY parent, child
+"""
+    )
+
+    return {
+        "dependency_links": links_oracle,
+        "dependency_links_f2_window": links_f2_oracle,
+        "v1_reconstruct": V1_RECONSTRUCT_SQL,
+        "v1_links": v1_links_oracle,
+        "trace_normalize": """
+SELECT o_orderkey AS orderkey,
+       raw_id,
+       CASE WHEN length(lower(raw_id)) > 16 THEN lpad(lower(raw_id), 32, '0')
+            ELSE lpad(lower(raw_id), 16, '0') END AS norm_id,
+       right(CASE WHEN length(lower(raw_id)) > 16 THEN lpad(lower(raw_id), 32, '0')
+                  ELSE lpad(lower(raw_id), 16, '0') END, 16) AS low64
+FROM (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN upper(to_hex(o_orderkey))
+              WHEN o_orderkey % 3 = 1 THEN lpad(lower(to_hex(o_custkey)), 16, '0')
+                   || lpad(lower(to_hex(o_orderkey)), 16, '0')
+              ELSE CAST(o_orderkey AS VARCHAR) END AS raw_id
+  FROM orders
+)
+""",
+        "s3_join_distinct": """
+SELECT DISTINCT o.o_orderkey AS orderkey, l.l_suppkey AS suppkey,
+       o.o_orderpriority AS priority
+FROM (SELECT * FROM orders
+      WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1996-12-31 00:00:00') o
+LEFT OUTER JOIN (SELECT * FROM lineitem WHERE l_returnflag IN ('R', 'A')) l
+  ON o.o_orderkey = l.l_orderkey
+""",
+        "a2_agg_lineitem": """
+SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "f1_window_events": """
+SELECT event_id, user_id, event_type FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+             AND TIMESTAMP '2024-01-14 23:59:59.999999'
+""",
+        "day_rollup_events": """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+""",
+    }

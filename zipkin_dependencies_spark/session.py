@@ -1,0 +1,48 @@
+"""SparkSession factory with the engine's scale-aware defaults.
+
+Local mode for tests/bench; on a real cluster the same conf block applies —
+AQE owns runtime re-planning (partition coalescing, skew splitting), Arrow
+feeds the one grouped-map kernel, UTC everywhere (the reference's day math is
+UTC-midnight based, [EXT] DateUtil.midnightUTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "zipkin-dependencies-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE: runtime partition coalescing + skew-join splitting at scale
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for the grouped-map linker kernel and pandas interchange
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # idempotent day re-runs: overwrite only the partitions being written
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # don't let tiny local files explode task counts; at cluster scale the
+        # default 128m is right, local tests override nothing
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        # the driver-generated events parquet stores TIMESTAMP(NANOS) which
+        # Spark has no native type for — read as long, convert at the source
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if master.startswith("local"):
+        builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
