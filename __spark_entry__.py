@@ -162,6 +162,108 @@ def q_day_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- LLM-data-pipeline extension operators (SURVEY §7 M5) --------------------
+
+def q_dedupe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: shuffles 16-byte digests, never text."""
+    from zipkin_dependencies_spark.llm.dedup import dedupe_exact
+    from zipkin_dependencies_spark.testdata import load
+
+    return dedupe_exact(load(spark, sf_dir, "documents"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts, BPE-ish counts, quality score, language
+    ID, content fingerprint — all JVM-side Column expressions."""
+    from zipkin_dependencies_spark.llm.text import (
+        bpe_ish_token_count,
+        document_fingerprint,
+        language_id,
+        quality_score,
+        token_count,
+    )
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        quality_score("text").alias("quality"),
+        language_id("text").alias("lang"),
+        document_fingerprint("text").alias("fingerprint"),
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit near-dup fingerprint (Arrow-batched pandas UDF)."""
+    from zipkin_dependencies_spark.llm.dedup import simhash
+    from zipkin_dependencies_spark.testdata import load
+
+    return simhash(load(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5 oracle-parity variant), exploded to
+    (id, hash_idx, minhash) for engine-agnostic value hashing."""
+    from zipkin_dependencies_spark.llm.dedup import minhash_signatures
+    from zipkin_dependencies_spark.testdata import load
+
+    sigs = minhash_signatures(
+        load(spark, sf_dir, "documents"), num_hashes=16, hash_fn="md5"
+    )
+    return sigs.select("id", F.posexplode("signature").alias("hash_idx", "minhash"))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs on a deterministic 1-in-5 doc
+    subset (the pairwise stage is quadratic per bucket; LSH banding is what
+    bounds it at scale)."""
+    from zipkin_dependencies_spark.llm.dedup import minhash_lsh_candidates
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return minhash_lsh_candidates(docs, num_hashes=16, bands=4, hash_fn="md5")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard similarity join (verification kernel; runs on
+    the same 1-in-5 subset as the LSH candidates)."""
+    from zipkin_dependencies_spark.llm.dedup import ngram_jaccard_pairs
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 of 32 query vectors vs the corpus
+    (broadcast queries; corpus never shuffles)."""
+    from zipkin_dependencies_spark.llm.similarity import cosine_topk
+    from zipkin_dependencies_spark.testdata import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 32), k=5)
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-5 (multi-probe hyperplane LSH)."""
+    from zipkin_dependencies_spark.llm.similarity import lsh_cosine_topk
+    from zipkin_dependencies_spark.testdata import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 32), k=5, n_planes=8)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine near-dup (threshold tuned to the synthetic corpus's
+    top of the similarity distribution; LSH buckets bound this at scale)."""
+    from zipkin_dependencies_spark.llm.dedup import embedding_near_dup
+    from zipkin_dependencies_spark.testdata import load
+
+    return embedding_near_dup(load(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -178,10 +280,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_agg_lineitem": q_a2_agg_lineitem,
         "f1_window_events": q_f1_window_events,
         "day_rollup_events": q_day_rollup_events,
+        "dedupe_exact": q_dedupe_exact,
+        "text_stats": q_text_stats,
+        "simhash": q_simhash,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from zipkin_dependencies_spark.llm import oracles as llm_oracles
     from zipkin_dependencies_spark.testdata import (
         LINKS_SQL,
         SPANS_SQL_CTE,
@@ -277,4 +389,15 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1, 2
 """,
+        "dedupe_exact": llm_oracles.dedupe_exact_sql(),
+        "text_stats": llm_oracles.text_stats_sql(),
+        "simhash": llm_oracles.simhash_sql(),
+        "minhash_signatures": llm_oracles.minhash_signatures_sql(num_hashes=16),
+        "minhash_lsh": llm_oracles.minhash_lsh_sql(num_hashes=16, bands=4, id_mod=5),
+        "ngram_jaccard": llm_oracles.ngram_jaccard_sql(k=3, threshold=0.5, id_mod=5),
+        "cosine_topk": llm_oracles.cosine_topk_sql(k=5, dim=64, query_max_id=32),
+        "lsh_cosine_topk": llm_oracles.lsh_cosine_topk_sql(
+            k=5, n_planes=8, dim=64, query_max_id=32
+        ),
+        "embedding_near_dup": llm_oracles.embedding_near_dup_sql(threshold=0.3, dim=64),
     }

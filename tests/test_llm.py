@@ -1,0 +1,199 @@
+"""Semantic unit tests for the LLM-pipeline operators (llm/*): properties the
+oracle-parity gate can't see — dedup recall, ANN recall vs the exact baseline,
+fingerprint stability, language-ID behavior on known inputs."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumped over the lazy dog"),  # near dup of 0
+        (3, "der hund ist nicht ein kleines tier und das ist gut"),
+        (4, "completely unrelated text about spark query engines"),
+        (5, "le chat est dans la maison et les oiseaux sont dans le jardin"),
+        (6, ""),  # empty
+        (7, "xy"),  # shorter than shingle k
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_char_shingles_short_and_empty(spark, docs):
+    from zipkin_dependencies_spark.llm.dedup import char_shingles
+
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", char_shingles("text", 3).alias("sh")).collect()
+    }
+    assert out[6] == []
+    assert out[7] == []
+    assert "the" in out[0]
+
+
+def test_dedupe_exact_groups(spark, docs):
+    from zipkin_dependencies_spark.llm.dedup import dedupe_exact
+
+    out = dedupe_exact(docs).collect()
+    groups = {r["keep_id"]: r["n_copies"] for r in out}
+    assert groups[0] == 2  # docs 0 and 1 collapse, min id kept
+    assert sum(groups.values()) == 8
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    from zipkin_dependencies_spark.llm.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert pairs[(0, 2)] >= 0.8  # one-word edit
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh_recall_of_high_jaccard_pairs(spark, docs):
+    from zipkin_dependencies_spark.llm.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.8).collect()
+    }
+    for hash_fn in ("xxhash64", "md5"):
+        cand = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(
+                docs, num_hashes=32, bands=8, hash_fn=hash_fn
+            ).collect()
+        }
+        assert truth <= cand, f"{hash_fn}: missed {truth - cand}"
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark, docs):
+    from zipkin_dependencies_spark.llm.dedup import minhash_lsh_candidates
+
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(docs, num_hashes=64, bands=32).collect()
+    }
+    assert est[(0, 1)] == 1.0
+    assert est[(0, 2)] > 0.5
+
+
+def test_simhash_identical_and_distinct(spark, docs):
+    from zipkin_dependencies_spark.llm.dedup import simhash
+
+    out = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert out[0] == out[1]
+    assert out[6] == 0
+    ham = bin((out[0] ^ out[2]) & (2**64 - 1)).count("1")
+    ham_far = bin((out[0] ^ out[4]) & (2**64 - 1)).count("1")
+    assert ham < ham_far  # near dup closer in hamming space than unrelated
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+
+    def unit(seed_vec):
+        n = math.sqrt(sum(x * x for x in seed_vec))
+        return [x / n for x in seed_vec]
+
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = [(0, unit(base))]
+    # 1-4: small perturbations of base (near neighbors), 5-20: random
+    for i in range(1, 5):
+        rows.append((i, unit([x + rng.gauss(0, 0.05) for x in base])))
+    for i in range(5, 21):
+        rows.append((i, unit([rng.gauss(0, 1) for _ in range(dim)])))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), dim
+
+
+def test_cosine_topk_exact(spark, vectors):
+    emb, dim = vectors
+    from zipkin_dependencies_spark.llm.similarity import cosine_topk
+
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=4).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] and {
+        r["neighbor_id"] for r in out
+    } == {1, 2, 3, 4}  # the four perturbed copies are the top-4
+    assert all(r["cosine"] > 0.9 for r in out)
+    assert 0 not in {r["neighbor_id"] for r in out}  # self excluded
+
+
+def test_lsh_topk_recall(spark, vectors):
+    emb, dim = vectors
+    from zipkin_dependencies_spark.llm.similarity import cosine_topk, lsh_cosine_topk
+
+    exact = {
+        r["neighbor_id"]
+        for r in cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    }
+    approx = {
+        r["neighbor_id"]
+        for r in lsh_cosine_topk(
+            emb, emb.filter(F.col("vec_id") == 0), k=4, n_planes=6, dim=dim
+        ).collect()
+    }
+    # multi-probe 1-bit LSH must recover the immediate near-dups of vec 0
+    assert exact <= approx
+
+
+def test_embedding_near_dup(spark, vectors):
+    emb, dim = vectors
+    from zipkin_dependencies_spark.llm.dedup import embedding_near_dup
+
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in embedding_near_dup(emb, threshold=0.95).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_text_operators(spark):
+    from zipkin_dependencies_spark.llm.text import (
+        bpe_ish_token_count,
+        document_fingerprint,
+        language_id,
+        quality_score,
+        token_count,
+    )
+
+    rows = [
+        (0, "the cat and the dog, with 42 items!"),
+        (1, "der hund und die katze das ist ein tier"),
+        (2, "  The   Cat And THE dog,   with 42 items! "),  # ws/case variant of 0
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("n_tok"),
+            bpe_ish_token_count("text").alias("n_bpe"),
+            quality_score("text").alias("q"),
+            language_id("text").alias("lang"),
+            document_fingerprint("text").alias("fp"),
+        ).collect()
+    }
+    assert out[0]["n_tok"] == 8
+    assert out[0]["n_bpe"] == 10  # ',' '42' '!' split out, 'items' retains
+    assert out[0]["lang"] == "en"
+    assert out[1]["lang"] == "de"
+    assert out[3]["n_tok"] == 0
+    assert all(0.0 <= out[i]["q"] <= 1.0 for i in out)
+    assert out[0]["fp"] == out[2]["fp"]  # whitespace/case normalized
+    assert out[0]["fp"] != out[1]["fp"]

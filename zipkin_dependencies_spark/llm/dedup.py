@@ -1,0 +1,269 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Scale design (100 TB corpus):
+- exact dedup shuffles a 16-byte digest, never the document text;
+- n-gram Jaccard is the *verification* kernel — quadratic, use only on
+  LSH-bucketed candidates at scale (exposed standalone for small corpora and
+  as the oracle-checkable reference);
+- MinHash+LSH is the scale path: signatures are computed scan-side with
+  JVM-codegen'd expressions (no Python), banding turns the all-pairs problem
+  into per-bucket micro-joins, AQE handles bucket skew;
+- SimHash gives a 64-bit near-dup key (one shuffle on a long);
+- embedding near-dup brute force is for candidate verification; the ANN path
+  lives in similarity.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# --- exact -------------------------------------------------------------------
+
+def dedupe_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups keyed by md5(text): one surviving (min) id per
+    distinct content + the duplicate count. Hash-groupBy: the exchange carries
+    (digest, id), not document bodies — at 100 TB that is the difference
+    between shuffling 100 TB and shuffling ~50 GB."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --- shingling / n-gram Jaccard ---------------------------------------------
+
+def char_shingles(text: str, k: int = 3) -> Column:
+    """Distinct character k-grams as an array column — pure JVM expression
+    (transform over a sequence + dynamic-position substring), no UDF.
+    ``text`` is a column name (the lambda variable needs SQL expr form).
+    Texts shorter than k yield an empty array (guarded: Spark's
+    sequence(1, 0) would count DOWN, not produce an empty list)."""
+    return F.when(
+        F.length(F.col(text)) >= k,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, length({text}) - {k - 1}),"
+                f" i -> substring({text}, i, {k}))"
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs with J ≥ threshold.
+
+    explode(shingles) → self-equi-join on the shingle → per-pair intersection
+    count → Jaccard from |A|+|B|-∩. Quadratic in the worst case: at scale this
+    runs on LSH candidate buckets only (minhash_lsh_candidates), where bucket
+    sizes bound the blow-up; standalone it is the oracle-checkable reference
+    implementation.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        char_shingles(text_col, k).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    exploded = sh.select("id", "n_sh", F.explode("shingles").alias("sh"))
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+def _minhash_one(shingles: Column, j: int, hash_fn: str) -> Column:
+    """min over shingles of hash_j(shingle). hash_fn:
+    - 'xxhash64' (production): seeded 64-bit hash, fastest JVM path;
+    - 'md5' (oracle parity): lexicographic min of md5(j || ':' || s) hex —
+      the identical expression runs in DuckDB (min of a string total order is
+      still a uniform MinHash), so the correctness gate can hash-compare."""
+    if hash_fn == "xxhash64":
+        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j))))
+    if hash_fn == "md5":
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        )
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """MinHash signature per document: sig[j] = min over shingles of
+    hash_j(shingle). Entirely JVM-side (hash + array_min inside whole-stage
+    codegen); one pass over the text, no shuffle."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), char_shingles(text_col, k).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sig = F.array(*[_minhash_one(F.col("shingles"), j, hash_fn) for j in range(num_hashes)])
+    return sh.select("id", sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding of MinHash signatures.
+
+    Signature split into `bands` bands of num_hashes/bands rows; a pair
+    colliding in ANY band is a candidate (estimated J ≈ fraction of matching
+    minhashes). The bucket join shuffles (band, band_hash, id) — tiny rows —
+    and AQE's skew-join splitting absorbs hot buckets. Verify candidates with
+    ngram_jaccard_pairs or accept the minhash estimate.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col, hash_fn)
+
+    def band_bucket(b: int) -> Column:
+        slice_ = [F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws("|", *slice_))
+        return F.xxhash64(*slice_).cast("string")
+
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+                for b in range(bands)
+            ]
+        )
+    )
+    buckets = sigs.select("id", "signature", band_cols.alias("bb")).select(
+        "id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(num_hashes)
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+# --- SimHash -------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def _simhash_from_tokens(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash over token md5s (md5 → stable across runs/processes,
+    unlike Python's salted hash()). Arrow-batched; numpy bit-count trick.
+    Token hash = big-endian u64 of the first 8 md5 bytes == the first 16 hex
+    chars of md5(token) — the exact value DuckDB's ('0x'||hex)::UBIGINT cast
+    reproduces, so the operator is oracle-checkable bit-for-bit. Token
+    multiplicity counts (classic SimHash term weighting); empty tokens drop."""
+    import hashlib
+
+    import numpy as np
+
+    out = []
+    for toks in tokens:
+        toks = [t for t in (toks if toks is not None else []) if t]
+        if not toks:
+            out.append(0)
+            continue
+        hs = np.frombuffer(
+            b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks),
+            dtype=">u8",
+        ).astype(np.uint64)  # native byte order (big-endian arrays can't shift)
+        shifts = np.arange(64, dtype=np.uint64)[None, :]
+        bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                sig |= np.uint64(1) << np.uint64(i)
+        out.append(int(sig.astype("int64")))  # two's-complement into a long
+    return pd.Series(out)
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash fingerprint per document: near-identical docs land within a few
+    bits of each other; dedup = groupBy on rotated prefixes or hamming-join.
+    Tokenization is JVM-side; only the 64-bit fold is Python (Arrow-batched)."""
+    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        _simhash_from_tokens(tokens).alias("simhash"),
+    )
+
+
+# --- embedding near-dup ---------------------------------------------------------
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs of vectors with cosine ≥ threshold — brute-force all-pairs with
+    pre-normalized vectors. Quadratic: the scale path buckets by LSH
+    hyperplane signature first (similarity.lsh_cosine_topk machinery) and
+    verifies here within buckets."""
+    from .similarity import _cosine, _with_norm
+
+    a = _with_norm(embeddings, id_col, vec_col).alias("a")
+    b = _with_norm(embeddings, id_col, vec_col).alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    cos = _cosine("a", "b")
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cos.alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

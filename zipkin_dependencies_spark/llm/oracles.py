@@ -1,0 +1,285 @@
+"""DuckDB oracle SQL generators for the LLM-pipeline operators (llm/*).
+
+Each generator emits ANSI-ish SQL that DuckDB runs over the same parquet
+views the Spark queries read, computing the SAME values the Spark operators
+produce — including float arithmetic order (sequential folds ⇔ ordered sums)
+and hash choices (md5 variants, identical in both engines), so the driver's
+value-hash gate can CONFIRM rather than merely row-count these operators.
+
+All SQL is built from trusted compile-time ints/floats only (no user input).
+"""
+
+from __future__ import annotations
+
+from .similarity import hyperplane_weights
+
+
+def _shingles_cte(k: int = 3, where: str = "") -> str:
+    """Distinct char k-grams per doc; texts shorter than k → empty list
+    (DuckDB range(1, n<=0) is already empty — mirrors the Spark guard)."""
+    return f"""
+sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(range(1, greatest(length(text) - {k - 1}, 0) + 1),
+                       i -> substring(text, CAST(i AS INT), {k}))) AS shingles
+  FROM documents {where}
+)"""
+
+
+def dedupe_exact_sql() -> str:
+    return """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def ngram_jaccard_sql(k: int = 3, threshold: float = 0.5, id_mod: int = 5) -> str:
+    return f"""
+WITH {_shingles_cte(k, f"WHERE doc_id % {id_mod} = 0").strip()},
+ex AS (SELECT id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, n_inter, CAST(n_a AS INT) AS n_a, CAST(n_b AS INT) AS n_b,
+       n_inter / (n_a + n_b - n_inter) AS jaccard
+FROM inter WHERE n_inter / (n_a + n_b - n_inter) >= {threshold}
+"""
+
+
+def _minhash_elem(j: int) -> str:
+    return f"list_aggregate(list_transform(shingles, s -> md5('{j}:' || s)), 'min')"
+
+
+def _sig_cte(num_hashes: int, k: int, where: str) -> str:
+    elems = ", ".join(_minhash_elem(j) for j in range(num_hashes))
+    return f"""{_shingles_cte(k, where).strip()},
+sigt AS (
+  SELECT id, [{elems}] AS sig
+  FROM sh WHERE len(shingles) > 0
+)"""
+
+
+def minhash_signatures_sql(num_hashes: int = 16, k: int = 3) -> str:
+    return f"""
+WITH {_sig_cte(num_hashes, k, "")}
+SELECT id, CAST(u.j AS INT) AS hash_idx, sig[CAST(u.j AS INT) + 1] AS minhash
+FROM sigt, (SELECT unnest(range(0, {num_hashes})) AS j) u
+"""
+
+
+def minhash_lsh_sql(
+    num_hashes: int = 16, bands: int = 4, k: int = 3, id_mod: int = 5
+) -> str:
+    rpb = num_hashes // bands
+    bucket = " || '|' || ".join(f"sig[b * {rpb} + {r + 1}]" for r in range(rpb))
+    return f"""
+WITH {_sig_cte(num_hashes, k, f"WHERE doc_id % {id_mod} = 0")},
+buckets AS (
+  SELECT id, sig, CAST(u.b AS INT) AS band, md5({bucket}) AS bucket
+  FROM sigt, (SELECT unnest(range(0, {bands})) AS b) u
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b,
+       len(list_filter(range(1, {num_hashes + 1}),
+           i -> sig_a[CAST(i AS INT)] = sig_b[CAST(i AS INT)])) / {float(num_hashes)}
+         AS est_jaccard
+FROM pairs
+"""
+
+
+def simhash_sql() -> str:
+    return r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                t -> t <> '')) AS tok
+  FROM documents
+),
+hv AS (SELECT id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+votes AS (
+  SELECT id, CAST(b.i AS INT) AS i,
+         sum(CASE WHEN (h >> CAST(b.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hv, (SELECT unnest(range(0, 64)) AS i) b
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT id,
+         sum(CASE WHEN v > 0 THEN CAST(1::UBIGINT << i AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END) AS s
+  FROM votes GROUP BY 1
+)
+SELECT d.doc_id AS id,
+       CAST(coalesce(
+         CASE WHEN s.s >= 9223372036854775808 THEN s.s - 18446744073709551616
+              ELSE s.s END, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sig s ON s.id = d.doc_id
+"""
+
+
+TEXT_TOKENS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')"
+
+
+def text_stats_sql() -> str:
+    langs = {
+        "en": ("the", "and", "of", "to", "is", "in", "that", "with"),
+        "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+        "fr": ("le", "la", "les", "et", "est", "dans", "que", "une"),
+        "es": ("el", "la", "los", "y", "es", "en", "que", "una"),
+    }
+    score = {
+        lang: "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in ms)
+        + "], t)))"
+        for lang, ms in langs.items()
+    }
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    lang_case = (
+        "CASE "
+        + " ".join(f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'" for lang in langs)
+        + " ELSE 'und' END"
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text, {TEXT_TOKENS} AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text, n_chars, n_alpha,
+         CAST(len(toks) AS INT) AS n_tokens,
+         {", ".join(f"{sql} AS s_{lang}" for lang, sql in score.items())}
+  FROM base
+),
+best AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id,
+       n_tokens,
+       CAST(len(list_filter(string_split_regex(
+         regexp_replace(text, '([0-9]+|[^\sA-Za-z0-9])', ' \1 ', 'g'), '\s+'),
+         t -> t <> '')) AS INT) AS n_bpe_tokens,
+       round(((CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+            + least(n_chars / 1000.0, 1.0)
+            + (CASE WHEN (CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END) >= 3
+                     AND (CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END) <= 12
+                    THEN 1.0 ELSE 0.5 END)) / 3.0, 9) AS quality,
+       {lang_case} AS lang,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM best
+"""
+
+
+def _flat_cte(dim: int, extra_where: str = "") -> str:
+    return f"""
+flat AS (
+  SELECT vec_id AS id, CAST(u.i AS INT) AS i,
+         CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i) u
+  {extra_where}
+),
+nrm AS (SELECT id, sqrt(sum(x * x ORDER BY i)) AS norm FROM flat GROUP BY 1)"""
+
+
+def cosine_topk_sql(k: int = 5, dim: int = 64, query_max_id: int = 32) -> str:
+    return f"""
+WITH {_flat_cte(dim).strip()},
+dots AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id, sum(a.x * b.x ORDER BY a.i) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.id <> b.id
+  WHERE a.id < {query_max_id}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (qa.norm * qb.norm), 9) AS cosine
+  FROM dots d
+  JOIN nrm qa ON qa.id = d.query_id AND qa.norm > 0
+  JOIN nrm qb ON qb.id = d.neighbor_id AND qb.norm > 0
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def embedding_near_dup_sql(threshold: float, dim: int = 64) -> str:
+    return f"""
+WITH {_flat_cte(dim).strip()},
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, sum(a.x * b.x ORDER BY a.i) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.id < b.id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.id_a, d.id_b, d.dot / (na.norm * nb.norm) AS cosine
+  FROM dots d
+  JOIN nrm na ON na.id = d.id_a AND na.norm > 0
+  JOIN nrm nb ON nb.id = d.id_b AND nb.norm > 0
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+"""
+
+
+def lsh_cosine_topk_sql(
+    k: int = 5, n_planes: int = 8, dim: int = 64, query_max_id: int = 32
+) -> str:
+    """Oracle for the LSH-bucketed ANN: the hyperplane weights are the SAME
+    decimal literals the Spark side ships (hyperplane_weights), and the dot
+    folds run in the same element order, so signatures (sign decisions
+    included) reproduce bit-for-bit."""
+    weights = hyperplane_weights(n_planes, dim)
+    plane_dots = ", ".join(
+        "sum(x * (CASE i "
+        + " ".join(f"WHEN {i + 1} THEN {weights[p][i]!r}" for i in range(dim))
+        + " END) ORDER BY i) AS d_{p}".format(p=p)
+        for p in range(n_planes)
+    )
+    sig = " + ".join(f"(CASE WHEN d_{p} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(n_planes))
+    probes = ", ".join(["CAST(sig AS INT)"] + [f"CAST(xor(sig, {1 << p}) AS INT)" for p in range(n_planes)])
+    return f"""
+WITH {_flat_cte(dim).strip()},
+planes AS (
+  SELECT id, {plane_dots}
+  FROM flat GROUP BY id
+),
+sigs AS (SELECT id, CAST({sig} AS INT) AS sig FROM planes),
+corpus AS (
+  SELECT s.id, s.sig, n.norm FROM sigs s JOIN nrm n ON n.id = s.id AND n.norm > 0
+),
+probes AS (
+  SELECT c.id, c.norm, unnest([{probes}]) AS probe
+  FROM corpus c WHERE c.id < {query_max_id}
+),
+cand AS (
+  SELECT DISTINCT p.id AS query_id, c.id AS neighbor_id
+  FROM probes p JOIN corpus c ON p.probe = c.sig AND p.id <> c.id
+),
+dots AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id, sum(a.x * b.x ORDER BY a.i) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i
+  JOIN cand ON cand.query_id = a.id AND cand.neighbor_id = b.id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / (na.norm * nb.norm), 9) AS cosine
+  FROM dots d
+  JOIN nrm na ON na.id = d.query_id
+  JOIN nrm nb ON nb.id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column (array<float>).
+
+- `cosine_topk`: brute-force exact top-k — the correctness baseline. The
+  query side is broadcast; the corpus scan stays partitioned, so the plan is
+  a BroadcastNestedLoopJoin + per-corpus-partition scoring + top-k: linear in
+  corpus size, embarrassingly parallel, no shuffle of the corpus.
+- `lsh_cosine_topk`: the scale path — random-hyperplane signatures bucket the
+  corpus; only colliding buckets are scored. Signatures are deterministic
+  (hash-derived hyperplanes), so re-runs and cross-engine checks reproduce.
+
+Dot products use `aggregate(zip_with(...))` — sequential fold in array order,
+which keeps float summation deterministic (important for oracle comparison).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)),"
+        f" cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(vec: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate({vec}, cast(0.0 AS DOUBLE),"
+            f" (acc, v) -> acc + cast(v AS DOUBLE) * cast(v AS DOUBLE))"
+        )
+    )
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(vec_col).alias("norm"),
+    ).filter(F.col("norm") > 0)
+
+
+def _cosine(a: str, b: str) -> Column:
+    return _dot(f"{a}.vec", f"{b}.vec") / (F.col(f"{a}.norm") * F.col(f"{b}.norm"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    Output: (query_id, neighbor_id, cosine, rank). Ties break on neighbor_id
+    so results are total-order deterministic. Queries are broadcast — size
+    the query batch, not the corpus."""
+    from pyspark.sql import Window as W
+
+    c = _with_norm(corpus, id_col, vec_col).alias("c")
+    q = F.broadcast(_with_norm(queries, id_col, vec_col)).alias("q")
+    scored = q.join(
+        c, F.col("q.id") != F.col("c.id")
+    ).select(
+        F.col("q.id").alias("query_id"),
+        F.col("c.id").alias("neighbor_id"),
+        F.round(_cosine("q", "c"), 9).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) is
+    md5-derived, uniform in [-1, 1). Computed once driver-side and shipped as
+    literals — zero per-row hashing on executors, and the identical decimal
+    literals can be embedded in an oracle SQL for bit-exact cross-engine
+    reproduction."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) / 2.0**59 - 1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_signature(vec_col: str, n_planes: int = 16, dim: int = 64) -> Column:
+    """Random-hyperplane LSH signature (int bitmask): sign(dot(v, r_p)) sets
+    bit p. The dot is a sequential fold in array order (zip_with + aggregate)
+    against a literal weight array — deterministic to the last ulp."""
+    weights = hyperplane_weights(n_planes, dim)
+    sig = None
+    for p in range(n_planes):
+        w = F.array(*[F.lit(x) for x in weights[p]])
+        prod = F.zip_with(F.col(vec_col), w, lambda x, wv: x.cast("double") * wv)
+        dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+        term = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sig.cast("int")
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: score only corpus vectors whose hyperplane
+    signature matches the query's (plus all 1-bit neighbors, trading recall
+    for fan-out). At 100 TB the bucket join replaces the full cross product —
+    cost ∝ corpus/2^planes per query bucket."""
+    c = _with_norm(corpus, id_col, vec_col).withColumn(
+        "sig", hyperplane_signature("vec", n_planes, dim)
+    )
+    q = _with_norm(queries, id_col, vec_col).withColumn(
+        "sig", hyperplane_signature("vec", n_planes, dim)
+    )
+    # probe buckets: exact signature + every 1-bit flip (multi-probe LSH)
+    probes = F.array(
+        F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    )
+    q_probes = q.select(
+        F.col("id"), F.col("vec"), F.col("norm"), F.explode(probes).alias("probe")
+    ).alias("q")
+    c_b = c.alias("c")
+    from pyspark.sql import Window as W
+
+    scored = q_probes.join(
+        c_b, (F.col("q.probe") == F.col("c.sig")) & (F.col("q.id") != F.col("c.id"))
+    ).select(
+        F.col("q.id").alias("query_id"),
+        F.col("c.id").alias("neighbor_id"),
+        F.round(_cosine("q", "c"), 9).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

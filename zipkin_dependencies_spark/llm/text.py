@@ -1,0 +1,87 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All pure Column expressions (JVM-side, codegen'd) —
+the hot path of a 100 TB text pipeline must not cross into Python per row.
+Every operator has a DuckDB-expressible twin for the correctness gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language marker-word sets for the n-gram/stopword heuristic —
+#: deliberately small and deterministic (the contract is the operator shape,
+#: not state-of-the-art accuracy; swap in fastText offline models via the
+#: multimodal mapInPandas plumbing when available).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "dans", "que", "une"),
+    "es": ("el", "la", "los", "y", "es", "en", "que", "una"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of the lowercased text (empty text → empty array)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish count: splits on whitespace AND letter/digit/punct
+    boundaries — a cheap, deterministic stand-in for a BPE tokenizer's token
+    count (useful for budget estimates)."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.split(
+        F.regexp_replace(c, r"([0-9]+|[^\sA-Za-z0-9])", r" $1 "), r"\s+"
+    )
+    return F.size(F.filter(pieces, lambda t: t != ""))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic [0,1] quality score from length / alpha ratio / mean word
+    length — each component a single deterministic division (stable for
+    cross-engine hashing)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_tok = token_count(c)
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    mean_word = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    len_score = F.least(n_chars / F.lit(1000.0), F.lit(1.0))
+    word_score = F.when((mean_word >= 3) & (mean_word <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((alpha_ratio + len_score + word_score) / 3.0, 9)
+
+
+def language_id(text: Column | str) -> Column:
+    """Marker-word language ID: language with the highest marker hit count
+    wins; ties and zero hits → 'und' (undetermined). Deterministic argmax via
+    greatest + case chain."""
+    toks = tokens(text)
+
+    def marker_pred(markers: tuple[str, ...]):
+        # closure, not a default arg: pyspark binds higher-order-lambda params
+        # by arity, so a 2-arg lambda would receive the element index
+        return lambda t: t.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, marker_pred(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # reversed priority: earlier languages win ties (stable order en>de>fr>es)
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def document_fingerprint(text: Column | str) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text —
+    stable across storage formats and engines (the rolling-hash variant for
+    containment checks is simhash/minhash in llm.dedup)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
