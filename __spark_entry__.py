@@ -264,6 +264,34 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(load(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: typed metadata + content digest over opaque
+    binary payloads (JVM-side md5 over binary)."""
+    from zipkin_dependencies_spark.llm.multimodal import media_from_documents, media_stats
+    from zipkin_dependencies_spark.testdata import load
+
+    return media_stats(media_from_documents(load(spark, sf_dir, "documents")))
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: mapInPandas fan-out of binary payloads into per-frame
+    rows (stub decoder; real Arrow binary plumbing)."""
+    from zipkin_dependencies_spark.llm.multimodal import media_from_documents, sample_frames
+    from zipkin_dependencies_spark.testdata import load
+
+    return sample_frames(media_from_documents(load(spark, sf_dir, "documents")))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction: binary payload → dense embedding via mapInPandas
+    (stub extractor), exploded to (media_id, dim_idx, value)."""
+    from zipkin_dependencies_spark.llm.multimodal import extract_features, media_from_documents
+    from zipkin_dependencies_spark.testdata import load
+
+    feats = extract_features(media_from_documents(load(spark, sf_dir, "documents")), dim=8)
+    return feats.select("media_id", F.posexplode("embedding").alias("dim_idx", "value"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -289,6 +317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "media_stats": q_media_stats,
+        "media_frames": q_media_frames,
+        "media_features": q_media_features,
     }
 
 
@@ -400,4 +431,7 @@ FROM events GROUP BY 1, 2
             k=5, n_planes=8, dim=64, query_max_id=32
         ),
         "embedding_near_dup": llm_oracles.embedding_near_dup_sql(threshold=0.3, dim=64),
+        "media_stats": llm_oracles.media_stats_sql(frame_bytes=100),
+        "media_frames": llm_oracles.media_frames_sql(frame_bytes=100),
+        "media_features": llm_oracles.media_features_sql(dim=8),
     }

@@ -1,0 +1,82 @@
+"""Heavy-trace skew stress (the reference's ITDependenciesHeavy analog,
+cassandra3/.../ITCassandraDependenciesHeavy.java:17-31): one trace holding the
+majority of all spans must link correctly, with and without heavy isolation
+routing, and both strategies must agree."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+HEAVY_SPANS = 20_000
+LIGHT_TRACES = 50
+
+
+@pytest.fixture(scope="module")
+def skewed_spans(spark):
+    """One giant flat trace (root + N-1 children calling svc-a→svc-b) plus
+    light two-span traces, in LINK_INPUT_SCHEMA shape."""
+    from zipkin_dependencies_spark.schemas import LINK_INPUT_SCHEMA
+
+    heavy = spark.range(HEAVY_SPANS).select(
+        F.lit("t-heavy").alias("trace_key"),
+        F.when(F.col("id") > 0, F.lit("r")).alias("parent_id"),
+        F.when(F.col("id") == 0, F.lit("r"))
+        .otherwise(F.concat(F.lit("s"), F.col("id").cast("string")))
+        .alias("id"),
+        F.when(F.col("id") == 0, F.lit("SERVER")).otherwise(F.lit("CLIENT")).alias("kind"),
+        F.lit("svc-a").alias("local_service"),
+        F.when(F.col("id") > 0, F.lit("svc-b")).alias("remote_service"),
+        F.lit(False).alias("shared"),
+        (F.col("id") % 100 == 1).alias("is_error"),
+        F.lit(1_000_000).alias("timestamp"),
+    )
+    light = spark.range(LIGHT_TRACES).select(
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("trace_key"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.lit("r").alias("id"),
+        F.lit("SERVER").alias("kind"),
+        F.concat(F.lit("svc-"), (F.col("id") % 3).cast("string")).alias("local_service"),
+        F.lit("gw").alias("remote_service"),
+        F.lit(False).alias("shared"),
+        F.lit(False).alias("is_error"),
+        F.lit(1_000_000).alias("timestamp"),
+    )
+    df = heavy.unionByName(light)
+    return spark.createDataFrame(df.collect(), schema=LINK_INPUT_SCHEMA).cache()
+
+
+def _links(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_heavy_trace_links_correctly(spark, skewed_spans):
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+
+    links = _links(links_from_spans(skewed_spans))
+    # giant trace: N-1 client spans svc-a→svc-b, every 100th an error
+    assert ("svc-a", "svc-b", HEAVY_SPANS - 1, (HEAVY_SPANS - 1) // 100 + 1) in links or (
+        "svc-a",
+        "svc-b",
+        HEAVY_SPANS - 1,
+        sum(1 for i in range(1, HEAVY_SPANS) if i % 100 == 1),
+    ) in links
+    # light traces: gw→svc-{0,1,2}
+    gw = {(p, c, n, e) for (p, c, n, e) in links if p == "gw"}
+    assert sum(n for _, _, n, _ in gw) == LIGHT_TRACES
+
+
+def test_heavy_isolation_matches_default(spark, skewed_spans):
+    from zipkin_dependencies_spark.operators.aggregate import aggregate_links
+    from zipkin_dependencies_spark.operators.link import trace_links_partitioned
+
+    base = _links(aggregate_links(trace_links_partitioned(skewed_spans)))
+    isolated = _links(
+        aggregate_links(
+            trace_links_partitioned(
+                skewed_spans, num_partitions=8, isolate_heavy_over=1_000
+            )
+        )
+    )
+    assert base == isolated

@@ -1,0 +1,129 @@
+"""Streaming pipeline tests: the foreachBatch parity mode must converge to
+exactly the batch pipeline's links (idempotent day overwrite), and the
+stateful per-trace operator must emit each trace's links after its quiet gap."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _batch_links(spark, spans):
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+
+    return {
+        tuple(r) for r in links_from_spans(normalize_spans(spans)).collect()
+    }
+
+
+def test_incremental_daily_links_matches_batch(spark, tmp_path):
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+    from zipkin_dependencies_spark.streaming import incremental_daily_links
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    # a 5-day slice keeps the per-day oracle loop tractable; spans filter on
+    # their OWN timestamp (F1 semantics — partial traces are expected)
+    lo = 820_454_400_000_000  # 1996-01-01 UTC µs
+    hi = lo + 10 * 86_400_000_000 - 1
+    spans = derived_spans(spark, SF_DIR).filter(F.col("timestamp").between(lo, hi))
+    assert spans.count() > 20
+
+    # stage the spans as two parquet files → two-ish micro-batches
+    src = str(tmp_path / "src")
+    half = F.pmod(F.hash("trace_id"), F.lit(2))
+    spans.filter(half == 0).write.mode("append").parquet(src)
+    spans.filter(half == 1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(spans.schema).parquet(src)
+    q = incremental_daily_links(
+        stream,
+        sink_path=str(tmp_path / "sink"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        spans_store_path=str(tmp_path / "store"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.count() == spans.count()  # no spans lost across batches
+
+    got = {
+        (str(r["day"]), r["parent"], r["child"], r["call_count"], r["error_count"])
+        for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+    }
+    # oracle: per-day F1 semantics — spans of one UTC day linked together
+    # (a trace crossing days contributes its in-day spans to each day),
+    # exactly what one batch run per day over the store would produce
+    normalized = normalize_spans(store.drop("day")).withColumn(
+        "day", F.to_date(F.timestamp_micros(F.col("timestamp")))
+    )
+    expected = set()
+    for day_row in normalized.select("day").distinct().collect():
+        day = day_row["day"]
+        day_links = links_from_spans(
+            normalized.filter(F.col("day") == F.lit(day)).drop("day")
+        )
+        expected |= {
+            (str(day), r["parent"], r["child"], r["call_count"], r["error_count"])
+            for r in day_links.collect()
+        }
+    assert got == expected
+
+
+def test_streaming_trace_links_emits_after_gap(spark, tmp_path):
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.streaming import streaming_trace_links
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    spans = normalize_spans(derived_spans(spark, SF_DIR)).limit(300).cache()
+    expected_traces = spans.select("trace_key").distinct().count()
+
+    src = str(tmp_path / "stream-src")
+    spans.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(spans.schema).parquet(src)
+    out = streaming_trace_links(stream, trace_gap_ms=2_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trace_links_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # wait for the quiet gap to elapse and timeouts to fire
+        deadline = time.time() + 120
+        got = []
+        while time.time() < deadline:
+            got = spark.sql("SELECT * FROM trace_links_out").collect()
+            if got:
+                break
+            time.sleep(2)
+        assert got, "no links emitted after trace gap"
+        emitted = {}
+        for r in got:
+            cell = emitted.setdefault((r["parent"], r["child"]), [0, 0])
+            cell[0] += r["call_count"]
+            cell[1] += r["error_count"]
+        # compare against batch linking of the same spans
+        from zipkin_dependencies_spark.operators.link import links_from_spans
+
+        batch = {
+            (r["parent"], r["child"]): (r["call_count"], r["error_count"])
+            for r in links_from_spans(spans).collect()
+        }
+        # the stream may not have flushed every trace yet; what it emitted
+        # must be a consistent subset, and with all timeouts fired, equal
+        for key, (n, e) in emitted.items():
+            assert key in batch
+            assert n <= batch[key][0] and e <= batch[key][1]
+    finally:
+        q.stop()

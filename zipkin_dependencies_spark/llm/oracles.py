@@ -230,6 +230,56 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
 """
 
 
+MEDIA_CTE = """
+media AS (
+  SELECT doc_id AS media_id,
+         (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         text,
+         octet_length(encode(text)) AS nb
+  FROM documents
+)"""
+
+
+def media_stats_sql(frame_bytes: int = 100) -> str:
+    return f"""
+WITH {MEDIA_CTE.strip()}
+SELECT media_id, kind,
+       CAST(nb AS INT) AS n_bytes,
+       md5(text) AS digest,
+       CAST(nb % 640 AS INT) AS width,
+       CAST(nb % 480 AS INT) AS height,
+       CAST(nb // {frame_bytes} AS INT) AS n_frames
+FROM media
+"""
+
+
+def media_frames_sql(frame_bytes: int = 100, max_frames: int = 128) -> str:
+    """Byte-slicing in the Spark stub == char-slicing here: the documents
+    fixture is pure ASCII (asserted by test_llm_multimodal)."""
+    return f"""
+WITH {MEDIA_CTE.strip()},
+f AS (
+  SELECT media_id, CAST(u.i AS INT) AS frame_idx,
+         substring(text, CAST(u.i AS INT) * {frame_bytes} + 1, {frame_bytes}) AS chunk
+  FROM media, (SELECT unnest(range(0, {max_frames})) AS i) u
+  WHERE u.i < nb // {frame_bytes}
+)
+SELECT media_id, frame_idx, md5(chunk) AS frame_digest,
+       CAST(octet_length(encode(chunk)) AS INT) AS n_bytes
+FROM f
+"""
+
+
+def media_features_sql(dim: int = 8) -> str:
+    return f"""
+WITH {MEDIA_CTE.strip()}
+SELECT media_id, CAST(u.j AS INT) AS dim_idx,
+       CAST(('0x' || substring(md5(CAST(u.j AS VARCHAR) || ':' || text), 1, 2))::INT
+            / 255.0 AS REAL) AS value
+FROM media, (SELECT unnest(range(0, {dim})) AS j) u
+"""
+
+
 def lsh_cosine_topk_sql(
     k: int = 5, n_planes: int = 8, dim: int = 64, query_max_id: int = 32
 ) -> str:

@@ -13,8 +13,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def aggregate_links(trace_links: DataFrame) -> DataFrame:
-    return trace_links.groupBy("parent", "child").agg(
+def aggregate_links(trace_links: DataFrame, extra_keys: list[str] | None = None) -> DataFrame:
+    """Sum per-trace (or per-partition partial) links to the global table.
+    ``extra_keys`` prepends grouping columns (e.g. ``["day"]`` for the
+    multi-day incremental path)."""
+    keys = [*(extra_keys or []), "parent", "child"]
+    return trace_links.groupBy(*keys).agg(
         F.sum("call_count").alias("call_count"),
         F.sum("error_count").alias("error_count"),
     )

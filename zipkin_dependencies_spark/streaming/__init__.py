@@ -1,0 +1,3 @@
+from .links import incremental_daily_links, streaming_trace_links
+
+__all__ = ["incremental_daily_links", "streaming_trace_links"]
