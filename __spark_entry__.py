@@ -204,13 +204,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (md5 oracle-parity variant), exploded to
+    """MinHash signatures (affine oracle-parity variant), exploded to
     (id, hash_idx, minhash) for engine-agnostic value hashing."""
     from zipkin_dependencies_spark.llm.dedup import minhash_signatures
     from zipkin_dependencies_spark.testdata import load
 
     sigs = minhash_signatures(
-        load(spark, sf_dir, "documents"), num_hashes=16, hash_fn="md5"
+        load(spark, sf_dir, "documents"), num_hashes=16, hash_fn="affine"
     )
     return sigs.select("id", F.posexplode("signature").alias("hash_idx", "minhash"))
 
@@ -223,7 +223,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.testdata import load
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    return minhash_lsh_candidates(docs, num_hashes=16, bands=4, hash_fn="md5")
+    return minhash_lsh_candidates(docs, num_hashes=16, bands=4, hash_fn="affine")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -67,7 +67,7 @@ def test_minhash_lsh_recall_of_high_jaccard_pairs(spark, docs):
         (r["id_a"], r["id_b"])
         for r in ngram_jaccard_pairs(docs, k=3, threshold=0.8).collect()
     }
-    for hash_fn in ("xxhash64", "md5"):
+    for hash_fn in ("xxhash64", "md5", "affine"):
         cand = {
             (r["id_a"], r["id_b"])
             for r in minhash_lsh_candidates(

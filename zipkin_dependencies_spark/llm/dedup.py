@@ -102,12 +102,29 @@ def ngram_jaccard_pairs(
 
 # --- MinHash + LSH ------------------------------------------------------------
 
+#: universal-hash family h_j(x) = (a_j·x + b_j) mod P over x ∈ [0, 2^32):
+#: P prime > 2^32; a_j < 2^30 keeps a·x < 2^62 — no 64-bit overflow in any
+#: engine, so the identical arithmetic runs in DuckDB for the oracle gate.
+AFFINE_PRIME = 4294967311
+
+
+def affine_params(num_hashes: int, seed: int = 2026) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) shared by the Spark builder and the SQL
+    oracle generator — both sides MUST draw from this function."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, AFFINE_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
 def _minhash_one(shingles: Column, j: int, hash_fn: str) -> Column:
     """min over shingles of hash_j(shingle). hash_fn:
     - 'xxhash64' (production): seeded 64-bit hash, fastest JVM path;
-    - 'md5' (oracle parity): lexicographic min of md5(j || ':' || s) hex —
-      the identical expression runs in DuckDB (min of a string total order is
-      still a uniform MinHash), so the correctness gate can hash-compare."""
+    - 'md5' (legacy oracle parity): lexicographic min of md5(j || ':' || s)
+      hex — one md5 per (shingle, j): O(num_hashes) digests per shingle."""
     if hash_fn == "xxhash64":
         return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j))))
     if hash_fn == "md5":
@@ -127,10 +144,36 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: sig[j] = min over shingles of
     hash_j(shingle). Entirely JVM-side (hash + array_min inside whole-stage
-    codegen); one pass over the text, no shuffle."""
+    codegen); one pass over the text, no shuffle.
+
+    hash_fn='affine' (oracle-parity production path): each shingle is
+    digested ONCE (md5 → low 32 bits), then the num_hashes permutations are
+    cheap integer affine maps over the digest array — O(1) digests per
+    shingle instead of the md5 variant's O(num_hashes). Signature values are
+    longs; identical SQL runs in DuckDB (constants from affine_params)."""
     sh = docs.select(
         F.col(id_col).alias("id"), char_shingles(text_col, k).alias("shingles")
     ).filter(F.size("shingles") > 0)
+    if hash_fn == "affine":
+        # digest each shingle once; xs materializes as a column so the per-j
+        # transforms below reuse it instead of re-hashing
+        xs = F.transform(
+            F.col("shingles"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        )
+        sh = sh.select("id", xs.alias("xs"))
+        sig = F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("xs"),
+                        lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(AFFINE_PRIME),
+                    )
+                )
+                for a, b in affine_params(num_hashes)
+            ]
+        )
+        return sh.select("id", sig.alias("signature"))
     sig = F.array(*[_minhash_one(F.col("shingles"), j, hash_fn) for j in range(num_hashes)])
     return sh.select("id", sig.alias("signature"))
 
@@ -157,8 +200,8 @@ def minhash_lsh_candidates(
 
     def band_bucket(b: int) -> Column:
         slice_ = [F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
-        if hash_fn == "md5":
-            return F.md5(F.concat_ws("|", *slice_))
+        if hash_fn in ("md5", "affine"):  # oracle-reproducible bucket key
+            return F.md5(F.concat_ws("|", *(s.cast("string") for s in slice_)))
         return F.xxhash64(*slice_).cast("string")
 
     band_cols = F.explode(

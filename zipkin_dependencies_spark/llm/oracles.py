@@ -51,16 +51,26 @@ FROM inter WHERE n_inter / (n_a + n_b - n_inter) >= {threshold}
 """
 
 
-def _minhash_elem(j: int) -> str:
-    return f"list_aggregate(list_transform(shingles, s -> md5('{j}:' || s)), 'min')"
-
-
 def _sig_cte(num_hashes: int, k: int, where: str) -> str:
-    elems = ", ".join(_minhash_elem(j) for j in range(num_hashes))
+    """Affine MinHash (shared constants with llm.dedup.affine_params):
+    digest each shingle once (md5 → low 32 bits), then num_hashes affine
+    maps (a·x + b) mod P with min-fold — the exact arithmetic the Spark
+    'affine' path runs."""
+    from .dedup import AFFINE_PRIME, affine_params
+
+    elems = ", ".join(
+        f"list_aggregate(list_transform(xs, x -> ({a} * x + {b}) % {AFFINE_PRIME}), 'min')"
+        for a, b in affine_params(num_hashes)
+    )
     return f"""{_shingles_cte(k, where).strip()},
+shx AS (
+  SELECT id,
+         list_transform(shingles, s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS xs
+  FROM sh WHERE len(shingles) > 0
+),
 sigt AS (
   SELECT id, [{elems}] AS sig
-  FROM sh WHERE len(shingles) > 0
+  FROM shx
 )"""
 
 
@@ -76,7 +86,9 @@ def minhash_lsh_sql(
     num_hashes: int = 16, bands: int = 4, k: int = 3, id_mod: int = 5
 ) -> str:
     rpb = num_hashes // bands
-    bucket = " || '|' || ".join(f"sig[b * {rpb} + {r + 1}]" for r in range(rpb))
+    bucket = " || '|' || ".join(
+        f"CAST(sig[b * {rpb} + {r + 1}] AS VARCHAR)" for r in range(rpb)
+    )
     return f"""
 WITH {_sig_cte(num_hashes, k, f"WHERE doc_id % {id_mod} = 0")},
 buckets AS (

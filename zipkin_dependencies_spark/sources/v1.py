@@ -72,6 +72,10 @@ def v1_to_v2_spans(
         F.col("a_type"),
     )
 
+    # The reference pushes SELECT DISTINCT to MySQL (D2) to shrink the rows
+    # crossing the wire. Relationally it is redundant here: every downstream
+    # aggregate in the pivot is max()-idempotent, so duplicate annotation rows
+    # are absorbed by the HashAggregate — one shuffle instead of two.
     joined = spans.join(
         annos,
         on=[spans.trace_id == annos.trace_id, spans.id == annos.span_id],
@@ -79,7 +83,7 @@ def v1_to_v2_spans(
     ).select(
         spans.trace_id, spans.id, spans.parent_id,
         annos.a_key, annos.endpoint_service_name, annos.a_type,
-    ).dropDuplicates(["trace_id", "id", "a_key", "endpoint_service_name", "a_type"])
+    )
 
     pivoted = joined.groupBy("trace_id", "id").agg(
         F.max("parent_id").alias("parent_id"),

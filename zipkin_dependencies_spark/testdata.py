@@ -219,28 +219,37 @@ def derived_v1_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
     owner = _svc("svc", F.col("l_orderkey"), 13)
     peer = _svc("svc", F.col("l_suppkey"), 13)
 
-    def anno(cond, key, value, a_type=-1):
-        return li.filter(cond).select(
-            F.lit(None).cast("long").alias("trace_id_high"),
-            F.col("l_orderkey").cast("long").alias("trace_id"),
-            span_id.cast("long").alias("span_id"),
+    # ONE lineitem scan: build the per-style annotation array and explode,
+    # instead of an 11-way union that re-scans the table 11 times (same rows,
+    # any order — downstream pivots are order-insensitive max() aggregates).
+    def a(key, value, a_type=-1):
+        return F.struct(
             F.lit(key).alias("a_key"),
-            value.alias("endpoint_service_name"),
+            value.cast("string").alias("endpoint_service_name"),
             F.lit(a_type).cast("int").alias("a_type"),
         )
 
-    annos = (
-        anno(style == 0, "sr", owner)
-        .unionByName(anno(style == 0, "ca", peer, 0))
-        .unionByName(anno(style == 1, "cs", owner))
-        .unionByName(anno(style == 1, "sa", peer, 0))
-        .unionByName(anno(style == 2, "cs", owner))
-        .unionByName(anno(style == 3, "ms", owner))
-        .unionByName(anno(style == 3, "ma", peer, 0))
-        .unionByName(anno(style == 4, "mr", owner))
-        .unionByName(anno(style == 4, "ma", peer, 0))
-        .unionByName(anno(F.col("l_returnflag") == "R", "error", F.lit("x"), 6))
-        .unionByName(anno(style == 1, "http.path", F.lit("/noise")))
+    per_style = (
+        F.when(style == 0, F.array(a("sr", owner), a("ca", peer, 0)))
+        .when(style == 1, F.array(a("cs", owner), a("sa", peer, 0), a("http.path", F.lit("/noise"))))
+        .when(style == 2, F.array(a("cs", owner)))
+        .when(style == 3, F.array(a("ms", owner), a("ma", peer, 0)))
+        .otherwise(F.array(a("mr", owner), a("ma", peer, 0)))
+    )
+    with_error = F.when(
+        F.col("l_returnflag") == "R",
+        F.concat(per_style, F.array(a("error", F.lit("x"), 6))),
+    ).otherwise(per_style)
+    annos = li.select(
+        F.lit(None).cast("long").alias("trace_id_high"),
+        F.col("l_orderkey").cast("long").alias("trace_id"),
+        span_id.cast("long").alias("span_id"),
+        F.explode(with_error).alias("_a"),
+    ).select(
+        "trace_id_high", "trace_id", "span_id",
+        F.col("_a.a_key").alias("a_key"),
+        F.col("_a.endpoint_service_name").alias("endpoint_service_name"),
+        F.col("_a.a_type").alias("a_type"),
     )
     return spans, annos
 
