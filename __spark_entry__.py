@@ -75,6 +75,95 @@ def q_v1_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return links_from_spans(normalize_spans(v1_to_v2_spans(spans, annos)))
 
 
+def q_links_strict128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 strict grouping over mixed 64/128-bit trace ids: traces with
+    orderkey % 3 = 0 get a 32-char id (md5-derived high half). Strict keys
+    split such a trace from any 16-char copies; on this two-level forest every
+    span emits by the kind matrix alone, so links must equal the lenient run —
+    which is exactly what the oracle asserts (SURVEY §2.5 G1/G2)."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    spans = derived_spans(spark, sf_dir)
+    wide = F.col("trace_id").cast("long") % 3 == 0
+    hi = F.substring(F.md5(F.col("trace_id")), 1, 16)
+    spans = spans.withColumn(
+        "trace_id", F.when(wide, F.concat(hi, F.col("trace_id"))).otherwise(F.col("trace_id"))
+    )
+    return links_from_spans(normalize_spans(spans, strict_trace_id=True))
+
+
+def q_f3_day_partition_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 ES-parity day filter: partition pruning on `day`, no timestamp
+    predicate — spans of 1996-03 link even when their trace's other spans
+    fall outside the window (SURVEY §2.3 F3)."""
+    import datetime as dt
+
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.day_filter import filter_day_partition
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    spans = filter_day_partition(
+        derived_spans(spark, sf_dir), dt.date(1996, 3, 1), dt.date(1996, 3, 31)
+    )
+    return links_from_spans(normalize_spans(spans))
+
+
+def q_dedupe_replayed_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 span dedup: the span table unioned with itself (storage replay)
+    must produce the ORIGINAL call counts after dropDuplicates on the span
+    identity columns (SURVEY §2.4 D1; CassandraRowsToDependencyLinks)."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.dedup import dedupe_spans
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    spans = derived_spans(spark, sf_dir)
+    replayed = spans.unionByName(spans)
+    return links_from_spans(dedupe_spans(normalize_spans(replayed)))
+
+
+def q_json_spans_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/P3/P4: v2 JSON span docs round-tripped — build camelCase JSON docs
+    from orders JVM-side (to_json), corrupt a deterministic 1-in-97 slice,
+    decode with the explicit-schema from_json source (malformed docs drop,
+    the reference's skip-and-log, TraceIdAndJsonToDependencyLinks.java:38-44).
+    The oracle derives the surviving rows relationally — it checks decode
+    semantics, not JSON formatting."""
+    from zipkin_dependencies_spark.sources.json import spans_from_json_strings
+    from zipkin_dependencies_spark.testdata import epoch_us, load
+
+    orders = load(spark, sf_dir, "orders")
+    pad16 = F.lpad(F.col("o_orderkey").cast("string"), 16, "0")
+    doc = F.to_json(
+        F.struct(
+            pad16.alias("traceId"),
+            pad16.alias("id"),
+            F.lit("SERVER").alias("kind"),
+            epoch_us("o_orderdate").alias("timestamp"),
+            F.struct(
+                F.concat(F.lit("svc-"), (F.col("o_orderkey") % 13).cast("string"))
+                .alias("serviceName")
+            ).alias("localEndpoint"),
+        )
+    )
+    docs = orders.select(
+        F.when(F.col("o_orderkey") % 97 == 0, F.concat(F.lit("{broken"), doc))
+        .otherwise(doc)
+        .alias("json")
+    )
+    spans = spans_from_json_strings(docs)
+    return spans.select(
+        "trace_id",
+        "id",
+        "kind",
+        F.col("local_endpoint.service_name").alias("local_service"),
+        "timestamp",
+    )
+
+
 def q_trace_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 trace-id normalization: lowercase, pad to 16/32, 128→64-bit key."""
     from zipkin_dependencies_spark.functions.trace import (
@@ -303,6 +392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dependency_links_f2_window": q_dependency_links_f2,
         "v1_reconstruct": q_v1_reconstruct,
         "v1_links": q_v1_links,
+        "links_strict128": q_links_strict128,
+        "f3_day_partition_links": q_f3_day_partition_links,
+        "dedupe_replayed_links": q_dedupe_replayed_links,
+        "json_spans_decode": q_json_spans_decode,
         "trace_normalize": q_trace_normalize,
         "s3_join_distinct": q_s3_join_distinct,
         "a2_agg_lineitem": q_a2_agg_lineitem,
@@ -372,9 +465,33 @@ GROUP BY parent, child
 """
     )
 
+    f3_oracle = (
+        "WITH "
+        + SPANS_SQL_CTE.strip()
+        + """,
+spans_day AS (
+  SELECT * FROM spans WHERE day BETWEEN DATE '1996-03-01' AND DATE '1996-03-31'
+)
+"""
+        + LINKS_SQL.replace("FROM spans", "FROM spans_day")
+    )
+
     return {
         "dependency_links": links_oracle,
         "dependency_links_f2_window": links_f2_oracle,
+        # strict grouping and replay-dedup must reproduce the lenient/original
+        # links exactly — the plain links oracle IS the assertion
+        "links_strict128": links_oracle,
+        "dedupe_replayed_links": links_oracle,
+        "f3_day_partition_links": f3_oracle,
+        "json_spans_decode": """
+SELECT lpad(CAST(o_orderkey AS VARCHAR), 16, '0') AS trace_id,
+       lpad(CAST(o_orderkey AS VARCHAR), 16, '0') AS id,
+       'SERVER' AS kind,
+       'svc-' || CAST(o_orderkey % 13 AS VARCHAR) AS local_service,
+       epoch_us(o_orderdate) AS "timestamp"
+FROM orders WHERE o_orderkey % 97 <> 0
+""",
         "v1_reconstruct": V1_RECONSTRUCT_SQL,
         "v1_links": v1_links_oracle,
         "trace_normalize": """

@@ -74,9 +74,13 @@ def ngram_jaccard_pairs(
     sizes bound the blow-up; standalone it is the oracle-checkable reference
     implementation.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        char_shingles(text_col, k).alias("shingles"),
+    from ..scaling import ensure_min_parallelism
+
+    sh = ensure_min_parallelism(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+    ).select(
+        F.col("id"),
+        char_shingles("_text", k).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
     exploded = sh.select("id", "n_sh", F.explode("shingles").alias("sh"))
 
@@ -147,33 +151,53 @@ def minhash_signatures(
     codegen); one pass over the text, no shuffle.
 
     hash_fn='affine' (oracle-parity production path): each shingle is
-    digested ONCE (md5 → low 32 bits), then the num_hashes permutations are
-    cheap integer affine maps over the digest array — O(1) digests per
-    shingle instead of the md5 variant's O(num_hashes). Signature values are
-    longs; identical SQL runs in DuckDB (constants from affine_params)."""
-    sh = docs.select(
-        F.col(id_col).alias("id"), char_shingles(text_col, k).alias("shingles")
+    digested ONCE (md5 → high 32 bits), then the num_hashes permutations are
+    integer affine maps over the digest vector, computed in ONE Arrow-batched
+    numpy kernel: digests via hashlib, then an (n_shingles × num_hashes)
+    broadcasted multiply-add-mod + column-min. Catalyst higher-order lambdas
+    are interpreted per element — at 16 hashes × ~10³ shingles/doc that is
+    ~10⁴-10⁵ interpreted evals per document, which measured ~30 ms/doc; the
+    numpy kernel does the same arithmetic at memory bandwidth. Signature
+    values are longs; identical SQL runs in DuckDB (constants from
+    affine_params)."""
+    from ..scaling import ensure_min_parallelism
+
+    base = ensure_min_parallelism(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+    )
+    sh = base.select(
+        F.col("id"), char_shingles("_text", k).alias("shingles")
     ).filter(F.size("shingles") > 0)
     if hash_fn == "affine":
-        # digest each shingle once; xs materializes as a column so the per-j
-        # transforms below reuse it instead of re-hashing
-        xs = F.transform(
-            F.col("shingles"),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-        )
-        sh = sh.select("id", xs.alias("xs"))
-        sig = F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        F.col("xs"),
-                        lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(AFFINE_PRIME),
-                    )
-                )
-                for a, b in affine_params(num_hashes)
-            ]
-        )
-        return sh.select("id", sig.alias("signature"))
+        import numpy as np
+
+        a_vec = [a for a, _ in affine_params(num_hashes)]
+        b_vec = [b for _, b in affine_params(num_hashes)]
+        id_type = docs.schema[id_col].dataType.simpleString()
+
+        def kernel(batches):
+            import hashlib
+
+            A = np.array(a_vec, dtype=np.int64)[None, :]
+            B = np.array(b_vec, dtype=np.int64)[None, :]
+            for pdf in batches:
+                ids, sigs = [], []
+                for i, shingles in zip(pdf["id"].to_numpy(), pdf["shingles"].to_numpy()):
+                    # first 4 digest bytes big-endian == ('0x' || hex[:8])::int
+                    xs = np.frombuffer(
+                        b"".join(
+                            hashlib.md5(s.encode("utf-8")).digest()[:4]
+                            for s in shingles
+                        ),
+                        dtype=">u4",
+                    ).astype(np.int64)
+                    # a < 2^30, x < 2^32 ⇒ a·x + b < 2^63: no int64 overflow
+                    m = (xs[:, None] * A + B) % AFFINE_PRIME
+                    ids.append(i)
+                    sigs.append(m.min(axis=0))
+                yield pd.DataFrame({"id": ids, "signature": sigs})
+
+        return sh.mapInPandas(kernel, f"id {id_type}, signature array<bigint>")
     sig = F.array(*[_minhash_one(F.col("shingles"), j, hash_fn) for j in range(num_hashes)])
     return sh.select("id", sig.alias("signature"))
 
@@ -280,9 +304,13 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """SimHash fingerprint per document: near-identical docs land within a few
     bits of each other; dedup = groupBy on rotated prefixes or hamming-join.
     Tokenization is JVM-side; only the 64-bit fold is Python (Arrow-batched)."""
-    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    return docs.select(
-        F.col(id_col).alias("id"),
+    from ..scaling import ensure_min_parallelism
+
+    tokens = F.split(F.trim(F.lower(F.col("_text"))), r"\s+")
+    return ensure_min_parallelism(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+    ).select(
+        F.col("id"),
         _simhash_from_tokens(tokens).alias("simhash"),
     )
 
@@ -294,19 +322,86 @@ def embedding_near_dup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """Pairs of vectors with cosine ≥ threshold — brute-force all-pairs with
-    pre-normalized vectors. Quadratic: the scale path buckets by LSH
-    hyperplane signature first (similarity.lsh_cosine_topk machinery) and
-    verifies here within buckets."""
-    from .similarity import _cosine, _with_norm
+    """Pairs of vectors with cosine ≥ threshold — blocked all-pairs.
 
-    a = _with_norm(embeddings, id_col, vec_col).alias("a")
-    b = _with_norm(embeddings, id_col, vec_col).alias("b")
-    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
-    cos = _cosine("a", "b")
-    return pairs.select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        cos.alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    Vectors are hashed into `num_blocks` blocks; each of the
+    num_blocks·(num_blocks+1)/2 unordered block pairs becomes one cogrouped
+    `applyInPandas` task whose kernel is a single numpy float64 matmul
+    (Ni×d)·(d×Nj) + threshold mask. Compared to a row-pair join with the
+    cosine as a Catalyst higher-order function, this keeps the O(N²·d) work
+    vectorized in BLAS instead of interpreted lambda evals, ships each vector
+    only ~num_blocks/2 times (shuffle volume O(N·num_blocks), no corpus
+    broadcast, no driver collect), and is the verification kernel the LSH
+    bucket path reuses at 100 TB — there `num_blocks` scales as
+    N / rows_per_block so every block fits executor memory.
+
+    Cosines are emitted rounded to 6 decimals: the threshold is applied to
+    the raw value, but blocked/BLAS summation is not bit-identical to a
+    sequential fold, so the reported score is truncated below the noise floor
+    for engine-agnostic comparison.
+    """
+    import numpy as np
+
+    from .similarity import _with_norm
+
+    spark = embeddings.sparkSession
+    norm = _with_norm(embeddings, id_col, vec_col)
+    e = norm.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(num_blocks)).cast("int")
+    )
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)],
+        "bi int, bj int",
+    )
+    def side(match: str, prefix: str) -> DataFrame:
+        # disjoint column names per side: the cogroup below is a self-join,
+        # and shared attribute ids would trip the ambiguity check
+        return e.alias("v").join(
+            F.broadcast(bp).alias("p"), F.col("v.blk") == F.col(f"p.{match}")
+        ).select(
+            F.col("p.bi").alias(f"{prefix}bi"),
+            F.col("p.bj").alias(f"{prefix}bj"),
+            F.col("v.id").alias(f"{prefix}id"),
+            F.col("v.vec").alias(f"{prefix}vec"),
+            F.col("v.norm").alias(f"{prefix}norm"),
+        )
+
+    left = side("bi", "l_")
+    right = side("bj", "r_")
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    def kernel(key: tuple, la: pd.DataFrame, ra: pd.DataFrame) -> pd.DataFrame:
+        if la.empty or ra.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        A = np.stack(la["l_vec"].to_numpy()).astype(np.float64)
+        B = np.stack(ra["r_vec"].to_numpy()).astype(np.float64)
+        A /= la["l_norm"].to_numpy()[:, None]
+        B /= ra["r_norm"].to_numpy()[:, None]
+        C = A @ B.T
+        ia = la["l_id"].to_numpy()
+        ib = ra["r_id"].to_numpy()
+        mask = C >= threshold
+        if key[0] == key[1]:
+            # same block on both sides: order within the matrix dedups pairs
+            mask &= ia[:, None] < ib[None, :]
+        r, c = np.nonzero(mask)
+        id_a, id_b = ia[r], ib[c]
+        if key[0] != key[1]:
+            # distinct blocks: each unordered pair appears exactly once; put
+            # the smaller id first to match the (id_a < id_b) contract
+            lo = np.minimum(id_a, id_b)
+            hi = np.maximum(id_a, id_b)
+            id_a, id_b = lo, hi
+        return pd.DataFrame(
+            {"id_a": id_a, "id_b": id_b, "cosine": np.round(C[r, c], 6)}
+        )
+
+    return (
+        left.groupBy("l_bi", "l_bj")
+        .cogroup(right.groupBy("r_bi", "r_bj"))
+        .applyInPandas(kernel, out_schema)
+    )

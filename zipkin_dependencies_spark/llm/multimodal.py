@@ -131,7 +131,9 @@ def sample_frames(media: DataFrame, frame_bytes: int = 100) -> DataFrame:
                 out, columns=["media_id", "frame_idx", "frame_digest", "n_bytes"]
             )
 
-    return media.select("media_id", "payload").mapInPandas(
+    from ..scaling import ensure_min_parallelism
+
+    return ensure_min_parallelism(media.select("media_id", "payload")).mapInPandas(
         explode_frames, schema=FRAME_SCHEMA
     )
 
@@ -157,7 +159,9 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                 rows.append((int(mid), vec))
             yield pd.DataFrame(rows, columns=["media_id", "embedding"])
 
-    return media.select("media_id", "payload").mapInPandas(
+    from ..scaling import ensure_min_parallelism
+
+    return ensure_min_parallelism(media.select("media_id", "payload")).mapInPandas(
         featurize, schema=FEATURE_SCHEMA
     )
 

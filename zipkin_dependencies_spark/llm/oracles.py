@@ -238,7 +238,8 @@ scored AS (
   JOIN nrm na ON na.id = d.id_a AND na.norm > 0
   JOIN nrm nb ON nb.id = d.id_b AND nb.norm > 0
 )
-SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+SELECT id_a, id_b, round(cosine, 6) AS cosine
+FROM scored WHERE cosine >= {threshold}
 """
 
 

@@ -31,8 +31,13 @@ def filter_span_window(spans: DataFrame, start_us: int, end_us: int) -> DataFram
     return spans.filter(F.col("timestamp").between(start_us, end_us))
 
 
-def filter_day_partition(spans: DataFrame, day: dt.date) -> DataFrame:
+def filter_day_partition(
+    spans: DataFrame, day: dt.date, end_day: dt.date | None = None
+) -> DataFrame:
     """F3: static partition pruning on the `day` partition column — Catalyst
     turns this into PartitionFilters on the scan, the Spark-native equivalent
-    of the reference reading one daily index."""
+    of the reference reading one daily index. ``end_day`` widens the prune to
+    an inclusive range (multi-index backfill)."""
+    if end_day is not None:
+        return spans.where(F.col("day").between(F.lit(day), F.lit(end_day)))
     return spans.where(F.col("day") == F.lit(day))

@@ -158,7 +158,8 @@ spans AS (
          CASE WHEN o_orderkey % 7 = 0 THEN NULL
               ELSE 'client-' || CAST(o_custkey % 5 AS VARCHAR) END AS remote_service,
          (o_orderkey % 11 = 0)                       AS is_error,
-         epoch_us(o_orderdate)                       AS ts
+         epoch_us(o_orderdate)                       AS ts,
+         CAST(o_orderdate AS DATE)                   AS day
   FROM orders
   UNION ALL
   SELECT lpad(CAST(l_orderkey AS VARCHAR), 16, '0'),
@@ -169,7 +170,8 @@ spans AS (
          'svc-' || CAST(l_orderkey % 13 AS VARCHAR),
          'svc-' || CAST(l_suppkey % 13 AS VARCHAR),
          (l_returnflag = 'R'),
-         epoch_us(l_shipdate)
+         epoch_us(l_shipdate),
+         CAST(l_shipdate AS DATE)
   FROM (
     SELECT l.*, row_number() OVER (
       PARTITION BY l_orderkey
