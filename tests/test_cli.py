@@ -1,0 +1,36 @@
+"""CLI entry (`python -m zipkin_dependencies_spark`) — env-driven end to end,
+the Spark-native analog of the reference's main() dispatch
+(ZipkinDependenciesJob.java:21-87)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from tests.conftest import make_span
+
+
+def test_cli_main_writes_day_partition(spark, spans_df_factory, tmp_path, monkeypatch):
+    import zipkin_dependencies_spark.__main__ as cli
+
+    spans_path = str(tmp_path / "spans")
+    links_path = str(tmp_path / "links")
+    day = dt.date(2016, 5, 31)
+    spans_df_factory(
+        [
+            make_span(id="1", kind="CLIENT", local="web", remote="api"),
+            make_span(id="1", kind="SERVER", local="api", remote="web", shared=True),
+        ]
+    ).write.mode("overwrite").parquet(spans_path)
+
+    monkeypatch.setenv("STORAGE_TYPE", "cassandra3")
+    monkeypatch.setenv("SPANS_PATH", spans_path)
+    monkeypatch.setenv("LINKS_PATH", links_path)
+    # reuse the session fixture's master; the CLI calls getOrCreate()
+    monkeypatch.setenv("SPARK_MASTER", "local[4]")
+
+    assert cli.main(["2016-05-31"]) == 0
+
+    out = spark.read.parquet(links_path).collect()
+    assert [(r.day, r.parent, r.child, r.call_count, r.error_count) for r in out] == [
+        (day, "web", "api", 1, 0)
+    ]

@@ -1,0 +1,73 @@
+"""CLI entry: ``python -m zipkin_dependencies_spark [yyyy-MM-dd]``.
+
+The Spark-native replacement for the reference's
+``STORAGE_TYPE=<backend> java -jar zipkin-dependencies.jar [date]``
+(main/src/main/java/zipkin2/dependencies/ZipkinDependenciesJob.java:21-87).
+Environment surface (see config.engine_env): STORAGE_TYPE picks the parity
+profile, SPANS_PATH/LINKS_PATH the storage locations, SPAN_FORMAT the source
+adapter (parquet|json|v1), DAY_FILTER/STRICT_TRACE_ID override the profile,
+SPARK_MASTER/SPARK_CONF/ZIPKIN_LOG_LEVEL the session.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+from .config import engine_env, micros_day_repr
+from .plans.job import DependencyLinksJob, JobConfig
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    env = engine_env(day_arg=argv[0] if argv else None)
+
+    logging.basicConfig(level=getattr(logging, env.log_level.upper(), logging.INFO))
+    log = logging.getLogger("zipkin_dependencies_spark")
+
+    from pyspark.sql import SparkSession
+
+    from .session import get_spark
+    from .sources import read_spans_json, read_spans_parquet
+    from .sources.v1 import v1_to_v2_spans
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(master=env.master, extra_conf=env.spark_conf)
+    spark.sparkContext.setLogLevel("WARN" if env.log_level == "INFO" else env.log_level)
+
+    day = micros_day_repr(env.day_ms)
+    log.info("Running dependency links for %s (filter=%s strict=%s)",
+             day, env.day_filter.value, env.strict_trace_id)
+
+    if env.source_format == "v1":
+        spans_df = v1_to_v2_spans(
+            spark.read.parquet(f"{env.spans_path}/zipkin_spans"),
+            spark.read.parquet(f"{env.spans_path}/zipkin_annotations"),
+        )
+    elif env.source_format == "json":
+        spans_df = read_spans_json(spark, env.spans_path)
+    else:
+        spans_df = read_spans_parquet(spark, env.spans_path)
+
+    job = DependencyLinksJob(
+        spark,
+        JobConfig(
+            day=day,
+            spans_path=env.spans_path,
+            links_path=env.links_path,
+            day_filter=env.day_filter,
+            strict_trace_id=env.strict_trace_id,
+        ),
+    )
+    links = job.run(spans_df)
+    if env.links_path is None:
+        links.show(100, truncate=False)  # no sink configured: print like a REPL
+    else:
+        log.info("Wrote day=%s to %s", day, env.links_path)
+    if not preexisting:  # embedded callers (tests, notebooks) own their session
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
