@@ -6,12 +6,21 @@ re-deriving v2 kind/endpoints from v1 core annotations
 (DependencyLinkSpanIterator.java:78-172). Spark-first decomposition:
 
 1. F1 window on ``zipkin_spans.start_ts``           → pushed scan predicate
-2. annotation key filter (F4) + equi-join on (trace_id, id)=(trace_id, span_id)
-   — join deliberately ignores trace_id_high, as the reference's SQL does
-3. DISTINCT (D2)
-4. conditional-aggregation pivot per (trace_id, span_id): one column per core
-   annotation key — replaces the reference's ~160-line peeking-iterator
-   re-segmentation (G5) with a single HashAggregate
+2. annotation key filter (F4), then conditional-aggregation pivot per
+   (trace_id, span_id): one column per core annotation key — replaces the
+   reference's ~160-line peeking-iterator re-segmentation (G5) with one
+   aggregate. The pivot runs BEFORE the join (aggregate-then-join): the
+   annotation table is the biggest input, and collapsing it first means the
+   join moves one row per span per side instead of one row per annotation —
+   at 100 TB this is the difference between joining the raw fact table and
+   joining an already-reduced span-cardinality table. Duplicate annotation
+   rows are absorbed by the max() pivot, which also subsumes the reference's
+   pushed DISTINCT (D2).
+3. span-side collapse: groupBy (trace_id, id) → max(parent_id) — the
+   reference's GROUP BY all-but-parent_id.
+4. left equi-join of the two pre-aggregated sides on
+   (trace_id, id)=(trace_id, span_id) — deliberately ignores trace_id_high,
+   as the reference's SQL does.
 5. the kind matrix (DependencyLinkSpanIterator.java:133-171):
      sr               ⇒ SERVER   local=sr              remote=ca||cs
      sa (no sr)       ⇒ CLIENT if cs else kind-null; local=ca||lc, remote=sa
@@ -62,7 +71,13 @@ def v1_to_v2_spans(
     spans = zipkin_spans
     if start_us is not None:
         spans = spans.filter(F.col("start_ts").between(start_us, end_us))
-    spans = spans.select("trace_id", "id", "parent_id")
+    # span-side collapse: one row per (trace_id, id), parent_id max-resolved
+    # (the reference's GROUP BY all-but-parent_id keeps one arbitrary value)
+    spans = (
+        spans.select("trace_id", "id", "parent_id")
+        .groupBy("trace_id", "id")
+        .agg(F.max("parent_id").alias("parent_id"))
+    )
 
     annos = zipkin_annotations.filter(F.col("a_key").isin(*CORE_KEYS)).select(
         F.col("trace_id"),
@@ -72,25 +87,27 @@ def v1_to_v2_spans(
         F.col("a_type"),
     )
 
-    # The reference pushes SELECT DISTINCT to MySQL (D2) to shrink the rows
-    # crossing the wire. Relationally it is redundant here: every downstream
-    # aggregate in the pivot is max()-idempotent, so duplicate annotation rows
-    # are absorbed by the HashAggregate — one shuffle instead of two.
-    joined = spans.join(
-        annos,
-        on=[spans.trace_id == annos.trace_id, spans.id == annos.span_id],
-        how="left_outer",
-    ).select(
-        spans.trace_id, spans.id, spans.parent_id,
-        annos.a_key, annos.endpoint_service_name, annos.a_type,
-    )
-
-    pivoted = joined.groupBy("trace_id", "id").agg(
-        F.max("parent_id").alias("parent_id"),
+    # aggregate-then-join: collapse the (much larger) annotation table to span
+    # cardinality FIRST. max() pivots are idempotent, so duplicate annotation
+    # rows are absorbed here — this subsumes the reference's pushed DISTINCT
+    # (D2) while moving strictly fewer rows through the join exchange.
+    an_pivot = annos.groupBy("trace_id", "span_id").agg(
         *[_svc(k) for k in ("lc", "ca", "cs", "sa", "sr", "ma", "ms", "mr")],
         F.max(
             (F.col("a_key") == "error") & (F.col("a_type") == STRING_TYPE)
         ).alias("is_error"),
+    )
+
+    pivoted = spans.join(
+        an_pivot,
+        on=[spans.trace_id == an_pivot.trace_id, spans.id == an_pivot.span_id],
+        how="left_outer",
+    ).select(
+        spans.trace_id,
+        spans.id,
+        spans.parent_id,
+        *[f"{k}_service" for k in ("lc", "ca", "cs", "sa", "sr", "ma", "ms", "mr")],
+        "is_error",
     )
 
     ca = F.coalesce(F.col("ca_service"), F.col("cs_service"))  # ca more authoritative than cs owner
