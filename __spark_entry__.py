@@ -353,6 +353,67 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(load(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket sampling: stable under repartitioning and
+    re-runs (unlike df.sample), identical across engines."""
+    from zipkin_dependencies_spark.llm.sampling import hash_sample
+    from zipkin_dependencies_spark.testdata import load
+
+    return hash_sample(load(spark, sf_dir, "documents"), fraction=0.2)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep fractions in one codegen'd predicate (corpus
+    rebalancing: downsample dominant languages, keep rare ones)."""
+    from zipkin_dependencies_spark.llm.sampling import stratified_hash_sample
+    from zipkin_dependencies_spark.testdata import load
+
+    return stratified_hash_sample(
+        load(spark, sf_dir, "documents"),
+        fractions={"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1},
+        strata_col="lang",
+        default_fraction=0.05,
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment by consecutive hash ranges —
+    disjoint and exhaustive by construction."""
+    from zipkin_dependencies_spark.llm.sampling import hash_split
+    from zipkin_dependencies_spark.testdata import load
+
+    return hash_split(
+        load(spark, sf_dir, "documents"), weights={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+def q_dedupe_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware dedup keeping the highest-quality copy per normalized
+    content fingerprint (window rank, shuffles digests not text)."""
+    from zipkin_dependencies_spark.llm.dedup import dedupe_keep_best
+    from zipkin_dependencies_spark.testdata import load
+
+    return dedupe_keep_best(load(spark, sf_dir, "documents"))
+
+
+def q_top_k_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-100: partial-agg token counts + distributed
+    TakeOrdered (never a single-partition global sort)."""
+    from zipkin_dependencies_spark.llm.text import top_k_tokens
+    from zipkin_dependencies_spark.testdata import load
+
+    return top_k_tokens(load(spark, sf_dir, "documents"), k=100)
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-min gap): lag +
+    running-sum windows + aggregate, all on ONE user_id exchange."""
+    from zipkin_dependencies_spark.operators.sessionize import sessionize
+    from zipkin_dependencies_spark.testdata import load_events
+
+    return sessionize(load_events(spark, sf_dir), gap_seconds=1800)
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: typed metadata + content digest over opaque
     binary payloads (JVM-side md5 over binary)."""
@@ -410,6 +471,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
+        "dedupe_keep_best": q_dedupe_keep_best,
+        "top_k_tokens": q_top_k_tokens,
+        "sessionize_events": q_sessionize_events,
         "media_stats": q_media_stats,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
@@ -418,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from zipkin_dependencies_spark.llm import oracles as llm_oracles
+    from zipkin_dependencies_spark.operators.sessionize import sessionize_sql as _sessionize_sql
     from zipkin_dependencies_spark.testdata import (
         LINKS_SQL,
         SPANS_SQL_CTE,
@@ -548,6 +616,18 @@ FROM events GROUP BY 1, 2
             k=5, n_planes=8, dim=64, query_max_id=32
         ),
         "embedding_near_dup": llm_oracles.embedding_near_dup_sql(threshold=0.3, dim=64),
+        "hash_sample": llm_oracles.hash_sample_sql(fraction=0.2),
+        "stratified_sample": llm_oracles.stratified_hash_sample_sql(
+            fractions={"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1},
+            strata_col="lang",
+            default_fraction=0.05,
+        ),
+        "hash_split": llm_oracles.hash_split_sql(
+            weights={"train": 0.8, "val": 0.1, "test": 0.1}
+        ),
+        "dedupe_keep_best": llm_oracles.dedupe_keep_best_sql(),
+        "top_k_tokens": llm_oracles.top_k_tokens_sql(k=100),
+        "sessionize_events": _sessionize_sql(),
         "media_stats": llm_oracles.media_stats_sql(frame_bytes=100),
         "media_frames": llm_oracles.media_frames_sql(frame_bytes=100),
         "media_features": llm_oracles.media_features_sql(dim=8),

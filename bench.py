@@ -35,6 +35,18 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the machinery the timings shouldn't charge to the first query:
+    # JVM codegen, parquet footer reads, and the Python/Arrow worker pool
+    # (mapInPandas spawns one worker per core on first use).
+    import pandas as pd  # noqa: F401
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    warm = spark.range(0, 1_000, 1, int(cpus))
+    warm.mapInPandas(_noop, schema="id long").count()
+
     all_queries = entry.queries()
     # headline set: the full zipkin pipeline (scan → group-by-trace → linker
     # kernel → global agg), the v1 parity path, and representative relational

@@ -1,0 +1,138 @@
+"""Semantic tests for the sampling / keep-best dedup / vocabulary /
+sessionization operators (beyond the DuckDB hash-parity gate, which only
+checks value equality on the fixture corpus)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from zipkin_dependencies_spark.llm.dedup import dedupe_keep_best
+from zipkin_dependencies_spark.llm.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+)
+from zipkin_dependencies_spark.llm.text import top_k_tokens
+from zipkin_dependencies_spark.operators.sessionize import sessionize
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=i, text=f"document number {i} with some words", lang="en", source="s")
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_hash_sample_deterministic_and_repartition_stable(spark, docs):
+    a = sorted(r.doc_id for r in hash_sample(docs, 0.3).select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in hash_sample(docs.repartition(7), 0.3).select("doc_id").collect()
+    )
+    assert a == b and 0 < len(a) < 200
+
+
+def test_hash_sample_fraction_monotone(spark, docs):
+    small = {r.doc_id for r in hash_sample(docs, 0.1).select("doc_id").collect()}
+    big = {r.doc_id for r in hash_sample(docs, 0.5).select("doc_id").collect()}
+    assert small <= big  # nested samples: growing the fraction only adds rows
+
+
+def test_stratified_fractions_respected(spark):
+    rows = [
+        Row(doc_id=i, text="x", lang="keep" if i % 2 == 0 else "drop", source="s")
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows)
+    out = stratified_hash_sample(
+        df, fractions={"keep": 1.0, "drop": 0.0}, strata_col="lang"
+    )
+    got = out.groupBy("lang").count().collect()
+    assert {r.lang: r["count"] for r in got} == {"keep": 200}
+
+
+def test_hash_split_partitions_the_corpus(spark, docs):
+    out = hash_split(docs, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    per_doc = out.groupBy("doc_id").agg(F.count_distinct("split").alias("n")).collect()
+    assert all(r.n == 1 for r in per_doc)          # exactly one split each
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 200             # exhaustive
+    assert counts.get("train", 0) > counts.get("val", 0)
+
+
+def test_dedupe_keep_best_prefers_quality_then_id(spark):
+    short = "tiny"
+    good = (
+        "A reasonably long sentence with plenty of alphabetic words that "
+        "scores well on the alpha ratio and mean word length heuristics."
+    )
+    rows = [
+        # same fingerprint group: identical normalized content. The padded
+        # copy (doc 3) scores slightly differently (whitespace changes the
+        # alpha ratio), so the exact-ties are docs 7 and 10 → min id 7 wins.
+        Row(doc_id=10, text=good, lang="en", source="s"),
+        Row(doc_id=3, text="  " + good + "  ", lang="en", source="s"),  # normalizes equal
+        Row(doc_id=7, text=good, lang="en", source="s"),
+        Row(doc_id=99, text=short, lang="en", source="s"),
+    ]
+    out = dedupe_keep_best(spark.createDataFrame(rows)).collect()
+    by_copies = {r.n_copies: r for r in out}
+    assert by_copies[3].n_copies == 3              # padding folded into the group
+    assert by_copies[3].keep_id in (3, 7)          # a highest-quality member
+    assert by_copies[1].keep_id == 99
+
+    # explicit tiebreak check: all-identical texts → min doc_id survives
+    same = [Row(doc_id=i, text=good, lang="en", source="s") for i in (42, 17, 33)]
+    only = dedupe_keep_best(spark.createDataFrame(same)).collect()
+    assert len(only) == 1 and only[0].keep_id == 17 and only[0].n_copies == 3
+
+
+def test_top_k_tokens_counts_and_rank(spark):
+    rows = [
+        Row(doc_id=0, text="alpha alpha beta", lang="en", source="s"),
+        Row(doc_id=1, text="alpha beta gamma", lang="en", source="s"),
+    ]
+    out = top_k_tokens(spark.createDataFrame(rows), k=2).collect()
+    assert [(r.token, r.n_occurrences, r.rank) for r in out] == [
+        ("alpha", 3, 1),
+        ("beta", 2, 2),
+    ]
+
+
+def test_sessionize_splits_on_gap_and_counts_errors(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    mk = lambda i, secs, typ: Row(  # noqa: E731
+        event_id=i, ts=t0 + dt.timedelta(seconds=secs), user_id=1,
+        event_type=typ, value=0.0, props="{}",
+    )
+    rows = [
+        mk(0, 0, "view"), mk(1, 60, "error"), mk(2, 120, "view"),   # session 1
+        mk(3, 120 + 1801, "view"), mk(4, 120 + 1900, "error"),      # session 2 (gap > 30 min)
+        Row(event_id=5, ts=t0, user_id=2, event_type="view", value=0.0, props="{}"),
+    ]
+    out = sessionize(spark.createDataFrame(rows), gap_seconds=1800).collect()
+    sessions = {(r.user_id, r.session_idx): r for r in out}
+    assert len(sessions) == 3
+    s1 = sessions[(1, 1)]
+    assert (s1.n_events, s1.n_errors) == (3, 1)
+    s2 = sessions[(1, 2)]
+    assert (s2.n_events, s2.n_errors) == (2, 1)
+    assert s2.start_us - s1.end_us == 1801 * 1_000_000
+    assert sessions[(2, 1)].n_events == 1
+
+
+def test_sessionize_boundary_gap_exactly_equal_keeps_session(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=0, ts=t0, user_id=1, event_type="view", value=0.0, props="{}"),
+        Row(event_id=1, ts=t0 + dt.timedelta(seconds=1800), user_id=1,
+            event_type="view", value=0.0, props="{}"),
+    ]
+    out = sessionize(spark.createDataFrame(rows), gap_seconds=1800).collect()
+    assert len(out) == 1 and out[0].n_events == 2  # gap == threshold ⇒ same session

@@ -40,6 +40,45 @@ def dedupe_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def dedupe_keep_best(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Group-aware dedup that keeps the BEST copy, not an arbitrary one:
+    duplicates grouped by the whitespace-normalized content fingerprint, the
+    highest quality_score (doc id as deterministic tiebreak) survives.
+
+    Window row_number over the fingerprint partition — one shuffle on the
+    16-byte fingerprint; document text never moves, only (fingerprint, id,
+    score). The difference from dedupe_exact matters for near-identical
+    replicas with different formatting noise: normalization folds them into
+    one group, and quality decides which formatting wins."""
+    from .text import document_fingerprint, quality_score
+
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        F.col(id_col),
+        document_fingerprint(text_col).alias("fingerprint"),
+        quality_score(text_col).alias("quality"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("fingerprint")))
+        .filter(F.col("rank") == 1)
+        .select(
+            F.col(id_col).alias("keep_id"),
+            "fingerprint",
+            "quality",
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+    )
+
+
 # --- shingling / n-gram Jaccard ---------------------------------------------
 
 def char_shingles(text: str, k: int = 3) -> Column:

@@ -346,3 +346,87 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# --- sampling / keep-best dedup / vocabulary ---------------------------------
+
+SAMPLE_BUCKET = "('0x' || substr(md5(CAST({key} AS VARCHAR) || '{salt}'), 1, 8))::BIGINT"
+
+
+def hash_sample_sql(fraction: float, salt: str = "") -> str:
+    threshold = int(fraction * (1 << 32))
+    bucket = SAMPLE_BUCKET.format(key="doc_id", salt=salt)
+    return f"SELECT * FROM documents WHERE {bucket} < {threshold}"
+
+
+def stratified_hash_sample_sql(
+    fractions: dict[str, float],
+    strata_col: str,
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> str:
+    bucket = SAMPLE_BUCKET.format(key="doc_id", salt=salt)
+    cases = " ".join(
+        f"WHEN {strata_col} = '{value}' THEN {int(fraction * (1 << 32))}"
+        for value, fraction in sorted(fractions.items())
+    )
+    default = int(default_fraction * (1 << 32))
+    return f"SELECT * FROM documents WHERE {bucket} < (CASE {cases} ELSE {default} END)"
+
+
+def hash_split_sql(weights: dict[str, float], salt: str = "split") -> str:
+    total = sum(weights.values())
+    bucket = SAMPLE_BUCKET.format(key="doc_id", salt=salt)
+    names = sorted(weights)
+    cases, upper = [], 0.0
+    for name in names[:-1]:
+        upper += weights[name] / total
+        cases.append(f"WHEN {bucket} < {int(upper * (1 << 32))} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"SELECT *, {case} AS split FROM documents"
+
+
+def dedupe_keep_best_sql() -> str:
+    # fingerprint + quality formulas mirror text_stats_sql / llm.text exactly
+    return r"""
+WITH scored AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+         round(((CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / length(text) ELSE 0.0 END)
+              + least(length(text) / 1000.0, 1.0)
+              + (CASE WHEN (CASE WHEN len(""" + TEXT_TOKENS + r""") > 0
+                            THEN length(text) / len(""" + TEXT_TOKENS + r""")
+                            ELSE 0.0 END) BETWEEN 3 AND 12
+                      THEN 1.0 ELSE 0.5 END)) / 3.0, 9) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY fingerprint
+                            ORDER BY quality DESC, doc_id ASC) AS rank,
+         count(*) OVER (PARTITION BY fingerprint) AS n_copies
+  FROM scored
+)
+SELECT doc_id AS keep_id, fingerprint, quality,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM ranked WHERE rank = 1
+"""
+
+
+def top_k_tokens_sql(k: int = 100) -> str:
+    return f"""
+WITH tok AS (
+  SELECT unnest({TEXT_TOKENS}) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM tok GROUP BY token
+)
+SELECT token, n_occurrences,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS BIGINT)
+         AS rank
+FROM counts
+ORDER BY rank LIMIT {k}
+"""

@@ -1,0 +1,81 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Spark's ``df.sample()`` is seed-dependent per partition layout — repartition
+the input and the sample changes, which makes pipeline re-runs non-reproducible
+and oracle comparison impossible. These operators sample by a content-stable
+hash of the row key instead: the decision for a row depends only on the row,
+so re-runs, backfills, and engines agree (the property that matters when a
+100 TB corpus is resampled incrementally).
+
+Hash family: the top 32 bits of md5(key || salt), identical in Spark
+(``conv(substring(md5(x), 1, 8), 16, 10)``) and DuckDB
+(``('0x' || substr(md5(x), 1, 8))::BIGINT``) — no UDF, fully codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_SPACE = 1 << 32
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    """Uniform [0, 2^32) bucket from the key's salted md5."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep rows whose hash bucket falls below ``fraction`` of the space.
+
+    Deterministic in the row key alone: stable under repartitioning,
+    re-runs, and engine swaps. Disjoint salts give independent samples of
+    the same corpus (train/val splits)."""
+    threshold = int(fraction * HASH_SPACE)
+    return df.filter(_bucket(F.col(key_col), salt) < threshold)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum hash sampling: each stratum value gets its own keep
+    fraction (e.g. downsample boilerplate-heavy sources, keep all rare
+    ones). One scan, one codegen'd predicate — no per-stratum jobs."""
+    threshold = F.lit(int(default_fraction * HASH_SPACE))
+    for value, fraction in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(fraction * HASH_SPACE))
+        ).otherwise(threshold)
+    return df.filter(_bucket(F.col(key_col), salt) < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test) by
+    consecutive hash ranges proportional to ``weights``. Returns the input
+    plus a ``split`` column; ranges partition the space so the splits are
+    disjoint and exhaustive — the standard reproducible corpus split."""
+    total = sum(weights.values())
+    bucket = _bucket(F.col(key_col), salt)
+    expr = None
+    upper = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        upper += weights[name] / total
+        cond = bucket < int(upper * HASH_SPACE)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

@@ -79,6 +79,33 @@ def language_id(text: Column | str) -> Column:
     return expr
 
 
+def top_k_tokens(docs, k: int = 100, text_col: str = "text"):
+    """Corpus vocabulary: the k most frequent whitespace tokens with counts
+    and dense rank (ties broken by token text for determinism).
+
+    explode → groupBy(token) → top-k. The aggregate is partial+final hash
+    aggregation, so each task pre-counts its own tokens before the exchange
+    — the shuffle moves one row per distinct token per task, not one per
+    token occurrence (at 100 TB: vocabulary-sized, not corpus-sized). The
+    top-k itself is orderBy+limit — Spark's TakeOrdered, a per-partition
+    heap + driver merge, never a single-partition global sort; the ranking
+    window then runs on the k surviving rows only."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    top = counts.orderBy(F.col("n_occurrences").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return top.select(
+        "token",
+        "n_occurrences",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 def document_fingerprint(text: Column | str) -> Column:
     """Content fingerprint: md5 of whitespace-normalized lowercase text —
     stable across storage formats and engines (the rolling-hash variant for
