@@ -1,0 +1,123 @@
+"""Physical-plan assertions: the scale promises in the operator docstrings,
+pinned so a refactor can't silently regress them (SURVEY §4).
+
+These parse `.explain`-style output (queryExecution.executedPlan / formatted
+explain) rather than timing anything — plan shape is deterministic, timings
+are not.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_f1_window_filter_pushed_to_parquet_scan(spark):
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_f1_window_events(spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(ts)" in plan or "GreaterThanOrEqual(ts" in plan
+
+
+def test_span_projection_prunes_parquet_columns(spark):
+    # a 3-column projection of the 6-column events table must not read the
+    # other columns from parquet (ReadSchema carries only what's selected)
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_f1_window_events(spark, SF))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "event_id" in read_schema and "user_id" in read_schema
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_a2_aggregation_is_partial_then_final(spark):
+    # map-side combine: HashAggregate(partial) below the exchange,
+    # HashAggregate(final) above — the reference's reduceByKey shape
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_a2_agg_lineitem(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+    # partial aggregate must appear BEFORE (deeper than) the exchange
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def _node_ids(plan: str, op: str) -> list[int]:
+    import re
+
+    return [int(m.group(1)) for m in re.finditer(rf"^\((\d+)\) {op}", plan, re.M)]
+
+
+def test_linker_pipeline_has_single_span_exchange(spark):
+    """The core pipeline promises ONE shuffle of span-scale data (the
+    repartition by trace_key); the post-linker A2 aggregate exchanges only
+    link-cardinality rows. Formatted-plan node ids are assigned bottom-up,
+    so exchanges ABOVE the Python stage (link-cardinality) have larger ids."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_dependency_links(spark, SF))
+    pandas_ids = _node_ids(plan, "MapInPandas")
+    assert len(pandas_ids) == 1
+    exchanges = _node_ids(plan, "Exchange")
+    above = [i for i in exchanges if i > pandas_ids[0]]
+    assert len(above) == 1  # exactly the A2 aggregate's link-sized exchange
+
+
+def test_heavy_isolation_broadcasts_the_heavy_key_set(spark):
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import trace_links_partitioned
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    df = trace_links_partitioned(
+        normalize_spans(derived_spans(spark, SF)), isolate_heavy_over=100
+    )
+    plan = formatted(df)
+    # the heavy-key set joins in via broadcast — the span table is never
+    # shuffled to find its skewed keys
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_sessionize_reuses_one_user_exchange(spark):
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_sessionize_events(spark, SF))
+    # lag window + running-sum window + final aggregate all partition by
+    # user_id: Catalyst plans ONE hashpartitioning exchange on user_id
+    assert len(_node_ids(plan, "Exchange")) == 1
+    assert plan.count("Window") >= 2
+
+
+def test_sampling_is_scan_side_filter_no_shuffle(spark):
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_hash_sample(spark, SF))
+    assert "Exchange" not in plan  # pure filter: no exchange at all
+
+
+def test_cosine_topk_broadcasts_queries_not_corpus(spark):
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_cosine_topk(spark, SF))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dependency_links_whole_stage_codegen_on_relational_stages(spark):
+    import __spark_entry__ as e
+
+    df = e.q_a2_agg_lineitem(spark, SF)
+    df.collect()  # AQE exposes codegen subtrees only in the executed plan
+    codegen = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen subtrees" in codegen
+    assert not codegen.startswith("Found 0 WholeStageCodegen")
