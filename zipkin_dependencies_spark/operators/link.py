@@ -95,6 +95,7 @@ def trace_links_partitioned(
     num_partitions: int | None = None,
     day_col: str | None = None,
     isolate_heavy_over: int | None = None,
+    clustered: bool = False,
 ) -> DataFrame:
     """Scale path: repartition by trace_key + sortWithinPartitions, then one
     mapInPandas pass that walks each partition's sorted stream, cutting trace
@@ -118,6 +119,12 @@ def trace_links_partitioned(
     output carries ``day`` — one job links every affected day (the streaming
     incremental mode and multi-day backfills use this instead of a per-day
     driver loop).
+
+    ``clustered=True`` declares the input already hash-clustered on the
+    group key (a bucketed span table, sources/bucketed.py): the repartition
+    is skipped and the pipeline's one span-scale shuffle disappears — the
+    G1 ``spanBy`` parity path. The caller owns the guarantee; a mis-declared
+    input would split traces across tasks and under-link them.
 
     ``isolate_heavy_over=N`` adds skew routing (the reference's Heavy IT
     hazard, SURVEY §4: AQE skew splitting can't apply to stateful Python
@@ -242,6 +249,12 @@ def trace_links_partitioned(
             .mapInPandas(link_partition, schema=schema)
         )
         return out
+    if clustered:
+        # bucketed input: complete traces per partition by construction;
+        # only the in-partition sort (no exchange) remains
+        return df.sortWithinPartitions(*group_cols).mapInPandas(
+            link_partition, schema=schema
+        )
     return (
         df.repartition(num_partitions, *group_cols)
         .sortWithinPartitions(*group_cols)
@@ -253,16 +266,20 @@ def links_from_spans(
     normalized_spans: DataFrame,
     window: tuple[int, int] | None = None,
     strategy: str = "partitioned",
+    clustered: bool = False,
 ) -> DataFrame:
     """Full core: per-trace linking + global A2 reduction.
 
     strategy='partitioned' (default): sorted-stream partition linking with
     map-side combine. strategy='grouped': one applyInPandas call per trace —
-    the reference-shaped cross-check path."""
+    the reference-shaped cross-check path. clustered=True: input is a
+    bucketed span table; skip the grouping shuffle (G1 parity)."""
     from .aggregate import aggregate_links
 
     if strategy == "partitioned":
-        return aggregate_links(trace_links_partitioned(normalized_spans, window))
+        return aggregate_links(
+            trace_links_partitioned(normalized_spans, window, clustered=clustered)
+        )
     if strategy == "grouped":
         return aggregate_links(trace_links(normalized_spans, window))
     raise ValueError(f"unknown strategy {strategy!r}")
