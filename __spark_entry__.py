@@ -125,6 +125,18 @@ def q_dedupe_replayed_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return links_from_spans(dedupe_spans(normalize_spans(replayed)))
 
 
+def q_links_heavy_isolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-isolation path oracle check: routing heavy traces to dedicated
+    partitions changes task placement, never results — so the plain links
+    oracle IS the assertion (SURVEY §4 skew handling; Heavy IT analog)."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    spans = derived_spans(spark, sf_dir)
+    return links_from_spans(normalize_spans(spans), isolate_heavy_over=3)
+
+
 def q_json_spans_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/P3/P4: v2 JSON span docs round-tripped — build camelCase JSON docs
     from orders JVM-side (to_json), corrupt a deterministic 1-in-97 slice,
@@ -456,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "links_strict128": q_links_strict128,
         "f3_day_partition_links": q_f3_day_partition_links,
         "dedupe_replayed_links": q_dedupe_replayed_links,
+        "links_heavy_isolated": q_links_heavy_isolated,
         "json_spans_decode": q_json_spans_decode,
         "trace_normalize": q_trace_normalize,
         "s3_join_distinct": q_s3_join_distinct,
@@ -551,6 +564,8 @@ spans_day AS (
         # links exactly — the plain links oracle IS the assertion
         "links_strict128": links_oracle,
         "dedupe_replayed_links": links_oracle,
+        # heavy isolation changes placement, not results
+        "links_heavy_isolated": links_oracle,
         "f3_day_partition_links": f3_oracle,
         "json_spans_decode": """
 SELECT lpad(CAST(o_orderkey AS VARCHAR), 16, '0') AS trace_id,

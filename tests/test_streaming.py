@@ -127,3 +127,60 @@ def test_streaming_trace_links_emits_after_gap(spark, tmp_path):
             assert n <= batch[key][0] and e <= batch[key][1]
     finally:
         q.stop()
+
+
+def test_streaming_sessionize_matches_batch_closed_sessions(spark, tmp_path):
+    """session_window streaming sessions must agree with the batch operator
+    for sessions the watermark has closed (same counts and bounds); a far-
+    future flush event closes everything under test."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from zipkin_dependencies_spark.operators.sessionize import sessionize
+    from zipkin_dependencies_spark.streaming.sessions import streaming_sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda i, u, secs, typ="view": Row(  # noqa: E731
+        event_id=i, ts=t0 + dt.timedelta(seconds=secs), user_id=u,
+        event_type=typ, value=0.0, props="{}",
+    )
+    rows = [
+        mk(0, 1, 0), mk(1, 1, 600, "error"), mk(2, 1, 1200),   # u1 session A
+        mk(3, 1, 1200 + 2000),                                  # u1 session B (gap > 30 min)
+        mk(4, 2, 100), mk(5, 2, 200),                           # u2 session A
+        # flush: one event far in the future advances the watermark past all
+        # of the above so append mode emits them
+        mk(99, 99, 10 * 86400),
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    sessions = streaming_sessionize(stream, gap_seconds=1800, watermark="1 hour")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.user_id, r.start_us, r.end_us, r.n_events, r.n_errors)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    batch = {
+        (r.user_id, r.start_us, r.end_us, r.n_events, r.n_errors)
+        for r in sessionize(
+            spark.createDataFrame(rows[:-1]), gap_seconds=1800
+        ).collect()
+    }
+    # the closed sessions (users 1 and 2) must match the batch operator row
+    # for row; the flush user may or may not have emitted
+    got_closed = {g for g in got if g[0] in (1, 2)}
+    assert got_closed == batch

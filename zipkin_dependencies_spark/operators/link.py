@@ -267,18 +267,26 @@ def links_from_spans(
     window: tuple[int, int] | None = None,
     strategy: str = "partitioned",
     clustered: bool = False,
+    isolate_heavy_over: int | None = None,
 ) -> DataFrame:
     """Full core: per-trace linking + global A2 reduction.
 
     strategy='partitioned' (default): sorted-stream partition linking with
     map-side combine. strategy='grouped': one applyInPandas call per trace —
     the reference-shaped cross-check path. clustered=True: input is a
-    bucketed span table; skip the grouping shuffle (G1 parity)."""
+    bucketed span table; skip the grouping shuffle (G1 parity).
+    isolate_heavy_over=N: route giant traces to dedicated partitions (skew
+    isolation — must never change the result, only the placement)."""
     from .aggregate import aggregate_links
 
     if strategy == "partitioned":
         return aggregate_links(
-            trace_links_partitioned(normalized_spans, window, clustered=clustered)
+            trace_links_partitioned(
+                normalized_spans,
+                window,
+                clustered=clustered,
+                isolate_heavy_over=isolate_heavy_over,
+            )
         )
     if strategy == "grouped":
         return aggregate_links(trace_links(normalized_spans, window))
