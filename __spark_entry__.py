@@ -137,6 +137,30 @@ def q_links_heavy_isolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return links_from_spans(normalize_spans(spans), isolate_heavy_over=3)
 
 
+def q_links_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 shuffle-free grouping over bucketed span storage: write the spans
+    bucketBy(trace_key) once (idempotent overwrite into a scratch table),
+    link with clustered=True — zero span-scale exchange — and the plain
+    links oracle asserts results are unchanged (SURVEY §2.5 G1, §7 M4)."""
+    import hashlib
+
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+    from zipkin_dependencies_spark.sources.bucketed import (
+        read_spans_bucketed,
+        write_spans_bucketed,
+    )
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"zds_spans_bucketed_{tag}"
+    path = f"/tmp/zds_bucketed/{tag}"
+    write_spans_bucketed(
+        normalize_spans(derived_spans(spark, sf_dir)), table, num_buckets=16, path=path
+    )
+    return links_from_spans(read_spans_bucketed(spark, table), clustered=True)
+
+
 def q_json_spans_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/P3/P4: v2 JSON span docs round-tripped — build camelCase JSON docs
     from orders JVM-side (to_json), corrupt a deterministic 1-in-97 slice,
@@ -469,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_day_partition_links": q_f3_day_partition_links,
         "dedupe_replayed_links": q_dedupe_replayed_links,
         "links_heavy_isolated": q_links_heavy_isolated,
+        "links_bucketed": q_links_bucketed,
         "json_spans_decode": q_json_spans_decode,
         "trace_normalize": q_trace_normalize,
         "s3_join_distinct": q_s3_join_distinct,
@@ -564,8 +589,10 @@ spans_day AS (
         # links exactly — the plain links oracle IS the assertion
         "links_strict128": links_oracle,
         "dedupe_replayed_links": links_oracle,
-        # heavy isolation changes placement, not results
+        # heavy isolation / bucketed storage change placement & shuffle
+        # topology, never results
         "links_heavy_isolated": links_oracle,
+        "links_bucketed": links_oracle,
         "f3_day_partition_links": f3_oracle,
         "json_spans_decode": """
 SELECT lpad(CAST(o_orderkey AS VARCHAR), 16, '0') AS trace_id,

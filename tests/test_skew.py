@@ -80,3 +80,34 @@ def test_heavy_isolation_matches_default(spark, skewed_spans):
         )
     )
     assert base == isolated
+
+
+def test_heavy_trace_at_bench_scale_completes(spark):
+    """BASELINE.md skew gate: a single trace holding sf0.1-scale span volume
+    (300k spans, >50% of a day) links correctly in one task without OOM —
+    exact expected links are known by construction. Generated JVM-side
+    (spark.range), never collected to the driver."""
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+
+    n = 300_000
+    heavy = spark.range(n).select(
+        F.lit("t-mega").alias("trace_key"),
+        F.when(F.col("id") > 0, F.lit("r")).alias("parent_id"),
+        F.when(F.col("id") == 0, F.lit("r"))
+        .otherwise(F.concat(F.lit("s"), F.col("id").cast("string")))
+        .alias("id"),
+        F.when(F.col("id") == 0, F.lit("SERVER")).otherwise(F.lit("CLIENT")).alias("kind"),
+        F.lit("svc-a").alias("local_service"),
+        F.when(F.col("id") == 0, F.lit("gw")).otherwise(F.lit("svc-b")).alias("remote_service"),
+        F.lit(False).alias("shared"),
+        (F.col("id") % 100 == 1).alias("is_error"),
+        F.lit(1_000_000).alias("timestamp"),
+    )
+    got = {
+        tuple(r)
+        for r in links_from_spans(heavy, isolate_heavy_over=10_000).collect()
+    }
+    assert got == {
+        ("gw", "svc-a", 1, 0),                       # the root's inbound call
+        ("svc-a", "svc-b", n - 1, (n - 2) // 100 + 1),  # children; errors at ids 1,101,…
+    }
