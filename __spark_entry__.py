@@ -441,6 +441,20 @@ def q_top_k_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_tokens(load(spark, sf_dir, "documents"), k=100)
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extension ops composed end-to-end in ONE Catalyst plan: quality +
+    language gate → keep-best dedup → deterministic 50% sample."""
+    from zipkin_dependencies_spark.llm.pipeline import curate
+    from zipkin_dependencies_spark.testdata import load
+
+    return curate(
+        load(spark, sf_dir, "documents"),
+        min_quality=0.4,
+        lang="en",
+        sample_fraction=0.5,
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (30-min gap): lag +
     running-sum windows + aggregate, all on ONE user_id exchange."""
@@ -514,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "dedupe_keep_best": q_dedupe_keep_best,
         "top_k_tokens": q_top_k_tokens,
+        "curation_pipeline": q_curation_pipeline,
         "sessionize_events": q_sessionize_events,
         "media_stats": q_media_stats,
         "media_frames": q_media_frames,
@@ -669,6 +684,9 @@ FROM events GROUP BY 1, 2
         ),
         "dedupe_keep_best": llm_oracles.dedupe_keep_best_sql(),
         "top_k_tokens": llm_oracles.top_k_tokens_sql(k=100),
+        "curation_pipeline": llm_oracles.curation_pipeline_sql(
+            min_quality=0.4, lang="en", sample_fraction=0.5
+        ),
         "sessionize_events": _sessionize_sql(),
         "media_stats": llm_oracles.media_stats_sql(frame_bytes=100),
         "media_frames": llm_oracles.media_frames_sql(frame_bytes=100),

@@ -121,3 +121,12 @@ def test_dependency_links_whole_stage_codegen_on_relational_stages(spark):
     )
     assert "WholeStageCodegen subtrees" in codegen
     assert not codegen.startswith("Found 0 WholeStageCodegen")
+
+
+def test_curation_pipeline_is_one_plan_one_exchange(spark):
+    # quality/language gates inline into the scan; the keep-best window's
+    # fingerprint exchange is the ONLY shuffle; sampling filters above it
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_curation_pipeline(spark, SF))
+    assert len(_node_ids(plan, "Exchange")) == 1

@@ -430,3 +430,76 @@ SELECT token, n_occurrences,
 FROM counts
 ORDER BY rank LIMIT {k}
 """
+
+
+def curation_pipeline_sql(
+    min_quality: float = 0.4,
+    lang: str = "en",
+    sample_fraction: float = 0.5,
+    salt: str = "",
+) -> str:
+    """Composed oracle for llm/pipeline.py::curate — the text_stats quality /
+    language formulas, the keep-best window, and the sampling bucket chained
+    in one statement (formulas kept in lockstep with the standalone oracles)."""
+    langs = {
+        "en": ("the", "and", "of", "to", "is", "in", "that", "with"),
+        "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+        "fr": ("le", "la", "les", "et", "est", "dans", "que", "une"),
+        "es": ("el", "la", "los", "y", "es", "en", "que", "una"),
+    }
+    score = {
+        lg: "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in ms)
+        + "], t)))"
+        for lg, ms in langs.items()
+    }
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    lang_case = (
+        "CASE "
+        + " ".join(f"WHEN best > 0 AND s_{lg} = best THEN '{lg}'" for lg in langs)
+        + " ELSE 'und' END"
+    )
+    threshold = int(sample_fraction * (1 << 32))
+    bucket = SAMPLE_BUCKET.format(key="keep_id", salt=salt)
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text, {TEXT_TOKENS} AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+),
+scored0 AS (
+  SELECT doc_id, fingerprint, n_chars, n_alpha,
+         CAST(len(toks) AS INT) AS n_tokens,
+         {", ".join(f"{sql} AS s_{lg}" for lg, sql in score.items())}
+  FROM base
+),
+bested AS (SELECT *, {best} AS best FROM scored0),
+scored AS (
+  SELECT doc_id, fingerprint,
+         round(((CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+              + least(n_chars / 1000.0, 1.0)
+              + (CASE WHEN (CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END) >= 3
+                       AND (CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END) <= 12
+                      THEN 1.0 ELSE 0.5 END)) / 3.0, 9) AS quality,
+         {lang_case} AS lang_id
+  FROM bested
+),
+gated AS (
+  SELECT * FROM scored WHERE quality >= {min_quality} AND lang_id = '{lang}'
+),
+ranked AS (
+  SELECT doc_id, fingerprint, quality,
+         row_number() OVER (PARTITION BY fingerprint
+                            ORDER BY quality DESC, doc_id ASC) AS rank,
+         count(*) OVER (PARTITION BY fingerprint) AS n_copies
+  FROM gated
+),
+kept AS (
+  SELECT doc_id AS keep_id, fingerprint, quality,
+         CAST(n_copies AS BIGINT) AS n_copies
+  FROM ranked WHERE rank = 1
+)
+SELECT * FROM kept WHERE {bucket} < {threshold}
+"""
