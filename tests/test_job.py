@@ -159,3 +159,19 @@ def test_multi_day_write_keeps_other_partitions(spark, spans_df_factory, tmp_pat
         ("2016-05-31", "a", "b"),
         ("2016-06-01", "c", "d"),
     }
+
+
+def test_grouped_and_partitioned_strategies_agree(spark):
+    """The applyInPandas-per-trace cross-check path and the production
+    sorted-stream path must produce identical links on the full sf0.001
+    forest — the two implementations share only the pure-Python kernel."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    norm = normalize_spans(derived_spans(spark, "/root/testdata/sf0.001"))
+    grouped = {tuple(r) for r in links_from_spans(norm, strategy="grouped").collect()}
+    partitioned = {
+        tuple(r) for r in links_from_spans(norm, strategy="partitioned").collect()
+    }
+    assert grouped == partitioned and len(grouped) > 0
