@@ -361,6 +361,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, k=3, threshold=0.5)
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: verified Jaccard pairs → connected components
+    (iterative min-label propagation; non-SQL-shaped op with a recursive-CTE
+    oracle). Runs on the same 1-in-5 subset as the pair queries."""
+    from zipkin_dependencies_spark.llm.cluster import near_dup_clusters
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return near_dup_clusters(docs, k=3, threshold=0.5)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 of 32 query vectors vs the corpus
     (broadcast queries; corpus never shuffles)."""
@@ -520,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_clusters": q_near_dup_clusters,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -668,6 +680,9 @@ FROM events GROUP BY 1, 2
         "minhash_signatures": llm_oracles.minhash_signatures_sql(num_hashes=16),
         "minhash_lsh": llm_oracles.minhash_lsh_sql(num_hashes=16, bands=4, id_mod=5),
         "ngram_jaccard": llm_oracles.ngram_jaccard_sql(k=3, threshold=0.5, id_mod=5),
+        "near_dup_clusters": llm_oracles.near_dup_clusters_sql(
+            k=3, threshold=0.5, id_mod=5
+        ),
         "cosine_topk": llm_oracles.cosine_topk_sql(k=5, dim=64, query_max_id=32),
         "lsh_cosine_topk": llm_oracles.lsh_cosine_topk_sql(
             k=5, n_planes=8, dim=64, query_max_id=32

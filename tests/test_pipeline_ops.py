@@ -136,3 +136,33 @@ def test_sessionize_boundary_gap_exactly_equal_keeps_session(spark):
     ]
     out = sessionize(spark.createDataFrame(rows), gap_seconds=1800).collect()
     assert len(out) == 1 and out[0].n_events == 2  # gap == threshold ⇒ same session
+
+
+def test_connected_components_chain_and_islands(spark):
+    from zipkin_dependencies_spark.llm.cluster import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs >1 iteration) + island pair 10-11
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_near_dup_clusters_groups_duplicates_and_keeps_singletons(spark):
+    from pyspark.sql import Row
+
+    from zipkin_dependencies_spark.llm.cluster import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        Row(doc_id=1, text=base, lang="en", source="s"),
+        Row(doc_id=2, text=base + " extra", lang="en", source="s"),   # near-dup of 1
+        Row(doc_id=3, text=base + " more!", lang="en", source="s"),   # near-dup of 1/2
+        Row(doc_id=4, text="completely different content here", lang="en", source="s"),
+    ]
+    got = {
+        (r.id, r.component)
+        for r in near_dup_clusters(spark.createDataFrame(rows), k=3, threshold=0.5).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4)}

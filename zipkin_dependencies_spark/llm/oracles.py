@@ -503,3 +503,39 @@ kept AS (
 )
 SELECT * FROM kept WHERE {bucket} < {threshold}
 """
+
+
+def near_dup_clusters_sql(k: int = 3, threshold: float = 0.5, id_mod: int = 5) -> str:
+    """Recursive transitive closure over the exact-Jaccard pair graph;
+    component = min reachable id (incl. self). Pair CTEs mirror
+    ngram_jaccard_sql exactly."""
+    return f"""
+WITH RECURSIVE {_shingles_cte(k, f"WHERE doc_id % {id_mod} = 0").strip()},
+ex AS (SELECT id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  WHERE n_inter / (n_a + n_b - n_inter) >= {threshold}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+)
+SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component
+FROM (SELECT doc_id FROM documents WHERE doc_id % {id_mod} = 0) d
+LEFT JOIN comp c ON c.id = d.doc_id
+"""
