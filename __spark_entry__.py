@@ -452,6 +452,15 @@ def q_top_k_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_tokens(load(spark, sf_dir, "documents"), k=100)
 
 
+def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: 5 highest-quality docs per source (one exchange on the
+    group key, local per-group sort)."""
+    from zipkin_dependencies_spark.llm.text import top_docs_per_group
+    from zipkin_dependencies_spark.testdata import load
+
+    return top_docs_per_group(load(spark, sf_dir, "documents"), k=5, group_col="source")
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The extension ops composed end-to-end in ONE Catalyst plan: quality +
     language gate → keep-best dedup → deterministic 50% sample."""
@@ -540,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "dedupe_keep_best": q_dedupe_keep_best,
         "top_k_tokens": q_top_k_tokens,
+        "top_docs_per_source": q_top_docs_per_source,
         "curation_pipeline": q_curation_pipeline,
         "sessionize_events": q_sessionize_events,
         "media_stats": q_media_stats,
@@ -699,6 +709,9 @@ FROM events GROUP BY 1, 2
         ),
         "dedupe_keep_best": llm_oracles.dedupe_keep_best_sql(),
         "top_k_tokens": llm_oracles.top_k_tokens_sql(k=100),
+        "top_docs_per_source": llm_oracles.top_docs_per_group_sql(
+            k=5, group_col="source"
+        ),
         "curation_pipeline": llm_oracles.curation_pipeline_sql(
             min_quality=0.4, lang="en", sample_fraction=0.5
         ),

@@ -539,3 +539,26 @@ SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component
 FROM (SELECT doc_id FROM documents WHERE doc_id % {id_mod} = 0) d
 LEFT JOIN comp c ON c.id = d.doc_id
 """
+
+
+QUALITY_SQL = r"""round(((CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / length(text) ELSE 0.0 END)
+              + least(length(text) / 1000.0, 1.0)
+              + (CASE WHEN (CASE WHEN len(""" + TEXT_TOKENS + r""") > 0
+                            THEN length(text) / len(""" + TEXT_TOKENS + r""")
+                            ELSE 0.0 END) BETWEEN 3 AND 12
+                      THEN 1.0 ELSE 0.5 END)) / 3.0, 9)"""
+
+
+def top_docs_per_group_sql(k: int = 5, group_col: str = "source") -> str:
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {group_col}, {QUALITY_SQL} AS quality FROM documents
+)
+SELECT doc_id, {group_col}, quality, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY {group_col}
+            ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -106,6 +106,29 @@ def top_k_tokens(docs, k: int = 100, text_col: str = "text"):
     )
 
 
+def top_docs_per_group(docs, k: int = 5, group_col: str = "source", text_col: str = "text"):
+    """Grouped top-k: the k highest-quality documents per group (source,
+    domain, shard…), deterministic tiebreak on doc_id.
+
+    Window row_number over the group partition — ONE hash exchange on the
+    group key; each group's sort is local and bounded by group size. For
+    pathological mega-groups at 100 TB, pre-filter with an approximate
+    per-group quality floor before the window; semantics stay identical for
+    every group smaller than the pre-filter budget."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "doc_id", F.col(group_col), quality_score(text_col).alias("quality")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def document_fingerprint(text: Column | str) -> Column:
     """Content fingerprint: md5 of whitespace-normalized lowercase text —
     stable across storage formats and engines (the rolling-hash variant for
