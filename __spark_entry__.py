@@ -452,6 +452,15 @@ def q_top_k_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_tokens(load(spark, sf_dir, "documents"), k=100)
 
 
+def q_token_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token document-frequency / IDF over the corpus (distinct-per-doc
+    explode → partial+final count; N via broadcast one-row aggregate)."""
+    from zipkin_dependencies_spark.llm.text import token_idf
+    from zipkin_dependencies_spark.testdata import load
+
+    return token_idf(load(spark, sf_dir, "documents"))
+
+
 def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped top-k: 5 highest-quality docs per source (one exchange on the
     group key, local per-group sort)."""
@@ -549,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "dedupe_keep_best": q_dedupe_keep_best,
         "top_k_tokens": q_top_k_tokens,
+        "token_idf": q_token_idf,
         "top_docs_per_source": q_top_docs_per_source,
         "curation_pipeline": q_curation_pipeline,
         "sessionize_events": q_sessionize_events,
@@ -709,6 +719,7 @@ FROM events GROUP BY 1, 2
         ),
         "dedupe_keep_best": llm_oracles.dedupe_keep_best_sql(),
         "top_k_tokens": llm_oracles.top_k_tokens_sql(k=100),
+        "token_idf": llm_oracles.token_idf_sql(),
         "top_docs_per_source": llm_oracles.top_docs_per_group_sql(
             k=5, group_col="source"
         ),

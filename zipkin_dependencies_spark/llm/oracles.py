@@ -562,3 +562,16 @@ SELECT doc_id, {group_col}, quality, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def token_idf_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({TEXT_TOKENS})) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       round(ln((SELECT count(*) FROM documents) / CAST(count(*) AS DOUBLE)), 9)
+         AS idf
+FROM tok GROUP BY token
+"""

@@ -106,6 +106,26 @@ def top_k_tokens(docs, k: int = 100, text_col: str = "text"):
     )
 
 
+def token_idf(docs, text_col: str = "text"):
+    """Per-token document frequency and inverse document frequency:
+    (token, df, idf = ln(N/df) rounded to 9 decimals).
+
+    Distinct-per-doc explode → partial+final count; the corpus size N joins
+    in as a broadcast one-row aggregate instead of a driver-side ``count()``
+    (no action, stays one lazy plan). The vocabulary-sized result feeds
+    TF-IDF scoring and stopword discovery."""
+    tok_docs = docs.select(
+        F.explode(F.array_distinct(tokens(text_col))).alias("token")
+    )
+    counts = tok_docs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        "df",
+        F.round(F.log(F.col("n_docs") / F.col("df")), 9).alias("idf"),
+    )
+
+
 def top_docs_per_group(docs, k: int = 5, group_col: str = "source", text_col: str = "text"):
     """Grouped top-k: the k highest-quality documents per group (source,
     domain, shard…), deterministic tiebreak on doc_id.
