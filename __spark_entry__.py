@@ -161,6 +161,46 @@ def q_links_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return links_from_spans(read_spans_bucketed(spark, table), clustered=True)
 
 
+def q_streaming_daily_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parity mode, oracle-checked end to end: the span table is
+    staged as two files → ≥2 micro-batches; the foreachBatch incremental job
+    appends each batch to the span store, re-links ONLY the affected days,
+    and dynamic-overwrites those day partitions. After availableNow
+    drains, the sink must equal batch per-day links — which is exactly what
+    the day-grouped links oracle asserts (SURVEY §2.9 streaming extension)."""
+    import hashlib
+    import shutil
+
+    from zipkin_dependencies_spark.streaming import incremental_daily_links
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/zds_stream/{tag}"
+    shutil.rmtree(root, ignore_errors=True)  # re-runs start clean
+
+    # bounded slice: H1 1996 keeps the re-linked day set (and wall time)
+    # proportionate while still exercising multi-day, multi-batch overwrite
+    spans = derived_spans(spark, sf_dir).filter(
+        F.col("day").between("1996-01-01", "1996-06-30")
+    )
+    half = F.pmod(F.hash("trace_id"), F.lit(2))
+    spans.filter(half == 0).write.mode("append").parquet(f"{root}/src")
+    spans.filter(half == 1).write.mode("append").parquet(f"{root}/src")
+
+    stream = spark.readStream.schema(spans.schema).parquet(f"{root}/src")
+    q = incremental_daily_links(
+        stream,
+        sink_path=f"{root}/sink",
+        checkpoint_path=f"{root}/ckpt",
+        spans_store_path=f"{root}/store",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{root}/sink").select(
+        "day", "parent", "child", "call_count", "error_count"
+    )
+
+
 def q_json_spans_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/P3/P4: v2 JSON span docs round-tripped — build camelCase JSON docs
     from orders JVM-side (to_json), corrupt a deterministic 1-in-97 slice,
@@ -537,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_replayed_links": q_dedupe_replayed_links,
         "links_heavy_isolated": q_links_heavy_isolated,
         "links_bucketed": q_links_bucketed,
+        "streaming_daily_links": q_streaming_daily_links,
         "json_spans_decode": q_json_spans_decode,
         "trace_normalize": q_trace_normalize,
         "s3_join_distinct": q_s3_join_distinct,
@@ -640,6 +681,26 @@ spans_day AS (
         # topology, never results
         "links_heavy_isolated": links_oracle,
         "links_bucketed": links_oracle,
+        # streaming parity converges to batch per-day links; the fixture
+        # forest links per-span, so day grouping composes into the oracle
+        "streaming_daily_links": (
+            "WITH "
+            + SPANS_SQL_CTE.strip()
+            + """
+SELECT day, parent, child,
+       CAST(count(*) AS BIGINT) AS call_count,
+       CAST(coalesce(sum(CASE WHEN is_error THEN 1 ELSE 0 END), 0) AS BIGINT) AS error_count
+FROM (
+  SELECT day,
+         CASE WHEN kind = 'SERVER' THEN remote_service ELSE local_service END AS parent,
+         CASE WHEN kind = 'SERVER' THEN local_service ELSE remote_service END AS child,
+         is_error
+  FROM spans
+  WHERE day BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+) WHERE parent IS NOT NULL AND child IS NOT NULL
+GROUP BY day, parent, child
+"""
+        ),
         "f3_day_partition_links": f3_oracle,
         "json_spans_decode": """
 SELECT lpad(CAST(o_orderkey AS VARCHAR), 16, '0') AS trace_id,
