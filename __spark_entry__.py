@@ -161,6 +161,25 @@ def q_links_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return links_from_spans(read_spans_bucketed(spark, table), clustered=True)
 
 
+def q_multi_day_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-day backfill in ONE job: (day, trace) grouping carries the day
+    through the linker kernel, so every day of the corpus links in a single
+    pass — no per-day driver loop (the streaming incremental mode reuses
+    this path per micro-batch)."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.aggregate import aggregate_links
+    from zipkin_dependencies_spark.operators.link import trace_links_partitioned
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    spans = derived_spans(spark, sf_dir)
+    normalized = normalize_spans(spans).withColumn(
+        "day", F.to_date(F.timestamp_micros(F.col("timestamp")))
+    )
+    return aggregate_links(
+        trace_links_partitioned(normalized, day_col="day"), extra_keys=["day"]
+    )
+
+
 def q_streaming_daily_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming parity mode, oracle-checked end to end: the span table is
     staged as two files → ≥2 micro-batches; the foreachBatch incremental job
@@ -577,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_replayed_links": q_dedupe_replayed_links,
         "links_heavy_isolated": q_links_heavy_isolated,
         "links_bucketed": q_links_bucketed,
+        "multi_day_links": q_multi_day_links,
         "streaming_daily_links": q_streaming_daily_links,
         "json_spans_decode": q_json_spans_decode,
         "trace_normalize": q_trace_normalize,
@@ -681,8 +701,26 @@ spans_day AS (
         # topology, never results
         "links_heavy_isolated": links_oracle,
         "links_bucketed": links_oracle,
-        # streaming parity converges to batch per-day links; the fixture
-        # forest links per-span, so day grouping composes into the oracle
+        # per-day linking of the whole corpus; the fixture forest links
+        # per-span, so day grouping composes into the oracle
+        "multi_day_links": (
+            "WITH "
+            + SPANS_SQL_CTE.strip()
+            + """
+SELECT day, parent, child,
+       CAST(count(*) AS BIGINT) AS call_count,
+       CAST(coalesce(sum(CASE WHEN is_error THEN 1 ELSE 0 END), 0) AS BIGINT) AS error_count
+FROM (
+  SELECT day,
+         CASE WHEN kind = 'SERVER' THEN remote_service ELSE local_service END AS parent,
+         CASE WHEN kind = 'SERVER' THEN local_service ELSE remote_service END AS child,
+         is_error
+  FROM spans
+) WHERE parent IS NOT NULL AND child IS NOT NULL
+GROUP BY day, parent, child
+"""
+        ),
+        # streaming parity converges to batch per-day links
         "streaming_daily_links": (
             "WITH "
             + SPANS_SQL_CTE.strip()
