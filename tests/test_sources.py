@@ -67,3 +67,31 @@ def test_json_endpoint_shape_maps_to_canonical(spark):
     assert row.local_endpoint.service_name == "frontend"
     assert row.remote_endpoint.service_name == "backend"
     assert row.trace_id == "000000000000000a"
+
+
+def test_missing_span_path_reads_as_empty(spark, tmp_path):
+    """S4 parity: the reference treats a missing daily index as empty
+    (ES_INDEX_READ_MISSING_AS_EMPTY) — a day with no data yet is an empty
+    result with the full schema, not a crash."""
+    from zipkin_dependencies_spark.schemas import SPAN_SCHEMA
+    from zipkin_dependencies_spark.sources import read_spans_parquet
+
+    df = read_spans_parquet(spark, str(tmp_path / "nope"))
+    assert df.schema == SPAN_SCHEMA and df.count() == 0
+
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises(AnalysisException):
+        read_spans_parquet(spark, str(tmp_path / "nope"), missing_as_empty=False)
+
+
+def test_job_on_missing_store_yields_empty_links(spark, tmp_path):
+    import datetime as dt
+
+    from zipkin_dependencies_spark.plans.job import DependencyLinksJob, JobConfig
+
+    job = DependencyLinksJob(
+        spark, JobConfig(day=dt.date(2024, 1, 1), spans_path=str(tmp_path / "void"))
+    )
+    assert job.links().count() == 0
