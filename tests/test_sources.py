@@ -95,3 +95,64 @@ def test_job_on_missing_store_yields_empty_links(spark, tmp_path):
         spark, JobConfig(day=dt.date(2024, 1, 1), spans_path=str(tmp_path / "void"))
     )
     assert job.links().count() == 0
+
+
+def test_v1_pushdown_subquery_matches_reference_shape():
+    from zipkin_dependencies_spark.sources.jdbc import v1_pushdown_subquery
+
+    sql = v1_pushdown_subquery(1_000, 2_000)
+    assert sql.startswith("(SELECT DISTINCT s.trace_id, s.parent_id, s.id")
+    assert "LEFT OUTER JOIN zipkin_annotations a" in sql
+    assert "s.trace_id = a.trace_id AND s.id = a.span_id" in sql
+    for key in ("'lc'", "'ca'", "'cs'", "'sa'", "'sr'", "'ma'", "'ms'", "'mr'", "'error'"):
+        assert key in sql
+    assert "BETWEEN 1000 AND 2000" in sql
+    # GROUP BY all-but-parent_id (the reference's D2 dedup)
+    assert "GROUP BY s.trace_id, s.id, a.a_key" in sql
+    assert "parent_id" not in sql.split("GROUP BY")[1]
+    assert sql.endswith(") AS link_spans")
+    # 128-bit layout variant selects and groups the high half too
+    sql_high = v1_pushdown_subquery(0, 1, has_trace_id_high=True)
+    assert "SELECT DISTINCT s.trace_id_high," in sql_high
+    assert "GROUP BY s.trace_id_high," in sql_high
+
+
+def test_v2_spans_from_link_rows_equals_two_table_path(spark):
+    """The JDBC row adapter (pivot over pre-joined rows) must equal the
+    two-table adapter on the same data — DB-side join vs Spark-side join."""
+    from pyspark.sql import functions as F
+
+    from zipkin_dependencies_spark.sources.v1 import (
+        CORE_KEYS,
+        v1_to_v2_spans,
+        v2_spans_from_link_rows,
+    )
+    from zipkin_dependencies_spark.testdata import derived_v1_tables
+
+    sf = "/root/testdata/sf0.001"
+    spans, annos = derived_v1_tables(spark, sf)
+    # simulate what the database returns for the pushed subquery
+    a = annos.filter(F.col("a_key").isin(*CORE_KEYS))
+    joined = (
+        spans.join(
+            a,
+            on=[spans.trace_id == a.trace_id, spans.id == a.span_id],
+            how="left_outer",
+        )
+        .select(
+            spans.trace_id, spans.parent_id, spans.id,
+            a.a_key, a.endpoint_service_name, a.a_type,
+        )
+        .dropDuplicates(["trace_id", "id", "a_key", "endpoint_service_name", "a_type"])
+    )
+
+    cols = [
+        "trace_id", "parent_id", "id", "kind",
+        F.col("local_endpoint.service_name").alias("ls"),
+        F.col("remote_endpoint.service_name").alias("rs"),
+        F.map_contains_key("tags", "error").alias("err"),
+    ]
+    via_rows = v2_spans_from_link_rows(joined).select(*cols)
+    via_tables = v1_to_v2_spans(spans, annos).select(*cols)
+    assert via_rows.exceptAll(via_tables).count() == 0
+    assert via_tables.exceptAll(via_rows).count() == 0

@@ -109,7 +109,27 @@ def v1_to_v2_spans(
         *[f"{k}_service" for k in ("lc", "ca", "cs", "sa", "sr", "ma", "ms", "mr")],
         "is_error",
     )
+    return _v2_from_pivoted(pivoted)
 
+
+def v2_spans_from_link_rows(rows: DataFrame) -> DataFrame:
+    """Already-joined (trace_id, parent_id, id, a_key, endpoint_service_name,
+    a_type) rows → v2 spans. This is the shape the reference's pushed JDBC
+    subquery returns (MySQLDependenciesJob.java:185-209 — the DB did the
+    join); only the pivot and the kind matrix remain for Spark."""
+    pivoted = rows.groupBy("trace_id", "id").agg(
+        F.max("parent_id").alias("parent_id"),
+        *[_svc(k) for k in ("lc", "ca", "cs", "sa", "sr", "ma", "ms", "mr")],
+        F.max(
+            (F.col("a_key") == "error") & (F.col("a_type") == STRING_TYPE)
+        ).alias("is_error"),
+    )
+    return _v2_from_pivoted(pivoted)
+
+
+def _v2_from_pivoted(pivoted: DataFrame) -> DataFrame:
+    """(trace_id, id, parent_id, {key}_service…, is_error) → canonical v2
+    spans via the kind matrix (DependencyLinkSpanIterator.java:133-171)."""
     ca = F.coalesce(F.col("ca_service"), F.col("cs_service"))  # ca more authoritative than cs owner
     ca = F.when(
         F.col("sa_service").isNotNull() & (F.col("sa_service") == ca), F.lit(None)
