@@ -211,3 +211,31 @@ class TestEngineEnv:
         assert env.master == "local[4]"
         assert env.spark_conf == {"spark.x": "1", "spark.y": "2"}
         assert env.day_filter is DayFilter.SPAN_WINDOW
+
+
+class TestEsIndexNaming:
+    def test_default_separator(self):
+        import datetime as dt
+
+        from zipkin_dependencies_spark.config import (
+            es_dependency_index,
+            es_span_index,
+        )
+
+        d = dt.date(2024, 3, 7)
+        assert es_span_index("zipkin", d) == "zipkin-span-2024-03-07"
+        assert es_dependency_index("zipkin", d) == "zipkin-dependency-2024-03-07"
+
+    def test_empty_separator_compacts(self):
+        import datetime as dt
+
+        from zipkin_dependencies_spark.config import es_span_index
+
+        assert es_span_index("zipkin", dt.date(2024, 3, 7), "") == "zipkin-span-20240307"
+
+    def test_custom_separator(self):
+        import datetime as dt
+
+        from zipkin_dependencies_spark.config import es_span_index
+
+        assert es_span_index("z", dt.date(2024, 3, 7), ".") == "z-span-2024.03.07"

@@ -217,3 +217,24 @@ def engine_env(
         spark_conf=parse_spark_conf(env.get("SPARK_CONF")),
         log_level=env.get("ZIPKIN_LOG_LEVEL", "INFO"),
     )
+
+
+# -- ES/OS daily index naming (S4/F3; ElasticsearchDependenciesJob.java:152-155,173-174)
+
+def es_date_stamp(day: dt.date, date_separator: str = "-") -> str:
+    """UTC date stamp with a configurable separator (``ES_DATE_SEPARATOR``,
+    default '-'; '' yields yyyyMMdd) — the reference formats with
+    'yyyy-MM-dd'.replace('-', sep)."""
+    return day.strftime("-".join(("%Y", "%m", "%d")).replace("-", date_separator))
+
+
+def es_span_index(prefix: str, day: dt.date, date_separator: str = "-") -> str:
+    """``{prefix}-span-{date}`` — the daily span index the job reads. In our
+    engine the daily index IS the ``day=`` partition directory; this helper
+    exists for reading real index dumps laid out by date."""
+    return f"{prefix}-span-{es_date_stamp(day, date_separator)}"
+
+
+def es_dependency_index(prefix: str, day: dt.date, date_separator: str = "-") -> str:
+    """``{prefix}-dependency-{date}`` — the daily output index."""
+    return f"{prefix}-dependency-{es_date_stamp(day, date_separator)}"
