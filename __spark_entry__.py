@@ -134,7 +134,11 @@ def q_links_heavy_isolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.testdata import derived_spans
 
     spans = derived_spans(spark, sf_dir)
-    return links_from_spans(normalize_spans(spans), isolate_heavy_over=3)
+    # threshold chosen so only the tail of the trace-size distribution
+    # routes specially (fixture traces have 2-8 spans): the broadcast set
+    # stays small — the shape the isolation is FOR. A threshold below the
+    # median would broadcast half the key space and only add overhead.
+    return links_from_spans(normalize_spans(spans), isolate_heavy_over=6)
 
 
 def q_links_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
