@@ -18,8 +18,26 @@ from .config import engine_env, micros_day_repr
 from .plans.job import DependencyLinksJob, JobConfig
 
 
+USAGE = """usage: python -m zipkin_dependencies_spark [yyyy-MM-dd]
+
+Aggregates service dependency links for one UTC day (default: today).
+Configuration is environment-driven, mirroring the reference jar:
+
+  SPANS_PATH        span table location (required)
+  LINKS_PATH        link sink location (optional: print instead of write)
+  SPAN_FORMAT       parquet | json | v1          (default parquet)
+  STORAGE_TYPE      cassandra3 | mysql | elasticsearch | opensearch parity profile
+  DAY_FILTER        trace_root | span_window | day_partition (profile default)
+  STRICT_TRACE_ID   false => group by low 64 bits (profile default)
+  SPARK_MASTER, SPARK_CONF, ZIPKIN_LOG_LEVEL     session controls
+"""
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] in ("-h", "--help"):
+        print(USAGE)
+        return 0
     env = engine_env(day_arg=argv[0] if argv else None)
 
     logging.basicConfig(level=getattr(logging, env.log_level.upper(), logging.INFO))
