@@ -166,3 +166,35 @@ def test_near_dup_clusters_groups_duplicates_and_keeps_singletons(spark):
         for r in near_dup_clusters(spark.createDataFrame(rows), k=3, threshold=0.5).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 4)}
+
+
+def test_token_idf_values(spark):
+    from math import log
+
+    from zipkin_dependencies_spark.llm.text import token_idf
+
+    rows = [
+        Row(doc_id=0, text="alpha beta alpha", lang="en", source="s"),  # alpha df once
+        Row(doc_id=1, text="alpha gamma", lang="en", source="s"),
+        Row(doc_id=2, text="delta", lang="en", source="s"),
+    ]
+    got = {r.token: (r.df, r.idf) for r in token_idf(spark.createDataFrame(rows)).collect()}
+    assert got["alpha"] == (2, round(log(3 / 2), 9))  # distinct-per-doc: df=2, not 3
+    assert got["delta"] == (1, round(log(3 / 1), 9))
+
+
+def test_top_docs_per_group_ranks_within_group(spark):
+    from zipkin_dependencies_spark.llm.text import top_docs_per_group
+
+    good = "a perfectly reasonable sentence with many alphabetic words in it"
+    rows = [
+        Row(doc_id=1, text=good, lang="en", source="s1"),
+        Row(doc_id=2, text="x", lang="en", source="s1"),
+        Row(doc_id=3, text="y", lang="en", source="s1"),
+        Row(doc_id=4, text=good, lang="en", source="s2"),
+    ]
+    out = top_docs_per_group(spark.createDataFrame(rows), k=2, group_col="source")
+    got = {(r.source, r.rank): r.doc_id for r in out.collect()}
+    assert got[("s1", 1)] == 1          # best quality wins its group
+    assert ("s1", 3) not in got         # k bounds each group
+    assert got[("s2", 1)] == 4          # groups rank independently
