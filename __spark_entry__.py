@@ -141,6 +141,20 @@ def q_links_heavy_isolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return links_from_spans(normalize_spans(spans), isolate_heavy_over=6)
 
 
+def q_links_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.6 mapping (b): the pure-Catalyst linker decomposition
+    (candidate-priority tree join + kind-matrix CASE emission, zero Python).
+    The fixture forest is fully eligible, so the plain links oracle asserts
+    rule-for-rule parity with the kernel path."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link_relational import (
+        trace_links_relational,
+    )
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    return trace_links_relational(normalize_spans(derived_spans(spark, sf_dir)))
+
+
 def q_links_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 shuffle-free grouping over bucketed span storage: write the spans
     bucketBy(trace_key) once (idempotent overwrite into a scratch table),
@@ -599,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_day_partition_links": q_f3_day_partition_links,
         "dedupe_replayed_links": q_dedupe_replayed_links,
         "links_heavy_isolated": q_links_heavy_isolated,
+        "links_relational": q_links_relational,
         "links_bucketed": q_links_bucketed,
         "multi_day_links": q_multi_day_links,
         "streaming_daily_links": q_streaming_daily_links,
@@ -704,6 +719,7 @@ spans_day AS (
         # heavy isolation / bucketed storage change placement & shuffle
         # topology, never results
         "links_heavy_isolated": links_oracle,
+        "links_relational": links_oracle,
         "links_bucketed": links_oracle,
         # per-day linking of the whole corpus; the fixture forest links
         # per-span, so day grouping composes into the oracle
