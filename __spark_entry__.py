@@ -350,6 +350,31 @@ def q_f1_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type")
 
 
+def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1h window, 15min slide): each event lands
+    in window/slide = 4 overlapping windows — Spark's window() generator
+    expands rows JVM-side before one hash aggregation. Bounds emitted as
+    epoch µs for engine-agnostic hashing."""
+    from zipkin_dependencies_spark.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"), F.col("event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            F.unix_micros(F.col("w.end")).alias("win_end_us"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )
+
+
 def q_day_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 analog: UTC day bucketing + per-day counts."""
     from zipkin_dependencies_spark.testdata import load_events
@@ -622,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_join_distinct": q_s3_join_distinct,
         "a2_agg_lineitem": q_a2_agg_lineitem,
         "f1_window_events": q_f1_window_events,
+        "sliding_window_events": q_sliding_window_events,
         "day_rollup_events": q_day_rollup_events,
         "dedupe_exact": q_dedupe_exact,
         "text_stats": q_text_stats,
@@ -812,6 +838,23 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1, 2
+""",
+        # sliding windows: expand each event into its 4 covering windows
+        # (epoch-aligned starts, 900s slide, 3600s duration) then aggregate
+        "sliding_window_events": """
+WITH ev AS (SELECT epoch_us(ts) AS tus, event_type, user_id FROM events),
+wins AS (
+  SELECT (tus // 900000000) * 900000000 - CAST(u.i AS BIGINT) * 900000000
+           AS win_start_us,
+         event_type, user_id, tus
+  FROM ev, (SELECT unnest(range(0, 4)) AS i) u
+)
+SELECT win_start_us, win_start_us + 3600000000 AS win_end_us, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM wins
+WHERE tus >= win_start_us AND tus < win_start_us + 3600000000
+GROUP BY 1, 2, 3
 """,
         "dedupe_exact": llm_oracles.dedupe_exact_sql(),
         "text_stats": llm_oracles.text_stats_sql(),
