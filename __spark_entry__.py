@@ -703,23 +703,78 @@ spans_in AS (
         + LINKS_SQL.replace("FROM spans", "FROM spans_in")
     )
 
-    # build the v1 links oracle from the same matrix CTEs, replacing the final
-    # projection with the emit rule (headless flat traces: kind matrix + null
-    # guards only — documented in testdata.py)
+    # v1 links oracle from the same matrix CTEs, with MULTI-ROOT ATTACHMENT
+    # modeled (linker.py build_tree / link_trace semantics):
+    # - v1 parent_id=0 means "root" -> NULL (sources/v1.py);
+    # - per trace, the kernel elects the FIRST parentless span as tree root
+    #   (arrival order is pinned to ascending span id by the deterministic
+    #   secondary sort in operators/link.py, and lpad-16 hex sorts like the
+    #   underlying number) and attaches every parent-unresolvable span under
+    #   it ("attached" below);
+    # - an attached SERVER span with no remote resolves its parent via the
+    #   nearest non-local ancestor = the elected root (ancestor walk,
+    #   linker.py _first_remote_ancestor); CONSUMER/PRODUCER early-exit
+    #   before that walk, so they never resolve;
+    # - the ancestor->client backfill hop is modeled too (never fires on
+    #   this corpus: a trace's spans share one owner service);
+    # - NOT modeled (cannot occur in this corpus, covered by pytest unit
+    #   suites instead): recursive ancestor walks through resolvable parent
+    #   chains, shared-span preference, client->server error attribution.
+    # Traces with no parentless span get a SYNTHETIC root: every span is
+    # root-most and emits by the kind matrix alone (the headless-flat bulk
+    # of this corpus) -- elected/root_info simply have no row for them.
     v1_links_oracle = (
         V1_RECONSTRUCT_SQL[: V1_RECONSTRUCT_SQL.rindex("SELECT lpad")]
-        + """
-SELECT parent, child,
-       CAST(count(*) AS BIGINT) AS call_count,
-       CAST(coalesce(sum(CASE WHEN is_error THEN 1 ELSE 0 END), 0) AS BIGINT) AS error_count
-FROM (
-  SELECT CASE WHEN kind IN ('SERVER', 'CONSUMER') THEN remote_service
-              ELSE local_service END AS parent,
+        + """,
+matrix2 AS (
+  SELECT trace_id, id,
+         CASE WHEN parent_id = 0 THEN NULL ELSE parent_id END AS parent_id,
+         kind, local_service, remote_service, is_error
+  FROM matrix
+),
+elected AS (
+  SELECT trace_id, min(id) AS root_id
+  FROM matrix2 WHERE parent_id IS NULL
+  GROUP BY trace_id
+),
+root_info AS (
+  SELECT m.trace_id, e.root_id, m.local_service AS root_local,
+         (m.kind IS NOT NULL OR m.remote_service IS NOT NULL) AS root_remoteish
+  FROM elected e JOIN matrix2 m ON m.trace_id = e.trace_id AND m.id = e.root_id
+),
+placed AS (
+  SELECT m.*, r.root_id, r.root_local, r.root_remoteish,
+         (r.root_id IS NOT NULL AND m.id <> r.root_id
+          AND NOT EXISTS (SELECT 1 FROM matrix2 p
+                          WHERE p.trace_id = m.trace_id AND p.id = m.parent_id
+                            AND p.id <> m.id)) AS attached
+  FROM matrix2 m LEFT JOIN root_info r ON m.trace_id = r.trace_id
+),
+emitted AS (
+  SELECT CASE WHEN kind IN ('SERVER', 'CONSUMER')
+              THEN coalesce(remote_service,
+                            CASE WHEN kind = 'SERVER' AND attached AND root_remoteish
+                                 THEN root_local END)
+              ELSE coalesce(local_service,
+                            CASE WHEN kind = 'CLIENT' AND attached AND root_remoteish
+                                 THEN root_local END)
+         END AS parent,
          CASE WHEN kind IN ('SERVER', 'CONSUMER') THEN local_service
               ELSE remote_service END AS child,
          is_error
-  FROM matrix
-) WHERE parent IS NOT NULL AND child IS NOT NULL
+  FROM placed
+  UNION ALL
+  SELECT root_local, local_service, false
+  FROM placed
+  WHERE kind = 'CLIENT' AND attached AND root_remoteish
+    AND root_local IS NOT NULL AND local_service IS NOT NULL
+    AND root_local <> local_service
+)
+SELECT parent, child,
+       CAST(count(*) AS BIGINT) AS call_count,
+       CAST(coalesce(sum(CASE WHEN is_error THEN 1 ELSE 0 END), 0) AS BIGINT) AS error_count
+FROM emitted
+WHERE parent IS NOT NULL AND child IS NOT NULL
 GROUP BY parent, child
 """
     )

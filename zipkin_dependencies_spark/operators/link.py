@@ -136,6 +136,12 @@ def trace_links_partitioned(
     stragglers of everyone hashed alongside it.
     """
     group_cols = ([day_col] if day_col else []) + ["trace_key"]
+    # Secondary sort keys make the per-trace span ORDER deterministic. The
+    # kernel's root election ("first parentless span", linker.py build_tree)
+    # depends on arrival order; without these a multi-root trace could elect
+    # a different root per run. Sorting by (id, shared) pins it to the
+    # lowest span id — zero extra shuffle, the sort already exists.
+    order_cols = [*group_cols, "id", "shared"]
     out_cols = ([day_col] if day_col else []) + [
         "parent", "child", "call_count", "error_count",
     ]
@@ -244,7 +250,7 @@ def trace_links_partitioned(
         )
         out = (
             df.repartition(num_partitions, "__route")
-            .sortWithinPartitions(*group_cols)
+            .sortWithinPartitions(*order_cols)
             .drop("__route")
             .mapInPandas(link_partition, schema=schema)
         )
@@ -252,12 +258,12 @@ def trace_links_partitioned(
     if clustered:
         # bucketed input: complete traces per partition by construction;
         # only the in-partition sort (no exchange) remains
-        return df.sortWithinPartitions(*group_cols).mapInPandas(
+        return df.sortWithinPartitions(*order_cols).mapInPandas(
             link_partition, schema=schema
         )
     return (
         df.repartition(num_partitions, *group_cols)
-        .sortWithinPartitions(*group_cols)
+        .sortWithinPartitions(*order_cols)
         .mapInPandas(link_partition, schema=schema)
     )
 

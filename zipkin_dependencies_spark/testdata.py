@@ -40,7 +40,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with `ts` normalized to a TIMESTAMP: the driver's parquet stores
     TIMESTAMP(NANOS) (no Spark type), read as long nanos and floor-truncated
-    to µs exactly like DuckDB's ns→µs conversion."""
+    to µs exactly like DuckDB's ns→µs conversion.
+
+    The nanos-as-long conf is set at runtime (it is runtime-settable) so the
+    read works in ANY SparkSession, not just ones built by our session
+    factory — external harnesses construct their own sessions."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load(spark, sf_dir, "events")
     if dict(ev.dtypes)["ts"] == "bigint":
         # integer DIV, not float division — epoch nanos exceed double's 2^53
