@@ -464,14 +464,30 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: verified Jaccard pairs → connected components
-    (iterative min-label propagation; non-SQL-shaped op with a recursive-CTE
-    oracle). Runs on the same 1-in-5 subset as the pair queries."""
+    """Near-dup clustering, LSH-routed (the 100 TB composition): MinHash-LSH
+    candidates → exact Jaccard verify on candidates only → connected
+    components (iterative min-label propagation). The oracle replays the
+    identical affine-MinHash + verify + recursive-closure pipeline in DuckDB.
+    Runs on the same 1-in-5 subset as the pair queries."""
     from zipkin_dependencies_spark.llm.cluster import near_dup_clusters
     from zipkin_dependencies_spark.testdata import load
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    return near_dup_clusters(docs, k=3, threshold=0.5)
+    return near_dup_clusters(
+        docs, k=3, threshold=0.5, candidates="lsh",
+        num_hashes=16, bands=4, hash_fn="affine",
+    )
+
+
+def q_near_dup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs twin of near_dup_clusters: exact shingle self-join pair
+    generation (quadratic by design — the small-corpus cross-check that the
+    LSH route's recall is understood, not assumed)."""
+    from zipkin_dependencies_spark.llm.cluster import near_dup_clusters
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return near_dup_clusters(docs, k=3, threshold=0.5, candidates="exact")
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,6 +516,19 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.testdata import load
 
     return embedding_near_dup(load(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup (the 100 TB path): hyperplane
+    signatures bucket the corpus, cosine verified on Hamming≤1 candidate
+    pairs only — no all-pairs matmul. Oracle replays the identical
+    hyperplane/fold arithmetic in DuckDB."""
+    from zipkin_dependencies_spark.llm.dedup import embedding_near_dup_lsh
+    from zipkin_dependencies_spark.testdata import load
+
+    return embedding_near_dup_lsh(
+        load(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=8, dim=64
+    )
 
 
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,9 +685,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_clusters_exact": q_near_dup_clusters_exact,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
@@ -917,7 +948,10 @@ GROUP BY 1, 2, 3
         "minhash_signatures": llm_oracles.minhash_signatures_sql(num_hashes=16),
         "minhash_lsh": llm_oracles.minhash_lsh_sql(num_hashes=16, bands=4, id_mod=5),
         "ngram_jaccard": llm_oracles.ngram_jaccard_sql(k=3, threshold=0.5, id_mod=5),
-        "near_dup_clusters": llm_oracles.near_dup_clusters_sql(
+        "near_dup_clusters": llm_oracles.near_dup_clusters_lsh_sql(
+            num_hashes=16, bands=4, k=3, threshold=0.5, id_mod=5
+        ),
+        "near_dup_clusters_exact": llm_oracles.near_dup_clusters_sql(
             k=3, threshold=0.5, id_mod=5
         ),
         "cosine_topk": llm_oracles.cosine_topk_sql(k=5, dim=64, query_max_id=32),
@@ -925,6 +959,9 @@ GROUP BY 1, 2, 3
             k=5, n_planes=8, dim=64, query_max_id=32
         ),
         "embedding_near_dup": llm_oracles.embedding_near_dup_sql(threshold=0.3, dim=64),
+        "embedding_near_dup_lsh": llm_oracles.embedding_near_dup_lsh_sql(
+            threshold=0.3, n_planes=8, dim=64
+        ),
         "hash_sample": llm_oracles.hash_sample_sql(fraction=0.2),
         "stratified_sample": llm_oracles.stratified_hash_sample_sql(
             fractions={"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1},

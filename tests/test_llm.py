@@ -197,3 +197,60 @@ def test_text_operators(spark):
     assert all(0.0 <= out[i]["q"] <= 1.0 for i in out)
     assert out[0]["fp"] == out[2]["fp"]  # whitespace/case normalized
     assert out[0]["fp"] != out[1]["fp"]
+
+def test_near_dup_clusters_lsh_matches_exact_on_fixture(spark, docs):
+    """The LSH-routed composition (candidates → verify → CC) agrees with the
+    all-pairs twin on the fixture: exact dups + the one-word edit cluster
+    together, unrelated docs stay singletons. 16 hashes / 4 bands gives
+    ~1.0 recall at J≥0.5 on this corpus — the cross-check the LSH default
+    rests on."""
+    from zipkin_dependencies_spark.llm.cluster import near_dup_clusters
+
+    lsh = {
+        r["id"]: r["component"]
+        for r in near_dup_clusters(docs, k=3, threshold=0.5, candidates="lsh").collect()
+    }
+    exact = {
+        r["id"]: r["component"]
+        for r in near_dup_clusters(docs, k=3, threshold=0.5, candidates="exact").collect()
+    }
+    assert lsh == exact
+    assert lsh[0] == lsh[1] == lsh[2] == 0
+    assert lsh[4] == 4 and lsh[5] == 5
+
+
+def test_lsh_verified_pairs_columns_match_ngram_jaccard(spark, docs):
+    from zipkin_dependencies_spark.llm.cluster import lsh_verified_pairs
+    from zipkin_dependencies_spark.llm.dedup import ngram_jaccard_pairs
+
+    lsh = lsh_verified_pairs(docs, k=3, threshold=0.5)
+    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    assert lsh.columns == exact.columns
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in lsh.collect()}
+    assert got[(0, 1)] == 1.0
+
+def test_embedding_near_dup_lsh_full_recall_on_fixture(spark, vectors):
+    """The LSH-bucketed near-dup must recover EVERY brute-force pair at the
+    fixture threshold (recall gate): near-identical vectors (cos ≥ .95) are
+    within Hamming ≤ 1 of each other under 8 hyperplanes with overwhelming
+    probability, and the fixture pins it at 1.0."""
+    from zipkin_dependencies_spark.llm.dedup import (
+        embedding_near_dup,
+        embedding_near_dup_lsh,
+    )
+
+    emb, dim = vectors
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup(emb, threshold=0.95).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_lsh(
+            emb, threshold=0.95, n_planes=8, dim=dim
+        ).collect()
+    }
+    assert brute, "fixture must contain near-dup pairs"
+    # recall 1.0 (every true pair found) and precision exact by construction
+    # (candidates are cosine-verified) ⇒ the two sets are identical
+    assert lsh == brute

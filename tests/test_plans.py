@@ -130,3 +130,39 @@ def test_curation_pipeline_is_one_plan_one_exchange(spark):
 
     plan = formatted(e.q_curation_pipeline(spark, SF))
     assert len(_node_ids(plan, "Exchange")) == 1
+
+def test_near_dup_clusters_lsh_has_no_fullcorpus_shingle_selfjoin(spark):
+    """The 100 TB guarantee of the LSH-routed near-dup pipeline: shingles are
+    never a join key (no exploded-shingle self-join anywhere in the plan —
+    a hot shingle can't quadratic-blow-up a bucket); the exact Jaccard runs
+    as array_intersect on candidate pairs only. The exact twin keeps the
+    explode-join by design — asserted too, so the marker stays honest."""
+    from zipkin_dependencies_spark.llm.cluster import lsh_verified_pairs
+    from zipkin_dependencies_spark.llm.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "some text about sparks"), (1, "some text about sparks")],
+        "doc_id long, text string",
+    )
+    lsh_plan = formatted(lsh_verified_pairs(docs, k=3, threshold=0.5))
+    assert "explode(shingles" not in lsh_plan
+    assert "array_intersect" in lsh_plan
+
+    exact_plan = formatted(ngram_jaccard_pairs(docs, k=3, threshold=0.5))
+    assert "explode(shingles" in exact_plan
+
+def test_heavy_discovery_samples_not_full_scan(spark):
+    """The heavy-key pre-pass aggregates a SAMPLE, not the full span table:
+    the plan's discovery subtree (below the broadcast) contains a Sample node
+    feeding its aggregate — at 100 TB a second full span-scale aggregation
+    just to find a handful of skewed keys is the bug, not the feature."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import trace_links_partitioned
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    df = trace_links_partitioned(
+        normalize_spans(derived_spans(spark, SF)), isolate_heavy_over=100
+    )
+    plan = formatted(df)
+    assert "Sample" in plan
+    assert "BroadcastHashJoin" in plan

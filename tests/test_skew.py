@@ -111,3 +111,41 @@ def test_heavy_trace_at_bench_scale_completes(spark):
         ("gw", "svc-a", 1, 0),                       # the root's inbound call
         ("svc-a", "svc-b", n - 1, (n - 2) // 100 + 1),  # children; errors at ids 1,101,…
     }
+
+def test_clustered_with_heavy_isolation_raises(spark, skewed_spans):
+    """clustered=True promises a shuffle-free plan; isolate_heavy_over needs
+    a repartition. The combination must refuse loudly instead of silently
+    reintroducing the span-scale shuffle the caller opted out of."""
+    from zipkin_dependencies_spark.operators.link import trace_links_partitioned
+
+    with pytest.raises(ValueError, match="clustered"):
+        trace_links_partitioned(
+            skewed_spans, clustered=True, isolate_heavy_over=1_000
+        )
+
+
+def test_sampled_heavy_discovery_matches_exact(spark, skewed_spans):
+    """The sampled heavy-key pre-pass (default) and the exact count
+    (heavy_sample_fraction=1.0) must produce identical LINKS — isolation
+    affects placement only, never the result."""
+    from zipkin_dependencies_spark.operators.aggregate import aggregate_links
+    from zipkin_dependencies_spark.operators.link import trace_links_partitioned
+
+    sampled = _links(
+        aggregate_links(
+            trace_links_partitioned(
+                skewed_spans, num_partitions=8, isolate_heavy_over=1_000
+            )
+        )
+    )
+    exact = _links(
+        aggregate_links(
+            trace_links_partitioned(
+                skewed_spans,
+                num_partitions=8,
+                isolate_heavy_over=1_000,
+                heavy_sample_fraction=1.0,
+            )
+        )
+    )
+    assert sampled == exact

@@ -156,3 +156,22 @@ def test_v2_spans_from_link_rows_equals_two_table_path(spark):
     via_tables = v1_to_v2_spans(spans, annos).select(*cols)
     assert via_rows.exceptAll(via_tables).count() == 0
     assert via_tables.exceptAll(via_rows).count() == 0
+
+def test_glob_span_path_with_matches_returns_data(spark, tmp_path):
+    """missing_as_empty must expand globs, not test them literally: a valid
+    glob over existing day partitions returns the data; a glob matching
+    nothing (and a genuinely absent literal path) still reads as empty."""
+    from zipkin_dependencies_spark.schemas import SPAN_SCHEMA
+    from zipkin_dependencies_spark.sources import read_spans_parquet
+
+    span = {f.name: None for f in SPAN_SCHEMA.fields}
+    span.update(trace_id="000000000000000a", id="0000000000000001")
+    df = spark.createDataFrame([span], schema=SPAN_SCHEMA)
+    df.write.parquet(str(tmp_path / "spans" / "day=2024-01-01"))
+    df.write.parquet(str(tmp_path / "spans" / "day=2024-01-02"))
+
+    globbed = read_spans_parquet(spark, str(tmp_path / "spans" / "day=2024*"))
+    assert globbed.count() == 2
+
+    empty = read_spans_parquet(spark, str(tmp_path / "spans" / "day=1999*"))
+    assert empty.schema == SPAN_SCHEMA and empty.count() == 0

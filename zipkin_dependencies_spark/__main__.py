@@ -23,13 +23,19 @@ USAGE = """usage: python -m zipkin_dependencies_spark [yyyy-MM-dd]
 Aggregates service dependency links for one UTC day (default: today).
 Configuration is environment-driven, mirroring the reference jar:
 
-  SPANS_PATH        span table location (required)
+  SPANS_PATH        span table location (required for file formats)
   LINKS_PATH        link sink location (optional: print instead of write)
-  SPAN_FORMAT       parquet | json | v1          (default parquet)
+  SPAN_FORMAT       parquet | json | v1 | es | cassandra | mysql (default parquet)
   STORAGE_TYPE      cassandra3 | mysql | elasticsearch | opensearch parity profile
   DAY_FILTER        trace_root | span_window | day_partition (profile default)
   STRICT_TRACE_ID   false => group by low 64 bits (profile default)
+  LINKS_SINK        backend => write links back through the live connector
   SPARK_MASTER, SPARK_CONF, ZIPKIN_LOG_LEVEL     session controls
+
+Live formats (es | cassandra | mysql) read through the reference's connector
+surface (ES_HOSTS/ES_USERNAME/..., CASSANDRA_CONTACT_POINTS/...,
+MYSQL_HOST/...) and need the matching connector jar on the classpath; the
+file formats are self-contained.
 """
 
 
@@ -57,6 +63,9 @@ def main(argv: list[str] | None = None) -> int:
     log.info("Running dependency links for %s (filter=%s strict=%s)",
              day, env.day_filter.value, env.strict_trace_id)
 
+    import os as _os
+
+    environ = dict(_os.environ)
     if env.source_format == "v1":
         spans_df = v1_to_v2_spans(
             spark.read.parquet(f"{env.spans_path}/zipkin_spans"),
@@ -64,6 +73,38 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif env.source_format == "json":
         spans_df = read_spans_json(spark, env.spans_path)
+    elif env.source_format == "es":
+        from .sources.backends import es_conf_from_env, read_spans_es
+
+        flavor = (
+            "opensearch"
+            if environ.get("STORAGE_TYPE") == "opensearch"
+            else "elasticsearch"
+        )
+        spans_df = read_spans_es(
+            spark,
+            day,
+            index_prefix=environ.get("ES_INDEX", "zipkin"),
+            date_separator=environ.get("ES_DATE_SEPARATOR", "-"),
+            conf=es_conf_from_env(environ, flavor=flavor),
+            flavor=flavor,
+        )
+    elif env.source_format == "cassandra":
+        from .sources.backends import read_spans_cassandra
+
+        spans_df = read_spans_cassandra(
+            spark, keyspace=environ.get("CASSANDRA_KEYSPACE", "zipkin2")
+        )
+    elif env.source_format == "mysql":
+        from .sources.backends import mysql_config_from_env, read_spans_mysql
+
+        lo = env.day_ms * 1000
+        spans_df = read_spans_mysql(
+            spark,
+            mysql_config_from_env(environ),
+            start_us=lo,
+            end_us=lo + 86_400_000_000 - 1,
+        )
     else:
         spans_df = read_spans_parquet(spark, env.spans_path)
 
@@ -78,7 +119,24 @@ def main(argv: list[str] | None = None) -> int:
         ),
     )
     links = job.run(spans_df)
-    if env.links_path is None:
+    if environ.get("LINKS_SINK") == "backend":
+        from .sources import backends as _b
+
+        if env.source_format == "es":
+            _b.write_links_es(
+                links, day,
+                index_prefix=environ.get("ES_INDEX", "zipkin"),
+                date_separator=environ.get("ES_DATE_SEPARATOR", "-"),
+                conf=_b.es_conf_from_env(environ),
+            )
+        elif env.source_format == "cassandra":
+            _b.write_links_cassandra(
+                links, day, keyspace=environ.get("CASSANDRA_KEYSPACE", "zipkin2")
+            )
+        elif env.source_format == "mysql":
+            _b.write_links_mysql(links, day, _b.mysql_config_from_env(environ))
+        log.info("Wrote day=%s back to %s", day, env.source_format)
+    elif env.links_path is None:
         links.show(100, truncate=False)  # no sink configured: print like a REPL
     else:
         log.info("Wrote day=%s to %s", day, env.links_path)

@@ -47,11 +47,19 @@ def connected_components(
     Deterministic: labels are ids, min is order-free. Raises if the loop
     hasn't converged after ``max_iterations`` (a dup graph needing more is a
     sign the candidate generator is broken, not a reason to loop forever)."""
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # both edge directions from ONE evaluation of `pairs` (explode, not
+    # union-of-self): the pair source is often an expensive pipeline
+    # (LSH candidates + verify), and a self-union would run it twice
     edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -87,18 +95,89 @@ def connected_components(
     )
 
 
+def lsh_verified_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exact-Jaccard-verified near-dup pairs, candidate-bounded: MinHash-LSH
+    banding proposes candidates, then the exact char-k-gram Jaccard is computed
+    ONLY on those pairs via a JVM `array_intersect` on the two shingle sets —
+    never the full-corpus shingle self-join.
+
+    Scale (100 TB): the corpus-side cost is two scans (signatures + shingles,
+    both shuffle-free narrow maps) plus the LSH bucket join on tiny
+    (band, bucket, id) rows; the verify join re-attaches shingle arrays to the
+    candidate set only, whose cardinality is O(near-dups), not O(N²). Bucket
+    skew is absorbed by AQE; a hot shingle no longer matters at all because
+    shingles are never a join key here.
+
+    Emits the same columns as ``ngram_jaccard_pairs`` so the two are
+    drop-in interchangeable as cluster edge sources."""
+    from .dedup import char_shingles, minhash_lsh_candidates
+
+    candidates = minhash_lsh_candidates(
+        docs, num_hashes=num_hashes, bands=bands, k=k,
+        text_col=text_col, id_col=id_col, hash_fn=hash_fn,
+    ).select("id_a", "id_b")
+
+    sh = docs.select(
+        F.col(id_col).alias("id"), char_shingles(text_col, k).alias("shingles")
+    )
+    verified = (
+        candidates
+        .join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
 def near_dup_clusters(
     docs: DataFrame,
     k: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    candidates: str = "lsh",
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Documents → (id, component): exact n-gram-Jaccard verified pairs,
+    """Documents → (id, component): Jaccard-verified near-dup pairs,
     clustered. Isolated documents are their own (singleton) component —
-    downstream keeps ``min(id) per component`` and drops the rest."""
-    from .dedup import ngram_jaccard_pairs
+    downstream keeps ``min(id) per component`` and drops the rest.
 
-    pairs = ngram_jaccard_pairs(docs, k=k, threshold=threshold)
+    ``candidates='lsh'`` (default, the 100 TB path) routes through
+    MinHash-LSH banding and verifies exact Jaccard only on colliding pairs;
+    ``candidates='exact'`` is the all-pairs shingle self-join — the
+    small-corpus oracle twin, quadratic by design, for cross-checking LSH
+    recall on fixtures."""
+    if candidates == "lsh":
+        pairs = lsh_verified_pairs(
+            docs, k=k, threshold=threshold, num_hashes=num_hashes,
+            bands=bands, id_col=id_col, hash_fn=hash_fn,
+        )
+    elif candidates == "exact":
+        from .dedup import ngram_jaccard_pairs
+
+        pairs = ngram_jaccard_pairs(docs, k=k, threshold=threshold, id_col=id_col)
+    else:
+        raise ValueError(f"unknown candidates mode {candidates!r}")
     comp = connected_components(pairs)
     return docs.select(F.col(id_col).alias("id")).join(
         comp, "id", "left_outer"

@@ -356,6 +356,64 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 # --- embedding near-dup ---------------------------------------------------------
 
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup — the 100 TB composition of the two
+    existing pieces: hyperplane-LSH signatures (similarity.py) bucket the
+    corpus, and cosine is verified ONLY on bucket-colliding candidate pairs.
+
+    Candidates = pairs whose signatures are within Hamming distance 1
+    (multi-probe: each vector probes its own bucket plus every 1-bit flip).
+    Cost: one signature scan (JVM fold over literal hyperplanes, no Python),
+    then a bucket equi-join whose fan-out is corpus/2^n_planes per probe —
+    the O(N²·d) all-pairs matmul of ``embedding_near_dup`` never happens.
+    Recall is tunable (fewer planes → bigger buckets → higher recall): the
+    fixture gate in tests pins recall=1.0 vs brute force at the fixture
+    threshold; at scale the near-dup regime (cosine ≥ .9, angle ≤ 26°) keeps
+    per-plane disagreement ≤ .15, so Hamming ≤ 1 retains the bulk of dups.
+
+    Verification uses the deterministic sequential-fold cosine (zip_with +
+    aggregate in array order, same arithmetic as the DuckDB oracle) rather
+    than the blocked numpy matmul: candidates are O(dups), not O(N²), so
+    fold cost is bounded and the value-hash gate confirms end to end."""
+    from .similarity import _dot, _with_norm, hyperplane_signature
+
+    e = _with_norm(embeddings, id_col, vec_col).withColumn(
+        "sig", hyperplane_signature("vec", n_planes, dim)
+    )
+    probes = F.array(
+        F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    )
+    a = e.select(
+        "id", "vec", "norm", F.explode(probes).alias("probe")
+    ).alias("a")
+    b = e.alias("b")
+    cand = (
+        a.join(b, (F.col("a.probe") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("a.norm").alias("norm_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.vec").alias("vec_b"),
+            F.col("b.norm").alias("norm_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cosine = _dot("vec_a", "vec_b") / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        cand.withColumn("_cos", cosine)
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,

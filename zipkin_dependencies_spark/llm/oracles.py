@@ -243,6 +243,56 @@ FROM scored WHERE cosine >= {threshold}
 """
 
 
+def embedding_near_dup_lsh_sql(
+    threshold: float, n_planes: int = 8, dim: int = 64
+) -> str:
+    """Oracle for the LSH-bucketed near-dup (llm/dedup.py
+    embedding_near_dup_lsh): identical hyperplane literals and fold order as
+    the Spark side (shared with lsh_cosine_topk_sql), candidates = Hamming ≤ 1
+    signature pairs, cosine verified on candidates only."""
+    weights = hyperplane_weights(n_planes, dim)
+    plane_dots = ", ".join(
+        "sum(x * (CASE i "
+        + " ".join(f"WHEN {i + 1} THEN {weights[p][i]!r}" for i in range(dim))
+        + " END) ORDER BY i) AS d_{p}".format(p=p)
+        for p in range(n_planes)
+    )
+    sig = " + ".join(f"(CASE WHEN d_{p} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(n_planes))
+    probes = ", ".join(["CAST(sig AS INT)"] + [f"CAST(xor(sig, {1 << p}) AS INT)" for p in range(n_planes)])
+    return f"""
+WITH {_flat_cte(dim).strip()},
+planes AS (
+  SELECT id, {plane_dots}
+  FROM flat GROUP BY id
+),
+sigs AS (SELECT id, CAST({sig} AS INT) AS sig FROM planes),
+corpus AS (
+  SELECT s.id, s.sig, n.norm FROM sigs s JOIN nrm n ON n.id = s.id AND n.norm > 0
+),
+probes AS (
+  SELECT c.id, unnest([{probes}]) AS probe FROM corpus c
+),
+cand AS (
+  SELECT DISTINCT p.id AS id_a, c.id AS id_b
+  FROM probes p JOIN corpus c ON p.probe = c.sig AND p.id < c.id
+),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, sum(a.x * b.x ORDER BY a.i) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i
+  JOIN cand ON cand.id_a = a.id AND cand.id_b = b.id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.id_a, d.id_b, d.dot / (na.norm * nb.norm) AS cosine
+  FROM dots d
+  JOIN nrm na ON na.id = d.id_a
+  JOIN nrm nb ON nb.id = d.id_b
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine
+FROM scored WHERE cosine >= {threshold}
+"""
+
+
 MEDIA_CTE = """
 media AS (
   SELECT doc_id AS media_id,
@@ -502,6 +552,62 @@ kept AS (
   FROM ranked WHERE rank = 1
 )
 SELECT * FROM kept WHERE {bucket} < {threshold}
+"""
+
+
+def near_dup_clusters_lsh_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_mod: int = 5,
+) -> str:
+    """Oracle for the LSH-routed clustering (llm/cluster.py
+    near_dup_clusters(candidates='lsh')): affine-MinHash banding proposes
+    candidate pairs (same arithmetic as minhash_lsh_sql), exact Jaccard via
+    list_intersect verifies ONLY those pairs, recursive transitive closure
+    assigns component = min reachable id. Matches the Spark plan stage for
+    stage, so the value-hash gate confirms the composition end to end."""
+    rpb = num_hashes // bands
+    bucket = " || '|' || ".join(
+        f"CAST(sig[b * {rpb} + {r + 1}] AS VARCHAR)" for r in range(rpb)
+    )
+    return f"""
+WITH RECURSIVE {_sig_cte(num_hashes, k, f"WHERE doc_id % {id_mod} = 0")},
+buckets AS (
+  SELECT id, CAST(u.b AS INT) AS band, md5({bucket}) AS bucket
+  FROM sigt, (SELECT unnest(range(0, {bands})) AS b) u
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b
+  WHERE len(list_intersect(sa.shingles, sb.shingles))
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))) >= {threshold}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM verified
+  UNION ALL
+  SELECT id_b, id_a FROM verified
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+)
+SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component
+FROM (SELECT doc_id FROM documents WHERE doc_id % {id_mod} = 0) d
+LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 

@@ -96,6 +96,7 @@ def trace_links_partitioned(
     day_col: str | None = None,
     isolate_heavy_over: int | None = None,
     clustered: bool = False,
+    heavy_sample_fraction: float = 0.05,
 ) -> DataFrame:
     """Scale path: repartition by trace_key + sortWithinPartitions, then one
     mapInPandas pass that walks each partition's sorted stream, cutting trace
@@ -134,7 +135,30 @@ def trace_links_partitioned(
     a normal partition's worth of other traces. Linking a giant trace is
     still one task — O(n) with small constants — but it no longer makes
     stragglers of everyone hashed alongside it.
+
+    Heavy discovery is SAMPLED (``heavy_sample_fraction``, seeded): a trace
+    with n spans surfaces ~n·f sampled rows, so thresholding sampled counts
+    at N·f/2 finds every genuinely heavy key with overwhelming probability
+    while scanning only f of the table — at 100 TB the full
+    ``groupBy().count()`` pre-pass would itself be a span-scale aggregation.
+    Mis-detection is safe by construction: a missed heavy trace still links
+    correctly (just co-hashed, slower), a false positive merely routes a
+    light trace alone — the RESULT is placement-independent. Pass
+    ``heavy_sample_fraction=1.0`` to force the exact count (tiny inputs
+    where a sample is noise).
+
+    ``isolate_heavy_over`` is incompatible with ``clustered=True``: routing
+    requires a repartition, which would silently reintroduce the span-scale
+    shuffle the clustered caller explicitly opted out of — that combination
+    raises. Heavy traces in bucketed layouts are isolated at write time
+    (bucket count / bucketing key choice), not per-job.
     """
+    if clustered and isolate_heavy_over:
+        raise ValueError(
+            "isolate_heavy_over requires a repartition, but clustered=True "
+            "declares a shuffle-free pre-bucketed input; re-bucket heavy "
+            "traces at write time or drop one of the two options"
+        )
     group_cols = ([day_col] if day_col else []) + ["trace_key"]
     # Secondary sort keys make the per-trace span ORDER deterministic. The
     # kernel's root election ("first parentless span", linker.py build_tree)
@@ -227,10 +251,18 @@ def trace_links_partitioned(
         # identify heavy traces (tiny result: skew means FEW keys); broadcast
         # the set into a routing column. Light traces route by their group
         # hash; each heavy trace routes by its own key ⇒ lands alone.
+        if heavy_sample_fraction >= 1.0:
+            counted = df.groupBy(*group_cols).count()
+            cutoff = float(isolate_heavy_over)
+        else:
+            counted = (
+                df.sample(fraction=heavy_sample_fraction, seed=11)
+                .groupBy(*group_cols)
+                .count()
+            )
+            cutoff = max(1.0, isolate_heavy_over * heavy_sample_fraction / 2.0)
         heavy = (
-            df.groupBy(*group_cols)
-            .count()
-            .filter(F.col("count") > isolate_heavy_over)
+            counted.filter(F.col("count") > cutoff)
             .select(F.concat_ws("|", *group_cols).alias("__gk"))
         )
         gk = F.concat_ws("|", *group_cols)
@@ -274,6 +306,7 @@ def links_from_spans(
     strategy: str = "partitioned",
     clustered: bool = False,
     isolate_heavy_over: int | None = None,
+    heavy_sample_fraction: float = 0.05,
 ) -> DataFrame:
     """Full core: per-trace linking + global A2 reduction.
 
@@ -292,6 +325,7 @@ def links_from_spans(
                 window,
                 clustered=clustered,
                 isolate_heavy_over=isolate_heavy_over,
+                heavy_sample_fraction=heavy_sample_fraction,
             )
         )
     if strategy == "grouped":
