@@ -125,6 +125,25 @@ def q_dedupe_replayed_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return links_from_spans(dedupe_spans(normalize_spans(replayed)))
 
 
+def q_links_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase giant-trace routing (SURVEY §4's custom scale piece):
+    traces above the size threshold link through the distributed relational
+    path (per-span join keys — a single trace spreads across tasks), the
+    rest through the kernel; phase 2 merges in the global aggregate. The
+    result is placement- and route-independent, so the plain links oracle
+    IS the assertion. Threshold set inside the fixture's trace-size range
+    so BOTH routes carry real traffic in the gate; exact counting
+    (sample_fraction=1.0) keeps routing deterministic at sf0.01."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import links_from_spans_two_phase
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    spans = derived_spans(spark, sf_dir)
+    return links_from_spans_two_phase(
+        normalize_spans(spans), giant_over=6, heavy_sample_fraction=1.0
+    )
+
+
 def q_links_heavy_isolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-isolation path oracle check: routing heavy traces to dedicated
     partitions changes task placement, never results — so the plain links
@@ -667,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_day_partition_links": q_f3_day_partition_links,
         "dedupe_replayed_links": q_dedupe_replayed_links,
         "links_heavy_isolated": q_links_heavy_isolated,
+        "links_two_phase": q_links_two_phase,
         "links_relational": q_links_relational,
         "links_bucketed": q_links_bucketed,
         "multi_day_links": q_multi_day_links,
@@ -831,6 +851,7 @@ spans_day AS (
         # heavy isolation / bucketed storage change placement & shuffle
         # topology, never results
         "links_heavy_isolated": links_oracle,
+        "links_two_phase": links_oracle,
         "links_relational": links_oracle,
         "links_bucketed": links_oracle,
         # per-day linking of the whole corpus; the fixture forest links

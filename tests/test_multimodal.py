@@ -82,3 +82,137 @@ def test_documents_fixture_is_ascii(spark):
         F.octet_length("text") != F.length("text")
     ).count()
     assert n_non_ascii == 0
+
+# --- real decode (stdlib PNG/WAV; PIL optional) ------------------------------
+
+def _make_png(width=4, height=3, color=(10, 200, 30)):
+    """Minimal valid RGB PNG via stdlib only (filter 0 scanlines)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(color) * width for _ in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_wav(n_frames=160, rate=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(struct.pack("<h", (i * 37) % 4096 - 2048) for i in range(n_frames))
+        )
+    return buf.getvalue()
+
+
+def test_decode_media_real_png_and_wav(spark):
+    """REAL decode end to end: a synthesized PNG round-trips through the
+    stdlib inflate+unfilter path (dimensions + pixel digest), a synthesized
+    WAV through the wave reader (rate, frames, PCM digest), and an
+    undecodable payload lands in decode_error instead of failing the batch."""
+    import hashlib
+
+    from zipkin_dependencies_spark.llm.multimodal import decode_media
+
+    png = _make_png(width=4, height=3, color=(10, 200, 30))
+    wav = _make_wav(n_frames=160, rate=8000)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "audio", bytearray(wav)),
+         (3, "video", bytearray(b"not-decodable"))],
+        "media_id long, kind string, payload binary",
+    )
+    out = {r.media_id: r for r in decode_media(media).collect()}
+
+    img = out[1]
+    assert (img.width, img.height, img.channels) == (4, 3, 3)
+    assert img.decode_error is None
+    assert img.content_digest == hashlib.md5(bytes((10, 200, 30)) * 4 * 3).hexdigest()
+
+    aud = out[2]
+    assert (aud.sample_rate, aud.n_frames, aud.channels) == (8000, 160, 1)
+    assert aud.decode_error is None
+
+    vid = out[3]
+    assert vid.content_digest is None and "NotImplementedError" in vid.decode_error
+
+
+def test_decode_png_all_filters():
+    """The unfilter path (Sub/Up/Average/Paeth) reproduces pixels exactly:
+    encode the same image once per filter type and assert identical decoded
+    bytes. Pure Python — no Spark session needed."""
+    import struct
+    import zlib
+
+    from zipkin_dependencies_spark.llm.multimodal import _decode_png, _paeth
+
+    width, height, ch = 5, 4, 3
+    pixels = bytes((x * 23 + y * 57 + c * 11) % 256
+                   for y in range(height) for x in range(width) for c in range(ch))
+    stride = width * ch
+
+    def encode_with_filter(filt):
+        rows = []
+        prev = bytes(stride)
+        for y in range(height):
+            line = pixels[y * stride:(y + 1) * stride]
+            if filt == 0:
+                enc = line
+            elif filt == 1:
+                enc = bytes((line[i] - (line[i - ch] if i >= ch else 0)) & 0xFF
+                            for i in range(stride))
+            elif filt == 2:
+                enc = bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+            elif filt == 3:
+                enc = bytes((line[i] - (((line[i - ch] if i >= ch else 0) + prev[i]) >> 1)) & 0xFF
+                            for i in range(stride))
+            else:
+                enc = bytes((line[i] - _paeth(line[i - ch] if i >= ch else 0,
+                                              prev[i],
+                                              prev[i - ch] if i >= ch else 0)) & 0xFF
+                            for i in range(stride))
+            rows.append(bytes([filt]) + enc)
+            prev = line
+
+        def chunk(ctype, data):
+            c = ctype + data
+            return struct.pack(">I", len(data)) + c + struct.pack(
+                ">I", zlib.crc32(c) & 0xFFFFFFFF
+            )
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(rows))) + chunk(b"IEND", b""))
+
+    for filt in range(5):
+        w, h, c, decoded = _decode_png(encode_with_filter(filt))
+        assert (w, h, c) == (width, height, ch)
+        assert decoded == pixels, f"filter {filt} mismatch"
+
+
+def test_decode_image_with_pil_if_present():
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL")
+    from zipkin_dependencies_spark.llm.multimodal import decode_image
+
+    w, h, c, px = decode_image(_make_png(2, 2, (1, 2, 3)))
+    assert (w, h, c) == (2, 2, 3) and px == bytes((1, 2, 3)) * 4

@@ -149,3 +149,43 @@ def test_sampled_heavy_discovery_matches_exact(spark, skewed_spans):
         )
     )
     assert sampled == exact
+
+def test_two_phase_giant_trace_matches_kernel_and_splits(spark, skewed_spans):
+    """SURVEY §4's custom scale piece: a single trace dominating the corpus
+    links through the two-phase route (relational subtree phase + global
+    merge) with the SAME links the kernel path emits, and the giant trace's
+    per-span work is genuinely spread across ≥2 tasks (the whole point —
+    isolation alone leaves a 10^8-span trace on one core)."""
+    from zipkin_dependencies_spark.operators.link import (
+        links_from_spans,
+        links_from_spans_two_phase,
+    )
+
+    base = _links(links_from_spans(skewed_spans))
+    two_phase = _links(
+        links_from_spans_two_phase(skewed_spans, giant_over=1_000)
+    )
+    assert two_phase == base
+
+    # the giant trace's parent-resolution stage spreads across tasks
+    from zipkin_dependencies_spark.operators.link_relational import (
+        _keyed,
+        _resolved_parents,
+    )
+
+    giant_only = skewed_spans.filter(F.col("trace_key") == "t-heavy")
+    # at fixture scale AQE's byte-based coalescing folds the tiny shuffle
+    # back to one partition (correct behavior — it sizes by bytes, and 20k
+    # narrow rows are nothing); switch it off for the probe so the assertion
+    # sees the STRUCTURAL parallelism a 10^8-span trace would get
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        parts = (
+            _resolved_parents(_keyed(giant_only))
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert parts >= 2

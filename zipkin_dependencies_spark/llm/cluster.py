@@ -117,28 +117,60 @@ def lsh_verified_pairs(
     skew is absorbed by AQE; a hot shingle no longer matters at all because
     shingles are never a join key here.
 
+    Verification intersects 32-bit shingle DIGESTS, not shingle strings:
+    the digest is the same ``int('0x'+md5(s)[:8])`` value the affine MinHash
+    already derives per shingle (so the DuckDB oracle reuses its existing
+    CTE), long arrays intersect ~2× faster than string arrays in the JVM,
+    and the candidate join ships a quarter of the bytes. A 32-bit collision
+    merging two distinct shingles perturbs one intersection count by 1 with
+    probability ~n_sh²/2³² per document — orders below the threshold's
+    resolution; both engines compute on the identical digests either way.
+
     Emits the same columns as ``ngram_jaccard_pairs`` so the two are
     drop-in interchangeable as cluster edge sources."""
+    from ..scaling import ensure_min_parallelism
     from .dedup import char_shingles, minhash_lsh_candidates
 
-    candidates = minhash_lsh_candidates(
-        docs, num_hashes=num_hashes, bands=bands, k=k,
-        text_col=text_col, id_col=id_col, hash_fn=hash_fn,
-    ).select("id_a", "id_b")
+    # AQE sizes post-shuffle partitions by BYTES: the deduped pair list is a
+    # few MB of (id, id) longs, which AQE coalesces to ~1 partition — and the
+    # verify below is CPU-bound (one array_intersect per pair), so that
+    # coalesce serializes it. Round-robin the pairs back to core count first.
+    candidates = ensure_min_parallelism(
+        minhash_lsh_candidates(
+            docs, num_hashes=num_hashes, bands=bands, k=k,
+            text_col=text_col, id_col=id_col, hash_fn=hash_fn,
+            include_est=False,
+        )
+    )
 
-    sh = docs.select(
-        F.col(id_col).alias("id"), char_shingles(text_col, k).alias("shingles")
+    xs = F.array_distinct(
+        F.transform(
+            char_shingles("_text", k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+        )
+    )
+    # materialize the digest table ONCE (the classic signature-table step of
+    # a dedup pipeline): it feeds both sides of the verify join, and the
+    # per-shingle md5 transform is the expensive part — repartition the RAW
+    # text first so the hashing runs wide (a single parquet file would
+    # otherwise digest on one core), then pin the result
+    sh = (
+        ensure_min_parallelism(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+        )
+        .select("id", xs.alias("xs"))
+        .localCheckpoint(eager=True)
     )
     verified = (
         candidates
-        .join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .join(sh.select(F.col("id").alias("id_a"), F.col("xs").alias("xs_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("xs").alias("xs_b")), "id_b")
         .select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
-            F.size("sh_a").alias("n_a"),
-            F.size("sh_b").alias("n_b"),
+            F.size(F.array_intersect("xs_a", "xs_b")).cast("long").alias("n_inter"),
+            F.size("xs_a").alias("n_a"),
+            F.size("xs_b").alias("n_b"),
         )
         .withColumn(
             "jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))

@@ -249,6 +249,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
+    include_est: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding of MinHash signatures.
 
@@ -257,6 +258,11 @@ def minhash_lsh_candidates(
     minhashes). The bucket join shuffles (band, band_hash, id) — tiny rows —
     and AQE's skew-join splitting absorbs hot buckets. Verify candidates with
     ngram_jaccard_pairs or accept the minhash estimate.
+
+    ``include_est=False`` drops the estimate column and — more importantly —
+    keeps the signature arrays OUT of the pair join and dedup shuffle:
+    callers that re-verify exactly anyway (lsh_verified_pairs) ship only
+    (band, bucket, id) rows end to end.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col, hash_fn)
@@ -275,18 +281,25 @@ def minhash_lsh_candidates(
             ]
         )
     )
-    buckets = sigs.select("id", "signature", band_cols.alias("bb")).select(
-        "id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    carry = ["id", "signature"] if include_est else ["id"]
+    buckets = sigs.select(*carry, band_cols.alias("bb")).select(
+        *carry, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    join_cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    if not include_est:
+        return (
+            a.join(b, join_cond)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
         )
+    pairs = (
+        a.join(b, join_cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

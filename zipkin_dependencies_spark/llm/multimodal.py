@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads with
 typed metadata, processed by Arrow-batched ``mapInPandas`` pipelines.
 
-The decode kernels are STUBS — the container has no image/audio libraries, so
-each decoder tries the real library first (PIL/soundfile behind import-try,
-raising NotImplementedError with a clear message) and otherwise uses a
-DETERMINISTIC FAKE (utf-8 / md5-derived) so the Spark-side plumbing — schema,
-binary Arrow transfer, batch iteration, row fan-out — is real, tested, and
-oracle-checkable end to end. Swapping in a real decoder changes one function.
+Decoding is REAL where no third-party library is needed: PNG images decode
+via a stdlib inflate+unfilter path and WAV audio via the stdlib ``wave``
+reader (``decode_media``); PIL is used when installed (any format it knows)
+and its absence degrades only non-PNG images, carried per row as a
+``decode_error`` instead of failing (skip-and-log parity). The frame/feature
+pipelines additionally keep a DETERMINISTIC FAKE decode (utf-8/md5-derived)
+so their DuckDB oracle twins can reproduce the values bit-for-bit — an
+engine-independent correctness gate a real pixel pipeline can't offer.
 
 Scale design (100 TB of media):
 - payloads stay opaque binary end-to-end; nothing row-at-a-time touches the
@@ -92,14 +94,112 @@ def media_from_documents(docs: DataFrame, frame_bytes: int = 100) -> DataFrame:
     )
 
 
-def _try_real_image_decode(payload: bytes):  # pragma: no cover - no lib in env
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_WAV_MAGIC = b"RIFF"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL stdlib PNG decode (no third-party libs): IHDR parse, IDAT
+    inflate, per-scanline unfilter (None/Sub/Up/Average/Paeth) → raw 8-bit
+    pixel bytes. Supports the common non-interlaced 8-bit color types
+    (grayscale 0, RGB 2, gray+alpha 4, RGBA 6); anything else raises
+    ValueError and the caller falls back."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, width, height, channels, idat = 8, 0, 0, 0, b""
+    while pos < len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace != 0:
+                raise ValueError("unsupported PNG (need 8-bit, non-interlaced)")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {color}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        filt = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if filt == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif filt == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif filt == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif filt != 0:
+            raise ValueError(f"bad PNG filter {filt}")
+        out += line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL stdlib WAV decode: (sample_rate, n_frames, n_channels, pcm)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        return (
+            w.getframerate(),
+            w.getnframes(),
+            w.getnchannels(),
+            w.readframes(w.getnframes()),
+        )
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Image payload → (width, height, channels, raw pixel bytes).
+
+    Tries PIL when installed (any format PIL knows); without it, the
+    stdlib PNG decoder handles real PNG payloads. Non-PNG payloads without
+    PIL raise NotImplementedError with a clear message — the honest
+    boundary of this environment."""
     try:
-        import PIL.Image  # noqa: F401
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(bytes(payload)))
+        img.load()
+        channels = len(img.getbands())
+        return img.width, img.height, channels, img.tobytes()
     except ImportError:
-        return None
+        pass
+    if bytes(payload[:8]) == _PNG_MAGIC:
+        return _decode_png(bytes(payload))
     raise NotImplementedError(
-        "real image decode (PIL) is stubbed in this environment; "
-        "replace _fake_decode with PIL.Image.open(io.BytesIO(payload))"
+        "real decode for this image format needs PIL (not installed); "
+        "PNG decodes via the stdlib path, other formats need the library"
     )
 
 
@@ -120,7 +220,6 @@ def sample_frames(media: DataFrame, frame_bytes: int = 100) -> DataFrame:
         for pdf in batches:
             out: list[tuple[int, int, str, int]] = []
             for mid, payload in zip(pdf["media_id"].values, pdf["payload"].values):
-                _try_real_image_decode(payload)
                 data = _fake_decode(payload).encode("utf-8")
                 for idx in range(len(data) // frame_bytes):
                     chunk = data[idx * frame_bytes : (idx + 1) * frame_bytes]
@@ -164,6 +263,70 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return ensure_min_parallelism(media.select("media_id", "payload")).mapInPandas(
         featurize, schema=FEATURE_SCHEMA
     )
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("content_digest", T.StringType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """REAL media decode over the binary column: PNG images via the stdlib
+    inflate+unfilter path (or PIL when installed, any format), WAV audio via
+    the stdlib wave reader. Emits decoded dimensions plus an md5 over the
+    DECODED content (pixels / PCM) — the digest only matches across storage
+    encodings if the decode actually ran. Undecodable payloads carry the
+    error message in ``decode_error`` instead of failing the batch
+    (skip-and-log parity, P4).
+
+    Same 100 TB shape as the other media kernels: narrow mapInPandas, no
+    shuffle, payload crosses to Python once per Arrow batch."""
+    import hashlib
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"].values, pdf["kind"].values, pdf["payload"].values
+            ):
+                w = h = ch = sr = nf = None
+                digest = err = None
+                try:
+                    b = bytes(payload)
+                    if b[:8] == _PNG_MAGIC or kind == "image":
+                        w, h, ch, pixels = decode_image(b)
+                        digest = hashlib.md5(pixels).hexdigest()
+                    elif b[:4] == _WAV_MAGIC or kind == "audio":
+                        sr, nf, ch, pcm = _decode_wav(b)
+                        digest = hashlib.md5(pcm).hexdigest()
+                    else:
+                        raise NotImplementedError(f"no real decoder for kind={kind}")
+                except Exception as e:  # skip-and-log, never fail the batch
+                    err = f"{type(e).__name__}: {e}"
+                rows.append((int(mid), kind, w, h, ch, sr, nf, digest, err))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "width", "height", "channels",
+                    "sample_rate", "n_frames", "content_digest", "decode_error",
+                ],
+            )
+
+    from ..scaling import ensure_min_parallelism
+
+    return ensure_min_parallelism(
+        media.select("media_id", "kind", "payload")
+    ).mapInPandas(run, schema=DECODED_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:

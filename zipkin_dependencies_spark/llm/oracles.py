@@ -583,14 +583,20 @@ cand AS (
   FROM buckets a JOIN buckets b
     ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 ),
+dig AS (
+  -- the verify side intersects the SAME 32-bit shingle digests the
+  -- signature CTE derives (list_distinct: set semantics, as Spark's
+  -- array_intersect/array_distinct)
+  SELECT id, list_distinct(xs) AS xs FROM shx
+),
 verified AS (
   SELECT c.id_a, c.id_b
   FROM cand c
-  JOIN sh sa ON sa.id = c.id_a
-  JOIN sh sb ON sb.id = c.id_b
-  WHERE len(list_intersect(sa.shingles, sb.shingles))
-        / (len(sa.shingles) + len(sb.shingles)
-           - len(list_intersect(sa.shingles, sb.shingles))) >= {threshold}
+  JOIN dig sa ON sa.id = c.id_a
+  JOIN dig sb ON sb.id = c.id_b
+  WHERE len(list_intersect(sa.xs, sb.xs))
+        / (len(sa.xs) + len(sb.xs) - len(list_intersect(sa.xs, sb.xs)))
+          >= {threshold}
 ),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM verified

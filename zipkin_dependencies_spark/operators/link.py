@@ -331,3 +331,69 @@ def links_from_spans(
     if strategy == "grouped":
         return aggregate_links(trace_links(normalized_spans, window))
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def links_from_spans_two_phase(
+    normalized_spans: DataFrame,
+    giant_over: int = 100_000,
+    heavy_sample_fraction: float = 0.05,
+) -> DataFrame:
+    """Two-phase linking for GIANT traces (SURVEY §4's one custom scale
+    piece; the reference's Heavy IT hazard taken past what isolation fixes,
+    ITCassandraDependenciesHeavy.java:17-31).
+
+    ``isolate_heavy_over`` keeps a giant trace from straggling its
+    neighbors, but the trace itself is still ONE task — a 10⁸-span trace is
+    hours on one core. This operator splits the giant trace ACROSS tasks:
+
+    - phase 1 (subtree phase): giant traces route to the pure-Catalyst
+      relational linker (operators/link_relational.py) whose operations key
+      on per-SPAN attributes — candidate explode + parent-resolution join,
+      per-span kind matrix — so one trace's spans spread over the whole
+      cluster; resolving each span's tree parent IS linking its one-hop
+      subtree, and AQE's skew-join splitting absorbs hot parent keys
+      (it applies here precisely because nothing is a stateful Python
+      group). Giants the relational path can't own (dup span keys, deep or
+      cyclic chains — eligibility E1-E4) fall back to the kernel, isolated.
+    - phase 2 (merge phase): the per-span link emissions from both routes
+      merge in the global (parent, child) aggregate — boundary spans need
+      no special casing because every span's emission depends only on its
+      resolved parent chain, which phase 1 materialized.
+
+    Results are byte-equal to the kernel path on every input (the hybrid ==
+    kernel contract is pinned by randomized cross-checks in
+    tests/test_link_relational.py; the giant split by tests/test_skew.py).
+
+    Giant discovery reuses the sampled detector (seeded; a missed giant
+    still links correctly via the kernel, just slower — placement-only)."""
+    from .aggregate import aggregate_links
+    from .link_relational import links_from_spans_hybrid
+
+    df = normalized_spans
+    if heavy_sample_fraction >= 1.0:
+        counted = df.groupBy("trace_key").count()
+        cutoff = float(giant_over)
+    else:
+        counted = (
+            df.sample(fraction=heavy_sample_fraction, seed=11)
+            .groupBy("trace_key")
+            .count()
+        )
+        cutoff = max(1.0, giant_over * heavy_sample_fraction / 2.0)
+    giants = counted.filter(F.col("count") > cutoff).select("trace_key")
+
+    tagged = df.join(
+        F.broadcast(giants.withColumn("_giant", F.lit(True))),
+        "trace_key",
+        "left_outer",
+    )
+    giant_links = links_from_spans_hybrid(tagged.filter(F.col("_giant")).drop("_giant"))
+    normal_links = links_from_spans(tagged.filter(F.col("_giant").isNull()).drop("_giant"))
+    return (
+        giant_links.unionByName(normal_links)
+        .groupBy("parent", "child")
+        .agg(
+            F.sum("call_count").alias("call_count"),
+            F.sum("error_count").alias("error_count"),
+        )
+    )
