@@ -239,3 +239,86 @@ class TestEsIndexNaming:
         from zipkin_dependencies_spark.config import es_span_index
 
         assert es_span_index("z", dt.date(2024, 3, 7), ".") == "z-span-2024.03.07"
+
+
+class TestFlavorProbe:
+    """Mirrors ElasticsearchDependenciesJobTest.authWorks/:33-122 — a local
+    HTTP server traps the request so the basic-auth header and the sniff
+    loop are asserted against real wire traffic, no mocks of our own code."""
+
+    @staticmethod
+    def _serve(responses, captured):
+        import http.server
+        import threading
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                captured.append(self.headers.get("Authorization"))
+                body = responses.pop(0) if responses else "{}"
+                data = body.encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv
+
+    def test_auth_header_and_opensearch_sniff(self):
+        import base64
+
+        from zipkin_dependencies_spark.config import probe_flavor
+
+        captured: list = []
+        srv = self._serve(
+            ['{"version": {"distribution": "opensearch", "number": "2.11.0"}}'],
+            captured,
+        )
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/"
+            flavor = probe_flavor([url], username="foo", password="bar")
+        finally:
+            srv.shutdown()
+        assert flavor == "opensearch"
+        encoded = base64.b64encode(b"foo:bar").decode("ascii")
+        assert captured == [f"Basic {encoded}"]
+
+    def test_unreachable_host_falls_through_to_default(self):
+        from zipkin_dependencies_spark.config import probe_flavor
+
+        # nothing listens on this port; the probe must not raise
+        assert probe_flavor(["http://127.0.0.1:1/"], timeout=0.5) == "elasticsearch"
+
+    def test_no_auth_header_when_username_unset(self):
+        from zipkin_dependencies_spark.config import probe_flavor
+
+        captured: list = []
+        srv = self._serve(["{}"], captured)
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/"
+            flavor = probe_flavor([url])
+        finally:
+            srv.shutdown()
+        assert flavor == "elasticsearch"
+        assert captured == [None]
+
+
+def test_worker_logging_honors_env(monkeypatch):
+    """Executor log bootstrap (LogInitializer parity): the worker-side init
+    reads ZIPKIN_LOG_LEVEL from its environment and sets the engine logger;
+    repeat calls are free (idempotence guard)."""
+    import importlib
+    import logging
+
+    from zipkin_dependencies_spark import worker_logging
+
+    importlib.reload(worker_logging)  # reset the module-level guard
+    monkeypatch.setenv("ZIPKIN_LOG_LEVEL", "DEBUG")
+    log = worker_logging.init_worker_logging()
+    assert log.level == logging.DEBUG
+    # second call: no reconfiguration (flag set), same logger back
+    assert worker_logging.init_worker_logging() is log

@@ -198,3 +198,41 @@ def test_top_docs_per_group_ranks_within_group(spark):
     assert got[("s1", 1)] == 1          # best quality wins its group
     assert ("s1", 3) not in got         # k bounds each group
     assert got[("s2", 1)] == 4          # groups rank independently
+
+def test_connected_components_star_matches_min_label(spark):
+    """The star variant (high-diameter escape hatch) agrees with min-label
+    propagation on a random graph: same (id, component) assignment."""
+    import random
+
+    from zipkin_dependencies_spark.llm.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(13)
+    edges = {(rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(80)}
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    label = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    star = {(r.id, r.component) for r in connected_components_star(pairs).collect()}
+    assert star == label
+
+
+def test_connected_components_star_handles_long_path(spark):
+    """A path of length 80 (diameter 80): min-label needs 80 rounds and
+    raises at its 25-round guard; the star alternation converges in
+    O(log n) rounds and labels every node with the path's minimum."""
+    import pytest as _pytest
+
+    from zipkin_dependencies_spark.llm.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(80)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs).collect()
+    got = {(r.id, r.component) for r in connected_components_star(pairs).collect()}
+    assert got == {(i, 0) for i in range(81)}

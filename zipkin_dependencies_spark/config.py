@@ -137,8 +137,7 @@ def sniff_flavor(body: str) -> str | None:
 def flavor_from_responses(bodies) -> str:
     """First sniffable distribution wins; unreachable/unmatched responses fall
     through; the overall default is "elasticsearch"
-    (ZipkinElasticsearchStorage.java:101-127). The HTTP fetch itself is the
-    caller's concern (driver-side requests loop, not a Spark op)."""
+    (ZipkinElasticsearchStorage.java:101-127)."""
     for body in bodies:
         if body is None:
             continue
@@ -146,6 +145,38 @@ def flavor_from_responses(bodies) -> str:
         if flavor is not None:
             return flavor
     return "elasticsearch"
+
+
+def probe_flavor(
+    urls: list[str],
+    username: str | None = None,
+    password: str | None = None,
+    timeout: float = 5.0,
+) -> str:
+    """Driver-side HTTP GET against each cluster root until one answers with
+    a sniffable ``distribution`` (ZipkinElasticsearchStorage.java:77-128):
+    basic auth when configured (the reference's authed probe,
+    ElasticsearchDependenciesJobTest.authWorks traps exactly this header),
+    unreachable hosts fall through, default "elasticsearch". stdlib urllib —
+    a one-shot driver call, not a Spark op."""
+    import base64
+    import urllib.error
+    import urllib.request
+
+    def fetch(url: str) -> str | None:
+        req = urllib.request.Request(url)
+        if username is not None:
+            token = base64.b64encode(
+                f"{username}:{password or ''}".encode("utf-8")
+            ).decode("ascii")
+            req.add_header("Authorization", f"Basic {token}")
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return resp.read().decode("utf-8", errors="replace")
+        except (urllib.error.URLError, OSError, TimeoutError):
+            return None
+
+    return flavor_from_responses(fetch(u) for u in urls)
 
 
 # -- env → engine config (ZipkinDependenciesJob.java:21-87, README.md:50-126) -

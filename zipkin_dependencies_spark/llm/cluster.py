@@ -95,6 +95,84 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds —
+    the high-diameter escape hatch for min-label propagation (SCALING.md
+    cliff: a path-shaped component of length L needs L label rounds but only
+    O(log L) star rounds; Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SOCC'14 — public algorithm, re-expressed as DataFrame ops).
+
+    large-star(u): every neighbor v > u re-attaches to m(u) = min(Γ(u) ∪ u);
+    small-star(u): every neighbor v ≤ u, and u itself, attach to m(u).
+    Each round is one groupBy(min) + one join, edge-cardinality; the edge
+    set monotonically flattens into stars rooted at component minima.
+
+    Same contract as ``connected_components``: (id, component = min
+    reachable id), isolated handling left to the caller's final coalesce."""
+    nodes_edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
+                F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    all_nodes = nodes_edges.select(F.col("u").alias("id")).distinct().localCheckpoint(
+        eager=True
+    )
+    edges = nodes_edges.distinct().localCheckpoint(eager=True)
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        adj = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        m = adj.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least(F.col("mn"), F.col("u")).alias("m")
+        )
+        j = adj.join(m, "u")
+        if large:
+            out = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            out = j.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            ).unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    def fingerprint(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold, not sum: order-free like sum but can't overflow
+            # under ANSI arithmetic
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    prev = fingerprint(edges)
+    for _ in range(max_iterations):
+        edges = star(star(edges, large=True), large=False).localCheckpoint(eager=True)
+        cur = fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} rounds"
+        )
+    comp = edges.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("id"), "component"
+    )
+    return all_nodes.join(comp, "id", "left_outer").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
+
+
 def lsh_verified_pairs(
     docs: DataFrame,
     k: int = 3,

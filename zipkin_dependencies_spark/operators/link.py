@@ -180,6 +180,10 @@ def trace_links_partitioned(
     def link_partition(batches: Iterable[pd.DataFrame]):
         import numpy as np
 
+        from ..worker_logging import init_worker_logging
+
+        init_worker_logging()  # executor-side ZIPKIN_LOG_LEVEL bootstrap
+
         # one accumulator per (task, day) = the reference's per-task linker
         # (CassandraRowsToDependencyLinks) doubling as the map-side combiner
         linkers: dict = {}
@@ -381,6 +385,13 @@ def links_from_spans_two_phase(
         )
         cutoff = max(1.0, giant_over * heavy_sample_fraction / 2.0)
     giants = counted.filter(F.col("count") > cutoff).select("trace_key")
+
+    # key-cardinality driver check (like the reference's isEmpty() actions,
+    # F5): on the overwhelmingly common day with NO giant trace, skip the
+    # relational branch entirely — its eligibility machinery costs several
+    # materialization rounds that would all run on empty input
+    if giants.isEmpty():
+        return links_from_spans(df)
 
     tagged = df.join(
         F.broadcast(giants.withColumn("_giant", F.lit(True))),
