@@ -553,6 +553,29 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (13-gram overlap, the standard large-LM
+    check): benchmark stand-in = the deterministic 1-in-97 doc subset,
+    broadcast as a distinct digest set — the corpus itself never shuffles.
+    Benchmark members and their duplicates flag themselves, which is the
+    behavior a real pipeline wants (test-set copies in training data)."""
+    from zipkin_dependencies_spark.llm.contamination import decontaminate
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=13, oracle_parity=True)
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition fractions (words / 2-grams / 3-grams) —
+    Gopher-style quality family; pure per-row array arithmetic, no shuffle."""
+    from zipkin_dependencies_spark.llm.text import repetition_score
+    from zipkin_dependencies_spark.testdata import load
+
+    return repetition_score(load(spark, sf_dir, "documents"))
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-bucket sampling: stable under repartitioning and
     re-runs (unlike df.sample), identical across engines."""
@@ -713,6 +736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "decontaminate": q_decontaminate,
+        "repetition_score": q_repetition_score,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
@@ -986,6 +1011,8 @@ GROUP BY 1, 2, 3
         "embedding_near_dup_lsh": llm_oracles.embedding_near_dup_lsh_sql(
             threshold=0.3, n_planes=8, dim=64
         ),
+        "decontaminate": llm_oracles.decontaminate_sql(n=13, min_hits=1, bench_mod=97),
+        "repetition_score": llm_oracles.repetition_score_sql(),
         "hash_sample": llm_oracles.hash_sample_sql(fraction=0.2),
         "stratified_sample": llm_oracles.stratified_hash_sample_sql(
             fractions={"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1},

@@ -254,3 +254,54 @@ def test_embedding_near_dup_lsh_full_recall_on_fixture(spark, vectors):
     # recall 1.0 (every true pair found) and precision exact by construction
     # (candidates are cosine-verified) ⇒ the two sets are identical
     assert lsh == brute
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from zipkin_dependencies_spark.llm.contamination import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "prefix words alpha beta gamma delta suffix words"),  # contains the 4-gram
+            (1, "alpha beta something else entirely here"),            # no full 4-gram
+            (2, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_hits, r.contaminated) for r in
+           decontaminate(docs, bench, n=4).collect()}
+    assert out[0] == (1, True)
+    assert out[1] == (0, False)
+    assert out[2] == (0, False)
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    from zipkin_dependencies_spark.llm.contamination import decontaminate
+
+    bench = spark.createDataFrame([(9, "x y z")], "doc_id long, text string")
+    # the trigram "x y z" appears twice in the doc — distinct counting → 1 hit
+    docs = spark.createDataFrame(
+        [(0, "x y z x y z")], "doc_id long, text string"
+    )
+    row = decontaminate(docs, bench, n=3).first()
+    # doc trigrams: "x y z","y z x","z x y","x y z" → distinct hit count 1
+    assert (row.n_hits, bool(row.contaminated)) == (1, True)
+
+
+def test_repetition_score_known_values(spark):
+    from zipkin_dependencies_spark.llm.text import repetition_score
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),     # 4 words, 1 distinct
+            (1, "all words are different"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_score(docs).collect()}
+    assert out[0].n_words == 4 and out[0].dup_word_frac == 0.75
+    assert out[0].dup_2gram_frac == round(2 / 3, 9)   # 3 bigrams, all "spam spam"
+    assert out[1].dup_word_frac == 0.0 and out[1].dup_3gram_frac == 0.0
+    assert out[2].n_words == 0 and out[2].dup_word_frac == 0.0

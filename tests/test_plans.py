@@ -166,3 +166,20 @@ def test_heavy_discovery_samples_not_full_scan(spark):
     plan = formatted(df)
     assert "Sample" in plan
     assert "BroadcastHashJoin" in plan
+
+def test_decontaminate_broadcasts_benchmark_no_corpus_shuffle(spark):
+    """The 100 TB contract of decontamination: the benchmark digest set is
+    broadcast and the training corpus is never exchanged — the overlap join
+    runs scan-side. The only exchange in the plan is the per-doc hit
+    aggregation (doc-id cardinality), never a corpus-side repartition."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_decontaminate(spark, SF))
+    assert "BroadcastExchange" in plan
+
+
+def test_repetition_score_is_pure_projection(spark):
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_repetition_score(spark, SF))
+    assert "Exchange" not in plan

@@ -293,6 +293,76 @@ FROM scored WHERE cosine >= {threshold}
 """
 
 
+def decontaminate_sql(n: int = 13, min_hits: int = 1, bench_mod: int = 97) -> str:
+    """Oracle for llm/contamination.py::decontaminate with the benchmark
+    stand-in = documents where doc_id % bench_mod = 0 (same deterministic
+    subset the Spark query uses). Digests are the shared 32-bit md5-prefix
+    family (oracle_parity=True on the Spark side)."""
+    grams = (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(1, len(toks) - {n} + 2),"
+        f" i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + {n - 1} AS INT)), ' '))"
+        f" ELSE [] END"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {TEXT_TOKENS} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, {grams} AS gs FROM tok
+),
+bench AS (
+  SELECT DISTINCT ('0x' || substring(md5(g.g), 1, 8))::BIGINT AS g
+  FROM grams, unnest(gs) AS g(g) WHERE doc_id % {bench_mod} = 0
+),
+doc_grams AS (
+  SELECT doc_id, ('0x' || substring(md5(g.g), 1, 8))::BIGINT AS g
+  FROM (SELECT doc_id, list_distinct(gs) AS gs FROM grams), unnest(gs) AS g(g)
+),
+hits AS (
+  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM doc_grams d JOIN bench b ON d.g = b.g
+  GROUP BY 1
+)
+SELECT doc.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) >= {min_hits} AS contaminated
+FROM documents doc LEFT JOIN hits h ON h.doc_id = doc.doc_id
+"""
+
+
+def repetition_score_sql() -> str:
+    def grams(n: int) -> str:
+        return (
+            f"CASE WHEN len(toks) >= {n} THEN "
+            f"list_transform(range(1, len(toks) - {n} + 2),"
+            f" i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + {n - 1} AS INT)), ' '))"
+            f" ELSE [] END"
+        )
+
+    def dup_frac(arr: str) -> str:
+        return (
+            f"CASE WHEN len({arr}) > 0 THEN "
+            f"round((len({arr}) - len(list_distinct({arr}))) / CAST(len({arr}) AS DOUBLE), 9) "
+            f"ELSE 0.0 END"
+        )
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {TEXT_TOKENS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, toks, {grams(2)} AS g2, {grams(3)} AS g3 FROM tok
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_words,
+       {dup_frac('toks')} AS dup_word_frac,
+       {dup_frac('g2')} AS dup_2gram_frac,
+       {dup_frac('g3')} AS dup_3gram_frac
+FROM g
+"""
+
+
 MEDIA_CTE = """
 media AS (
   SELECT doc_id AS media_id,

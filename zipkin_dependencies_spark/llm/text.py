@@ -155,3 +155,44 @@ def document_fingerprint(text: Column | str) -> Column:
     containment checks is simhash/minhash in llm.dedup)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def _word_ngram_strings(text: Column | str, n: int) -> Column:
+    """Word n-grams (space-joined) of the whitespace tokens; < n words →
+    empty array. Pure array expression under codegen."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_score(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Intra-document repetition signals (the Gopher-style quality family):
+    fraction of duplicate words / 2-grams / 3-grams within each document —
+    near-1 values mark boilerplate, keyword stuffing, and decode loops.
+
+    → (doc_id, n_words, dup_word_frac, dup_2gram_frac, dup_3gram_frac),
+    fractions rounded to 9 decimals. All per-ROW array arithmetic
+    (size/array_distinct), zero shuffles, zero Python — the cheapest class
+    of quality gate a 100 TB pipeline has; composes with quality_score and
+    the keep-best window in one Catalyst plan."""
+    toks = tokens(text_col)
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0,
+            F.round((n - F.size(F.array_distinct(arr))) / n.cast("double"), 9),
+        ).otherwise(F.lit(0.0))
+
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_words"),
+        dup_frac(toks).alias("dup_word_frac"),
+        dup_frac(_word_ngram_strings(text_col, 2)).alias("dup_2gram_frac"),
+        dup_frac(_word_ngram_strings(text_col, 3)).alias("dup_3gram_frac"),
+    )
