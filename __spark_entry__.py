@@ -576,6 +576,16 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_score(load(spark, sf_dir, "documents"))
 
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/noise scrubbing (emails/URLs/IPv4 → typed tokens + counts):
+    one JVM regexp projection, no shuffle; patterns restricted to the
+    Java-regex ∩ RE2 subset so DuckDB replays them verbatim."""
+    from zipkin_dependencies_spark.llm.text import scrub_pii
+    from zipkin_dependencies_spark.testdata import load
+
+    return scrub_pii(load(spark, sf_dir, "documents"))
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-bucket sampling: stable under repartitioning and
     re-runs (unlike df.sample), identical across engines."""
@@ -738,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "decontaminate": q_decontaminate,
         "repetition_score": q_repetition_score,
+        "scrub_pii": q_scrub_pii,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
@@ -1013,6 +1024,7 @@ GROUP BY 1, 2, 3
         ),
         "decontaminate": llm_oracles.decontaminate_sql(n=13, min_hits=1, bench_mod=97),
         "repetition_score": llm_oracles.repetition_score_sql(),
+        "scrub_pii": llm_oracles.scrub_pii_sql(),
         "hash_sample": llm_oracles.hash_sample_sql(fraction=0.2),
         "stratified_sample": llm_oracles.stratified_hash_sample_sql(
             fractions={"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1},

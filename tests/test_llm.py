@@ -305,3 +305,24 @@ def test_repetition_score_known_values(spark):
     assert out[0].dup_2gram_frac == round(2 / 3, 9)   # 3 bigrams, all "spam spam"
     assert out[1].dup_word_frac == 0.0 and out[1].dup_3gram_frac == 0.0
     assert out[2].n_words == 0 and out[2].dup_word_frac == 0.0
+
+def test_scrub_pii_replaces_and_counts(spark):
+    from zipkin_dependencies_spark.llm.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "contact alice@example.com or https://site.io/p?u=bob@x.org now"),
+            (1, "server at 10.0.0.1 and 192.168.1.254 responded"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert out[0].n_emails == 2 and out[0].n_urls == 1
+    # emails scrub first, so the URL's query-string email becomes <EMAIL>
+    # inside the URL remnant, then the URL collapses to <URL>
+    assert "alice@example.com" not in out[0].clean_text
+    assert "<EMAIL>" in out[0].clean_text
+    assert out[1].n_ips == 2 and out[1].clean_text.count("<IP>") == 2
+    assert out[2].clean_text == "no pii here at all"
+    assert (out[2].n_emails, out[2].n_urls, out[2].n_ips) == (0, 0, 0)

@@ -363,6 +363,30 @@ FROM g
 """
 
 
+def scrub_pii_sql() -> str:
+    """Oracle for llm/text.py::scrub_pii — identical patterns (Java-regex ∩
+    RE2 subset), identical replacement order."""
+    from .text import SCRUB_PATTERNS
+
+    email, e_tok = SCRUB_PATTERNS["email"]
+    url, u_tok = SCRUB_PATTERNS["url"]
+    ipv4, i_tok = SCRUB_PATTERNS["ipv4"]
+    clean = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{email}', '{e_tok}', 'g'), "
+        f"'{url}', '{u_tok}', 'g'), "
+        f"'{ipv4}', '{i_tok}', 'g')"
+    )
+    return f"""
+SELECT doc_id,
+       {clean} AS clean_text,
+       CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{url}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{ipv4}')) AS BIGINT) AS n_ips
+FROM documents
+"""
+
+
 MEDIA_CTE = """
 media AS (
   SELECT doc_id AS media_id,

@@ -196,3 +196,40 @@ def repetition_score(docs, text_col: str = "text", id_col: str = "doc_id"):
         dup_frac(_word_ngram_strings(text_col, 2)).alias("dup_2gram_frac"),
         dup_frac(_word_ngram_strings(text_col, 3)).alias("dup_3gram_frac"),
     )
+
+
+#: scrub patterns chosen from the regex subset with identical semantics in
+#: Java regex (Spark) and RE2 (DuckDB) — no lookbehind, no backrefs
+SCRUB_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "url": (r"https?://[^\s]+", "<URL>"),
+    "ipv4": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+}
+
+
+def scrub_pii(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """PII/noise scrubbing for pre-training text: emails, URLs, and IPv4
+    literals replaced with typed placeholder tokens, with per-document match
+    counts for pipeline telemetry (how much was redacted, which docs are
+    PII-dense enough to drop outright).
+
+    → (doc_id, clean_text, n_emails, n_urls, n_ips). Pure JVM regexp
+    expressions in one projection — no shuffle, no Python; patterns are
+    restricted to the Java-regex ∩ RE2 subset so the DuckDB oracle replays
+    them verbatim. Order matters and is fixed: emails first (so user@host
+    inside a URL query string is still caught by the URL rule, not half
+    rewritten), then URLs, then bare IPs."""
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(name)
+        for name, (pat, _) in (
+            ("n_emails", SCRUB_PATTERNS["email"]),
+            ("n_urls", SCRUB_PATTERNS["url"]),
+            ("n_ips", SCRUB_PATTERNS["ipv4"]),
+        )
+    ]
+    clean = c
+    for key in ("email", "url", "ipv4"):
+        pat, token = SCRUB_PATTERNS[key]
+        clean = F.regexp_replace(clean, pat, token)
+    return docs.select(F.col(id_col), clean.alias("clean_text"), *counts)
