@@ -184,3 +184,44 @@ def test_streaming_sessionize_matches_batch_closed_sessions(spark, tmp_path):
     # for row; the flush user may or may not have emitted
     got_closed = {g for g in got if g[0] in (1, 2)}
     assert got_closed == batch
+
+
+def test_streaming_dedupe_exact_keeps_first_copy(spark, tmp_path):
+    """Streaming exact dedup: duplicate contents across micro-batches within
+    the watermark horizon collapse to one emitted row per distinct text;
+    every distinct text survives."""
+    import datetime as dt
+
+    from zipkin_dependencies_spark.streaming.dedup import streaming_dedupe_exact
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (0, base, "alpha content"),
+        (1, base + dt.timedelta(seconds=10), "beta content"),
+        (2, base + dt.timedelta(seconds=20), "alpha content"),   # dup of 0
+        (3, base + dt.timedelta(seconds=30), "gamma content"),
+        (4, base + dt.timedelta(seconds=40), "alpha content"),   # dup again
+        (5, base + dt.timedelta(seconds=50), "beta content"),    # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    src = str(tmp_path / "src")
+    df.filter(F.col("doc_id") < 3).write.mode("append").parquet(src)
+    df.filter(F.col("doc_id") >= 3).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_dedupe_exact(stream, time_col="ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(str(tmp_path / "sink")).collect()
+    texts = sorted(r.text for r in got)
+    assert texts == ["alpha content", "beta content", "gamma content"]
+    # the FIRST copy in event order survives within each micro-batch group
+    survivors = {r.text: r.doc_id for r in got}
+    assert survivors["gamma content"] == 3
