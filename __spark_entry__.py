@@ -531,6 +531,20 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 32), k=5, n_planes=8)
 
 
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate cosine top-5: deterministic coarse quantizer
+    (1-in-97 corpus sample), nearest-cell assignment as a per-row JVM fold
+    over literal centroids (corpus never shuffles for assignment), top-4
+    probed cells per query."""
+    from zipkin_dependencies_spark.llm.similarity import ivf_cosine_topk
+    from zipkin_dependencies_spark.testdata import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 32), k=5, centroid_stride=97, n_probe=4
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine near-dup (threshold tuned to the synthetic corpus's
     top of the similarity distribution; LSH buckets bound this at scale)."""
@@ -744,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters_exact": q_near_dup_clusters_exact,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "decontaminate": q_decontaminate,
@@ -1017,6 +1032,9 @@ GROUP BY 1, 2, 3
         "cosine_topk": llm_oracles.cosine_topk_sql(k=5, dim=64, query_max_id=32),
         "lsh_cosine_topk": llm_oracles.lsh_cosine_topk_sql(
             k=5, n_planes=8, dim=64, query_max_id=32
+        ),
+        "ivf_cosine_topk": llm_oracles.ivf_cosine_topk_sql(
+            k=5, centroid_stride=97, n_probe=4, dim=64, query_max_id=32
         ),
         "embedding_near_dup": llm_oracles.embedding_near_dup_sql(threshold=0.3, dim=64),
         "embedding_near_dup_lsh": llm_oracles.embedding_near_dup_lsh_sql(

@@ -326,3 +326,24 @@ def test_scrub_pii_replaces_and_counts(spark):
     assert out[1].n_ips == 2 and out[1].clean_text.count("<IP>") == 2
     assert out[2].clean_text == "no pii here at all"
     assert (out[2].n_emails, out[2].n_urls, out[2].n_ips) == (0, 0, 0)
+
+def test_ivf_topk_recall(spark, vectors):
+    """IVF-flat with stride-5 centroids ({0,5,10,15,20}) and 2 probed cells
+    must recover the exact top-2 of vector 0 — its perturbed copies share
+    its cell (centroid 0 is the base vector itself)."""
+    emb, dim = vectors
+    from zipkin_dependencies_spark.llm.similarity import cosine_topk, ivf_cosine_topk
+
+    exact = {
+        r["neighbor_id"]
+        for r in cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    }
+    approx = {
+        r["neighbor_id"]
+        for r in ivf_cosine_topk(
+            emb, emb.filter(F.col("vec_id") == 0), k=4,
+            centroid_stride=5, n_probe=2,
+        ).collect()
+    }
+    assert exact <= approx
+    assert 0 not in approx  # self excluded

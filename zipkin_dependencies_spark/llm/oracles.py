@@ -224,6 +224,67 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def ivf_cosine_topk_sql(
+    k: int = 5,
+    centroid_stride: int = 97,
+    n_probe: int = 4,
+    dim: int = 64,
+    query_max_id: int = 32,
+) -> str:
+    """Oracle for llm/similarity.py::ivf_cosine_topk: same deterministic
+    centroid sample (id % stride = 0), same ordered-fold cosine arithmetic,
+    same (negcos, cid) lexicographic assignment/probing."""
+    return f"""
+WITH {_flat_cte(dim).strip()},
+cent AS (SELECT id FROM nrm WHERE id % {centroid_stride} = 0 AND norm > 0),
+cd AS (
+  SELECT a.id AS vid, b.id AS cid, sum(a.x * b.x ORDER BY a.i) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i JOIN cent ct ON b.id = ct.id
+  GROUP BY 1, 2
+),
+cscore AS (
+  SELECT cd.vid, cd.cid, -(cd.dot / (nv.norm * nc.norm)) AS negcos
+  FROM cd
+  JOIN nrm nv ON nv.id = cd.vid AND nv.norm > 0
+  JOIN nrm nc ON nc.id = cd.cid
+),
+cells AS (
+  SELECT vid, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY negcos, cid) AS rn
+    FROM cscore
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vid AS qid, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY negcos, cid) AS rn
+    FROM cscore WHERE vid < {query_max_id}
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.qid, c.vid AS nid
+  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vid <> p.qid
+),
+dots AS (
+  SELECT a.id AS qid, b.id AS nid, sum(a.x * b.x ORDER BY a.i) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i
+  JOIN cand ON cand.qid = a.id AND cand.nid = b.id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.qid AS query_id, d.nid AS neighbor_id,
+         round(d.dot / (na.norm * nb.norm), 9) AS cosine
+  FROM dots d
+  JOIN nrm na ON na.id = d.qid
+  JOIN nrm nb ON nb.id = d.nid
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def embedding_near_dup_sql(threshold: float, dim: int = 64) -> str:
     return f"""
 WITH {_flat_cte(dim).strip()},

@@ -110,6 +110,90 @@ def hyperplane_signature(vec_col: str, n_planes: int = 16, dim: int = 64) -> Col
     return sig.cast("int")
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    centroid_stride: int = 97,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate cosine top-k — the inverted-file ANN family,
+    complementing hyperplane LSH (SURVEY §7 M5: "IVF or LSH-bucketed").
+
+    Coarse quantizer: every corpus vector with ``id % centroid_stride == 0``
+    is a centroid (deterministic hash-style sample — no training step, no
+    random state; the standard IVF-flat recall/speed trade arrives entirely
+    through centroid count and ``n_probe``). Each corpus vector is assigned
+    to its nearest centroid (its "cell"); a query scores only vectors in its
+    ``n_probe`` nearest cells.
+
+    Scale design (10⁹+ vectors):
+    - the centroid table is driver-collected ONCE (bounded: corpus/stride
+      rows, the classic coarse-quantizer size) and embedded as literals, so
+      cell assignment is a per-row JVM fold — the corpus is never joined or
+      shuffled to find its cell;
+    - the probe join broadcasts (query, cell) pairs; the corpus side stays
+      a scan with a broadcast hash probe — cost ∝ corpus × n_probe/cells;
+    - every arithmetic step is the deterministic ordered fold shared with
+      cosine_topk, so the DuckDB oracle reproduces values bit-for-bit.
+    """
+    from pyspark.sql import Window as W
+
+    c = _with_norm(corpus, id_col, vec_col)
+    q = _with_norm(queries, id_col, vec_col)
+
+    cents = (
+        c.filter(F.col("id") % centroid_stride == 0)
+        .select("id", "vec", "norm")
+        .collect()
+    )  # bounded driver collect: the coarse quantizer itself
+    if not cents:
+        raise ValueError(
+            f"no centroids: no corpus id divisible by {centroid_stride}"
+        )
+
+    def cell_scores() -> Column:
+        # array of (negcos, centroid_id) structs, one per centroid; struct
+        # ordering (negcos asc, id asc) == (cosine desc, id asc)
+        elems = []
+        for r in cents:
+            w = F.array(*[F.lit(float(x)) for x in r["vec"]])
+            prod = F.zip_with(F.col("vec"), w, lambda x, wv: x.cast("double") * wv)
+            dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+            negcos = -(dot / (F.col("norm") * F.lit(float(r["norm"]))))
+            elems.append(
+                F.struct(negcos.alias("negcos"), F.lit(r["id"]).alias("cid"))
+            )
+        return F.array(*elems)
+
+    corpus_cells = c.withColumn("cell", F.array_min(cell_scores())["cid"])
+    probe_cells = q.withColumn(
+        "probes",
+        F.slice(F.array_sort(cell_scores()), 1, n_probe),
+    ).select(
+        "id", "vec", "norm", F.explode("probes.cid").alias("cell")
+    )
+
+    scored = (
+        F.broadcast(probe_cells.alias("q"))
+        .join(
+            corpus_cells.alias("c"),
+            (F.col("q.cell") == F.col("c.cell")) & (F.col("q.id") != F.col("c.id")),
+        )
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            F.round(_cosine("q", "c"), 9).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
