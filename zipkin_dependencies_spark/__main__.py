@@ -123,11 +123,17 @@ def main(argv: list[str] | None = None) -> int:
         from .sources import backends as _b
 
         if env.source_format == "es":
+            flavor = (
+                "opensearch"
+                if environ.get("STORAGE_TYPE") == "opensearch"
+                else "elasticsearch"
+            )
             _b.write_links_es(
                 links, day,
                 index_prefix=environ.get("ES_INDEX", "zipkin"),
                 date_separator=environ.get("ES_DATE_SEPARATOR", "-"),
-                conf=_b.es_conf_from_env(environ),
+                conf=_b.es_conf_from_env(environ, flavor=flavor),
+                flavor=flavor,
             )
         elif env.source_format == "cassandra":
             _b.write_links_cassandra(

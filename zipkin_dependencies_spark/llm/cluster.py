@@ -114,18 +114,22 @@ def connected_components_star(
 
     Same contract as ``connected_components``: (id, component = min
     reachable id), isolated handling left to the caller's final coalesce."""
-    nodes_edges = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
-                F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v")),
-            )
-        ).alias("e")
-    ).select("e.u", "e.v")
-    all_nodes = nodes_edges.select(F.col("u").alias("id")).distinct().localCheckpoint(
-        eager=True
+    # ONE evaluation of the (possibly expensive) pair source; the node set
+    # derives from the materialized symmetric edge list, not a second pass
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
+                    F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    edges = nodes_edges.distinct().localCheckpoint(eager=True)
+    all_nodes = edges.select(F.col("u").alias("id")).distinct()
 
     def star(e: DataFrame, large: bool) -> DataFrame:
         adj = e.unionByName(
