@@ -347,3 +347,65 @@ def test_ivf_topk_recall(spark, vectors):
     }
     assert exact <= approx
     assert 0 not in approx  # self excluded
+
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_lsh_verified_pairs_sound_on_random_corpus(spark, seed):
+    """Soundness on random corpora: every LSH-verified pair is a true
+    ngram-Jaccard pair at the same threshold (precision 1.0 — verification
+    is exact; only recall is probabilistic)."""
+    import random
+
+    from zipkin_dependencies_spark.llm.cluster import lsh_verified_pairs
+    from zipkin_dependencies_spark.llm.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(30)]
+    base = [" ".join(rng.choices(words, k=12)) for _ in range(12)]
+    rows = []
+    for i in range(30):
+        if i < 12:
+            rows.append((i, base[i]))
+        else:  # perturbed copy of a base doc — guaranteed near-dups exist
+            src = rng.randrange(12)
+            toks = base[src].split()
+            toks[rng.randrange(len(toks))] = rng.choice(words)
+            rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in lsh_verified_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    assert lsh <= exact
+    assert lsh  # and the route finds something on a dup-dense corpus
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_decontaminate_flags_every_injected_benchmark_doc(spark, seed):
+    """Property: any training doc that CONTAINS a benchmark document
+    verbatim shares all its n-grams and must be flagged."""
+    import random
+
+    from zipkin_dependencies_spark.llm.contamination import decontaminate
+
+    rng = random.Random(seed)
+    words = [f"t{i}" for i in range(40)]
+    bench_texts = [" ".join(rng.choices(words, k=8)) for _ in range(3)]
+    rows, injected = [], set()
+    for i in range(20):
+        body = " ".join(rng.choices(words, k=6))
+        if rng.random() < 0.4:
+            body = body + " " + rng.choice(bench_texts) + " " + body
+            injected.add(i)
+        rows.append((i, body))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        list(enumerate(bench_texts)), "doc_id long, text string"
+    )
+    out = {r.doc_id: bool(r.contaminated) for r in
+           decontaminate(docs, bench, n=8).collect()}
+    for i in injected:
+        assert out[i], f"doc {i} contains a benchmark doc but was not flagged"
