@@ -684,6 +684,22 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 curation composition in ONE pipeline: scrub →
+    quality/language/repetition gate → benchmark decontamination
+    (broadcast anti-join of the rare contaminated set) → keep-best dedup →
+    train/val/test hash split. Composed oracle replays every stage."""
+    from zipkin_dependencies_spark.llm.pipeline import curate_v2
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return curate_v2(
+        docs, bench, min_quality=0.4, lang="en", max_dup_3gram=0.5,
+        decontaminate_n=13, oracle_parity=True,
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (30-min gap): lag +
     running-sum windows + aggregate, all on ONE user_id exchange."""
@@ -772,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_idf": q_token_idf,
         "top_docs_per_source": q_top_docs_per_source,
         "curation_pipeline": q_curation_pipeline,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
         "sessionize_events": q_sessionize_events,
         "media_stats": q_media_stats,
         "media_frames": q_media_frames,
@@ -1060,6 +1077,9 @@ GROUP BY 1, 2, 3
         ),
         "curation_pipeline": llm_oracles.curation_pipeline_sql(
             min_quality=0.4, lang="en", sample_fraction=0.5
+        ),
+        "curation_pipeline_v2": llm_oracles.curate_v2_sql(
+            min_quality=0.4, lang="en", max_dup_3gram=0.5, n=13, bench_mod=97
         ),
         "sessionize_events": _sessionize_sql(),
         "media_stats": llm_oracles.media_stats_sql(frame_bytes=100),

@@ -183,3 +183,16 @@ def test_repetition_score_is_pure_projection(spark):
 
     plan = formatted(e.q_repetition_score(spark, SF))
     assert "Exchange" not in plan
+
+def test_curation_v2_broadcasts_contamination_never_corpus(spark):
+    """curate_v2's composition promise: the scrub + three gates inline into
+    the scan; the benchmark digest set and the contaminated-id set join in
+    as broadcasts; only the decontamination hit-count and the keep-best
+    window exchange data — corpus-scale repartitions stay out of the plan."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_curation_pipeline_v2(spark, SF))
+    assert "BroadcastExchange" in plan
+    # hit-count agg + keep-best window (+ their AQE reads): a handful of
+    # exchanges, not one per pipeline "step"
+    assert len(_node_ids(plan, "Exchange")) <= 4

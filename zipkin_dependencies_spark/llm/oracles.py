@@ -710,6 +710,147 @@ SELECT * FROM kept WHERE {bucket} < {threshold}
 """
 
 
+def curate_v2_sql(
+    min_quality: float = 0.4,
+    lang: str = "en",
+    max_dup_3gram: float = 0.5,
+    n: int = 13,
+    bench_mod: int = 97,
+    weights: dict[str, float] | None = None,
+) -> str:
+    """Composed oracle for llm/pipeline.py::curate_v2: scrub → quality/
+    language/repetition gate → decontamination anti-join → keep-best window
+    → hash split, all formulas kept in lockstep with the standalone
+    oracles (scrub_pii_sql, text_stats_sql, repetition_score_sql,
+    decontaminate_sql, dedupe_keep_best_sql, hash_split_sql)."""
+    from .text import SCRUB_PATTERNS
+
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    email, e_tok = SCRUB_PATTERNS["email"]
+    url, u_tok = SCRUB_PATTERNS["url"]
+    ipv4, i_tok = SCRUB_PATTERNS["ipv4"]
+    clean = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{email}', '{e_tok}', 'g'), "
+        f"'{url}', '{u_tok}', 'g'), "
+        f"'{ipv4}', '{i_tok}', 'g')"
+    )
+    langs = {
+        "en": ("the", "and", "of", "to", "is", "in", "that", "with"),
+        "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+        "fr": ("le", "la", "les", "et", "est", "dans", "que", "une"),
+        "es": ("el", "la", "los", "y", "es", "en", "que", "una"),
+    }
+    score = {
+        lg: "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in ms)
+        + "], t)))"
+        for lg, ms in langs.items()
+    }
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    lang_case = (
+        "CASE "
+        + " ".join(f"WHEN best > 0 AND s_{lg} = best THEN '{lg}'" for lg in langs)
+        + " ELSE 'und' END"
+    )
+    g3 = (
+        f"CASE WHEN len(toks) >= 3 THEN "
+        f"list_transform(range(1, len(toks) - 1),"
+        f" i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 2 AS INT)), ' '))"
+        f" ELSE [] END"
+    )
+    gn = (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(1, len(toks) - {n} + 2),"
+        f" i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + {n - 1} AS INT)), ' '))"
+        f" ELSE [] END"
+    )
+    dup3 = (
+        "CASE WHEN len(g3) > 0 THEN "
+        "round((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 9) "
+        "ELSE 0.0 END"
+    )
+    split_bucket = SAMPLE_BUCKET.format(key="keep_id", salt="split")
+    total = sum(weights.values())
+    names = sorted(weights)
+    cases, upper = [], 0.0
+    for name in names[:-1]:
+        upper += weights[name] / total
+        cases.append(f"WHEN {split_bucket} < {int(upper * (1 << 32))} THEN '{name}'")
+    split_case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return rf"""
+WITH dc AS (
+  SELECT doc_id, {clean} AS text FROM documents
+),
+base AS (
+  SELECT doc_id, text, {TEXT_TOKENS} AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM dc
+),
+scored0 AS (
+  SELECT doc_id, text, toks, n_chars, n_alpha,
+         CAST(len(toks) AS INT) AS n_tokens,
+         {g3} AS g3,
+         {", ".join(f"{sql} AS s_{lg}" for lg, sql in score.items())}
+  FROM base
+),
+bested AS (SELECT *, {best} AS best FROM scored0),
+gated AS (
+  SELECT doc_id, text, toks,
+         round(((CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+              + least(n_chars / 1000.0, 1.0)
+              + (CASE WHEN (CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END) >= 3
+                       AND (CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END) <= 12
+                      THEN 1.0 ELSE 0.5 END)) / 3.0, 9) AS quality
+  FROM bested
+  WHERE round(((CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+              + least(n_chars / 1000.0, 1.0)
+              + (CASE WHEN (CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END) >= 3
+                       AND (CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END) <= 12
+                      THEN 1.0 ELSE 0.5 END)) / 3.0, 9) >= {min_quality}
+    AND {lang_case} = '{lang}'
+    AND {dup3} <= {max_dup_3gram}
+),
+bench_grams AS (
+  SELECT DISTINCT ('0x' || substring(md5(g.g), 1, 8))::BIGINT AS g
+  FROM (SELECT {gn} AS gs
+        FROM (SELECT {TEXT_TOKENS} AS toks FROM dc
+              WHERE doc_id % {bench_mod} = 0)) b,
+       unnest(b.gs) AS g(g)
+),
+dirty AS (
+  SELECT DISTINCT gt.doc_id
+  FROM (SELECT doc_id, list_distinct({gn}) AS gs FROM gated) gt,
+       unnest(gt.gs) AS g(g)
+  WHERE ('0x' || substring(md5(g.g), 1, 8))::BIGINT IN (SELECT g FROM bench_grams)
+),
+kept AS (
+  SELECT g.* FROM gated g LEFT JOIN dirty d ON d.doc_id = g.doc_id
+  WHERE d.doc_id IS NULL
+),
+ranked AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+         quality,
+         row_number() OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           ORDER BY quality DESC, doc_id ASC) AS rank,
+         count(*) OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+         ) AS n_copies
+  FROM kept
+),
+bestrows AS (
+  SELECT doc_id AS keep_id, fingerprint, quality,
+         CAST(n_copies AS BIGINT) AS n_copies
+  FROM ranked WHERE rank = 1
+)
+SELECT keep_id, fingerprint, quality, n_copies, {split_case} AS split
+FROM bestrows
+"""
+
+
 def near_dup_clusters_lsh_sql(
     num_hashes: int = 16,
     bands: int = 4,

@@ -39,3 +39,62 @@ def curate(
     )
     best = dedupe_keep_best(gated, text_col=text_col, id_col=id_col)
     return hash_sample(best, sample_fraction, key_col="keep_id", salt=salt)
+
+
+def curate_v2(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_quality: float = 0.4,
+    lang: str = "en",
+    max_dup_3gram: float = 0.5,
+    decontaminate_n: int = 13,
+    split_weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oracle_parity: bool = False,
+) -> DataFrame:
+    """The full round-3 curation composition — scrub → quality/language/
+    repetition gate → benchmark decontamination → keep-best dedup →
+    train/val/test split — still ONE logical pipeline:
+
+    - scrubbing and all three gate expressions inline into the scan
+      projection (no materialization between "steps");
+    - decontamination joins only the CONTAMINATED id set back (broadcast
+      anti-join: contamination is rare by construction at scale, the set is
+      O(benchmark-overlapping docs), not O(corpus));
+    - the keep-best window over the cleaned-text fingerprint is the single
+      text-free shuffle, exactly as in v1;
+    - the split column is a scan-side hash range on the survivor key.
+
+    → (keep_id, fingerprint, quality, n_copies, split)."""
+    from .contamination import decontaminate
+    from .sampling import hash_split
+    from .text import dup_ngram_frac, scrub_expr
+
+    cleaned = docs.select(
+        F.col(id_col), scrub_expr(text_col).alias("_clean")
+    )
+    gated = cleaned.filter(
+        (quality_score("_clean") >= min_quality)
+        & (language_id("_clean") == lang)
+        & (dup_ngram_frac("_clean", 3) <= max_dup_3gram)
+    )
+    bench_clean = benchmark.select(
+        F.col(id_col), scrub_expr(text_col).alias("_clean")
+    )
+    dirty = (
+        decontaminate(
+            gated, bench_clean, n=decontaminate_n,
+            text_col="_clean", id_col=id_col,
+            bench_text_col="_clean", oracle_parity=oracle_parity,
+        )
+        .filter(F.col("contaminated"))
+        .select(id_col)
+    )
+    kept = gated.join(F.broadcast(dirty), id_col, "left_anti")
+    best = dedupe_keep_best(kept, text_col="_clean", id_col=id_col)
+    return hash_split(
+        best,
+        split_weights or {"train": 0.8, "val": 0.1, "test": 0.1},
+        key_col="keep_id",
+    )

@@ -170,6 +170,18 @@ def _word_ngram_strings(text: Column | str, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def dup_ngram_frac(text: Column | str, n: int = 1) -> Column:
+    """Fraction of duplicate word n-grams within the text (n=1: words);
+    0.0 for texts shorter than n words. Standalone Column so pipelines can
+    gate on it inline (see pipeline.curate_v2)."""
+    arr = tokens(text) if n == 1 else _word_ngram_strings(text, n)
+    sz = F.size(arr)
+    return F.when(
+        sz > 0,
+        F.round((sz - F.size(F.array_distinct(arr))) / sz.cast("double"), 9),
+    ).otherwise(F.lit(0.0))
+
+
 def repetition_score(docs, text_col: str = "text", id_col: str = "doc_id"):
     """Intra-document repetition signals (the Gopher-style quality family):
     fraction of duplicate words / 2-grams / 3-grams within each document —
@@ -180,21 +192,12 @@ def repetition_score(docs, text_col: str = "text", id_col: str = "doc_id"):
     (size/array_distinct), zero shuffles, zero Python — the cheapest class
     of quality gate a 100 TB pipeline has; composes with quality_score and
     the keep-best window in one Catalyst plan."""
-    toks = tokens(text_col)
-
-    def dup_frac(arr: Column) -> Column:
-        n = F.size(arr)
-        return F.when(
-            n > 0,
-            F.round((n - F.size(F.array_distinct(arr))) / n.cast("double"), 9),
-        ).otherwise(F.lit(0.0))
-
     return docs.select(
         F.col(id_col),
-        F.size(toks).alias("n_words"),
-        dup_frac(toks).alias("dup_word_frac"),
-        dup_frac(_word_ngram_strings(text_col, 2)).alias("dup_2gram_frac"),
-        dup_frac(_word_ngram_strings(text_col, 3)).alias("dup_3gram_frac"),
+        F.size(tokens(text_col)).alias("n_words"),
+        dup_ngram_frac(text_col, 1).alias("dup_word_frac"),
+        dup_ngram_frac(text_col, 2).alias("dup_2gram_frac"),
+        dup_ngram_frac(text_col, 3).alias("dup_3gram_frac"),
     )
 
 
@@ -205,6 +208,16 @@ SCRUB_PATTERNS: dict[str, tuple[str, str]] = {
     "url": (r"https?://[^\s]+", "<URL>"),
     "ipv4": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
 }
+
+
+def scrub_expr(text: Column | str) -> Column:
+    """The cleaned-text Column alone (fixed email → URL → IP order) — for
+    pipelines that inline scrubbing into a larger projection."""
+    clean = F.col(text) if isinstance(text, str) else text
+    for key in ("email", "url", "ipv4"):
+        pat, token = SCRUB_PATTERNS[key]
+        clean = F.regexp_replace(clean, pat, token)
+    return clean
 
 
 def scrub_pii(docs, text_col: str = "text", id_col: str = "doc_id"):
@@ -228,8 +241,4 @@ def scrub_pii(docs, text_col: str = "text", id_col: str = "doc_id"):
             ("n_ips", SCRUB_PATTERNS["ipv4"]),
         )
     ]
-    clean = c
-    for key in ("email", "url", "ipv4"):
-        pat, token = SCRUB_PATTERNS[key]
-        clean = F.regexp_replace(clean, pat, token)
-    return docs.select(F.col(id_col), clean.alias("clean_text"), *counts)
+    return docs.select(F.col(id_col), scrub_expr(c).alias("clean_text"), *counts)
