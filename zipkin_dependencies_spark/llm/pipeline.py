@@ -69,18 +69,20 @@ def curate_v2(
     → (keep_id, fingerprint, quality, n_copies, split)."""
     from .contamination import decontaminate
     from .sampling import hash_split
-    from .text import dup_ngram_frac, scrub_expr
+    from .text import dup_ngram_frac, scrub_mapped
 
-    cleaned = docs.select(
-        F.col(id_col), scrub_expr(text_col).alias("_clean")
-    )
+    # scrub as a MATERIALIZED stage (mapInPandas barrier), not an inline
+    # Column: the three gates below reference the cleaned text ~a dozen
+    # times, and project-collapse would re-run the regexes per reference
+    # (measured 37 s vs 1.6 s at sf0.1 — see scrub_mapped's docstring)
+    cleaned = scrub_mapped(docs, text_col=text_col, id_col=id_col, out_col="_clean")
     gated = cleaned.filter(
         (quality_score("_clean") >= min_quality)
         & (language_id("_clean") == lang)
         & (dup_ngram_frac("_clean", 3) <= max_dup_3gram)
     )
-    bench_clean = benchmark.select(
-        F.col(id_col), scrub_expr(text_col).alias("_clean")
+    bench_clean = scrub_mapped(
+        benchmark, text_col=text_col, id_col=id_col, out_col="_clean"
     )
     dirty = (
         decontaminate(
