@@ -44,6 +44,40 @@ def _digest(gram: Column, oracle_parity: bool) -> Column:
     return F.xxhash64(gram)
 
 
+def overlap_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    oracle_parity: bool = False,
+) -> DataFrame:
+    """→ (doc_id, n_hits) for documents with ≥1 shared n-gram ONLY — the
+    contamination-cardinality frame (tiny at scale). Pipelines that anti-join
+    the dirty set use this directly: it never re-reads the corpus the way
+    the all-documents ``decontaminate`` output must."""
+    bench_grams = F.broadcast(
+        benchmark.select(
+            F.explode(word_ngrams(bench_text_col, n)).alias("_g")
+        )
+        .select(_digest(F.col("_g"), oracle_parity).alias("g"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(text_col, n))
+        ).alias("_g"),
+    ).select(F.col(id_col), _digest(F.col("_g"), oracle_parity).alias("g"))
+
+    return (
+        doc_grams.join(bench_grams, "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -61,24 +95,9 @@ def decontaminate(
     Every document appears in the output (clean docs carry n_hits=0), so a
     decontamination filter is ``filter(~contaminated)`` with no second scan.
     """
-    bench_grams = F.broadcast(
-        benchmark.select(
-            F.explode(word_ngrams(bench_text_col, n)).alias("_g")
-        )
-        .select(_digest(F.col("_g"), oracle_parity).alias("g"))
-        .distinct()
-    )
-    doc_grams = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_ngrams(text_col, n))
-        ).alias("_g"),
-    ).select(F.col(id_col), _digest(F.col("_g"), oracle_parity).alias("g"))
-
-    hits = (
-        doc_grams.join(bench_grams, "g")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    hits = overlap_hits(
+        docs, benchmark, n=n, text_col=text_col, id_col=id_col,
+        bench_text_col=bench_text_col, oracle_parity=oracle_parity,
     )
     return (
         docs.select(id_col)

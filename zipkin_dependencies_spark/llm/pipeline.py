@@ -67,7 +67,7 @@ def curate_v2(
     - the split column is a scan-side hash range on the survivor key.
 
     → (keep_id, fingerprint, quality, n_copies, split)."""
-    from .contamination import decontaminate
+    from .contamination import overlap_hits
     from .sampling import hash_split
     from .text import dup_ngram_frac, scrub_mapped
 
@@ -84,15 +84,11 @@ def curate_v2(
     bench_clean = scrub_mapped(
         benchmark, text_col=text_col, id_col=id_col, out_col="_clean"
     )
-    dirty = (
-        decontaminate(
-            gated, bench_clean, n=decontaminate_n,
-            text_col="_clean", id_col=id_col,
-            bench_text_col="_clean", oracle_parity=oracle_parity,
-        )
-        .filter(F.col("contaminated"))
-        .select(id_col)
-    )
+    dirty = overlap_hits(
+        gated, bench_clean, n=decontaminate_n,
+        text_col="_clean", id_col=id_col,
+        bench_text_col="_clean", oracle_parity=oracle_parity,
+    ).select(id_col)
     kept = gated.join(F.broadcast(dirty), id_col, "left_anti")
     best = dedupe_keep_best(kept, text_col="_clean", id_col=id_col)
     return hash_split(
