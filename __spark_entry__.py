@@ -567,6 +567,19 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedupe_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact dedup (incremental ingest): the 1-in-3 "new crawl"
+    slice anti-joined by content digest against the rest of the corpus —
+    only digests move, never text."""
+    from zipkin_dependencies_spark.llm.dedup import dedupe_against
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 == 1)
+    existing = docs.filter(F.col("doc_id") % 3 != 1)
+    return dedupe_against(new, existing)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (13-gram overlap, the standard large-LM
     check): benchmark stand-in = the deterministic 1-in-97 doc subset,
@@ -780,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_score": q_repetition_score,
         "scrub_pii": q_scrub_pii,
+        "dedupe_against": q_dedupe_against,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
@@ -1060,6 +1074,7 @@ GROUP BY 1, 2, 3
         "decontaminate": llm_oracles.decontaminate_sql(n=13, min_hits=1, bench_mod=97),
         "repetition_score": llm_oracles.repetition_score_sql(),
         "scrub_pii": llm_oracles.scrub_pii_sql(),
+        "dedupe_against": llm_oracles.dedupe_against_sql(new_mod=3, new_rem=1),
         "hash_sample": llm_oracles.hash_sample_sql(fraction=0.2),
         "stratified_sample": llm_oracles.stratified_hash_sample_sql(
             fractions={"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1},

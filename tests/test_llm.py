@@ -409,3 +409,20 @@ def test_decontaminate_flags_every_injected_benchmark_doc(spark, seed):
            decontaminate(docs, bench, n=8).collect()}
     for i in injected:
         assert out[i], f"doc {i} contains a benchmark doc but was not flagged"
+
+def test_dedupe_against_drops_known_content(spark):
+    from zipkin_dependencies_spark.llm.dedup import dedupe_against
+
+    existing = spark.createDataFrame(
+        [(0, "seen before"), (1, "also seen")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "seen before"), (11, "brand new"), (12, "also seen"), (13, "brand new")],
+        "doc_id long, text string",
+    )
+    out = dedupe_against(new, existing)
+    survivors = {r.doc_id for r in out.collect()}
+    # known content dropped; NEW-internal duplicates both survive (that is
+    # dedupe_exact's job, deliberately not this operator's)
+    assert survivors == {11, 13}
+    assert "text_hash" in out.columns

@@ -79,6 +79,30 @@ def dedupe_keep_best(
     )
 
 
+def dedupe_against(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    existing_text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus exact dedup: rows of ``new_docs`` whose content does NOT
+    already exist in ``existing`` — the incremental-ingest companion to
+    ``dedupe_exact`` (dedup a new crawl against the accumulated corpus
+    before anything downstream pays for the duplicates).
+
+    Left-anti join on the content digest: the exchange carries 16-byte
+    digests from the NEW side only; the existing corpus contributes a
+    distinct digest set that Catalyst builds as the join's build side —
+    never the text of either corpus. Idempotent: running the survivor set
+    through again against existing+survivors yields nothing."""
+    new_hashed = new_docs.withColumn("text_hash", F.md5(F.col(text_col)))
+    existing_hashes = existing.select(
+        F.md5(F.col(existing_text_col)).alias("text_hash")
+    ).distinct()
+    return new_hashed.join(existing_hashes, "text_hash", "left_anti")
+
+
 # --- shingling / n-gram Jaccard ---------------------------------------------
 
 def char_shingles(text: str, k: int = 3) -> Column:

@@ -35,6 +35,20 @@ FROM documents GROUP BY 1
 """
 
 
+def dedupe_against_sql(new_mod: int = 3, new_rem: int = 1) -> str:
+    """Oracle for llm/dedup.py::dedupe_against with the driver fixture's
+    corpus split: "new" = doc_id % new_mod = new_rem, "existing" = the rest."""
+    return f"""
+SELECT n.doc_id, n.text, n.lang, n.source, n.n_chars, md5(n.text) AS text_hash
+FROM documents n
+WHERE n.doc_id % {new_mod} = {new_rem}
+  AND md5(n.text) NOT IN (
+    SELECT DISTINCT md5(text) FROM documents
+    WHERE doc_id % {new_mod} <> {new_rem}
+  )
+"""
+
+
 def ngram_jaccard_sql(k: int = 3, threshold: float = 0.5, id_mod: int = 5) -> str:
     return f"""
 WITH {_shingles_cte(k, f"WHERE doc_id % {id_mod} = 0").strip()},
