@@ -713,6 +713,44 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document duplicated 5-gram coverage: per doc, the fraction of
+    its distinct word 5-grams that appear in ≥1 OTHER document (the
+    RefinedWeb/CCNet boilerplate signal; complement of the intra-doc
+    repetition_score). Digest-only shuffles — text never leaves the scan."""
+    from zipkin_dependencies_spark.llm.dedup import dup_ngram_coverage
+    from zipkin_dependencies_spark.testdata import load
+
+    return dup_ngram_coverage(
+        load(spark, sf_dir, "documents"), n=5, oracle_parity=True
+    )
+
+
+def q_assign_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-balanced contiguous shard assignment via DISTRIBUTED
+    prefix sum (bucket subtotals + broadcast offsets + per-bucket cumsum —
+    never a global single-partition sort); deterministic in (corpus,
+    budget, salt) alone."""
+    from zipkin_dependencies_spark.llm.packing import assign_shards
+    from zipkin_dependencies_spark.testdata import load
+
+    return assign_shards(load(spark, sf_dir, "documents"), token_budget=4096)
+
+
+def q_dedupe_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: LSH-routed near-dup clustering → keep the
+    highest-quality doc per cluster (max_by hash aggregate, no window
+    sort). Runs on the same 1-in-5 subset as the other pair queries."""
+    from zipkin_dependencies_spark.llm.cluster import dedupe_near_keep_best
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return dedupe_near_keep_best(
+        docs, k=3, threshold=0.5, candidates="lsh",
+        num_hashes=16, bands=4, hash_fn="affine",
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (30-min gap): lag +
     running-sum windows + aggregate, all on ONE user_id exchange."""
@@ -794,6 +832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_score": q_repetition_score,
         "scrub_pii": q_scrub_pii,
         "dedupe_against": q_dedupe_against,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
+        "assign_shards": q_assign_shards,
+        "dedupe_near": q_dedupe_near,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
@@ -1075,6 +1116,11 @@ GROUP BY 1, 2, 3
         "repetition_score": llm_oracles.repetition_score_sql(),
         "scrub_pii": llm_oracles.scrub_pii_sql(),
         "dedupe_against": llm_oracles.dedupe_against_sql(new_mod=3, new_rem=1),
+        "dup_ngram_coverage": llm_oracles.dup_ngram_coverage_sql(n=5),
+        "assign_shards": llm_oracles.assign_shards_sql(token_budget=4096),
+        "dedupe_near": llm_oracles.dedupe_near_keep_best_sql(
+            num_hashes=16, bands=4, k=3, threshold=0.5, id_mod=5
+        ),
         "hash_sample": llm_oracles.hash_sample_sql(fraction=0.2),
         "stratified_sample": llm_oracles.stratified_hash_sample_sql(
             fractions={"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1},

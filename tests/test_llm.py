@@ -426,3 +426,85 @@ def test_dedupe_against_drops_known_content(spark):
     # dedupe_exact's job, deliberately not this operator's)
     assert survivors == {11, 13}
     assert "text_hash" in out.columns
+
+
+def test_dup_ngram_coverage_known_corpus(spark):
+    from zipkin_dependencies_spark.llm.dedup import dup_ngram_coverage
+
+    rows = [
+        (0, "one two three four five six"),        # grams: 2, shares 1 with doc 1
+        (1, "one two three four five seven"),      # grams: 2, shares 1 with doc 0
+        (2, "alpha beta gamma delta epsilon zeta"),  # grams: 2, unique
+        (3, "hi there"),                            # < n words: 0 grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_ngram_coverage(docs, n=5).collect()}
+    assert (out[0]["n_grams"], out[0]["n_dup_grams"]) == (2, 1)
+    assert out[0]["dup_frac"] == 0.5
+    assert (out[1]["n_grams"], out[1]["n_dup_grams"]) == (2, 1)
+    assert (out[2]["n_grams"], out[2]["n_dup_grams"]) == (2, 0)
+    assert (out[3]["n_grams"], out[3]["n_dup_grams"], out[3]["dup_frac"]) == (0, 0, 0.0)
+
+
+def test_assign_shards_matches_global_prefix_sum(spark):
+    """The bucket-decomposed distributed prefix sum must equal the
+    single-window global formulation, for any bucket count, and be stable
+    under repartitioning."""
+    import hashlib
+
+    from zipkin_dependencies_spark.llm.packing import assign_shards
+
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 7) % 23 + 1))) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def h(i):
+        return int(hashlib.md5((str(i) + "shard").encode()).hexdigest()[:8], 16)
+
+    toks = {i: len(t.split()) for i, t in rows}
+    order = sorted(toks, key=lambda i: (h(i), i))
+    expected, cum = {}, 0
+    for i in order:
+        expected[i] = cum // 64
+        cum += toks[i]
+
+    for buckets in (1, 4, 64):
+        out = {
+            r["doc_id"]: (r["n_tokens"], r["shard"])
+            for r in assign_shards(
+                docs, token_budget=64, num_buckets=buckets
+            ).collect()
+        }
+        assert {i: s for i, (_, s) in out.items()} == expected, buckets
+        assert all(out[i][0] == toks[i] for i in toks)
+
+    repart = {
+        r["doc_id"]: r["shard"]
+        for r in assign_shards(docs.repartition(7), token_budget=64).collect()
+    }
+    assert repart == expected
+
+
+def test_dedupe_near_keep_best_elects_max_quality(spark, docs):
+    from zipkin_dependencies_spark.llm.cluster import dedupe_near_keep_best, near_dup_clusters
+    from zipkin_dependencies_spark.llm.text import quality_score
+
+    out = dedupe_near_keep_best(docs, k=3, threshold=0.5, candidates="exact")
+    rows = out.collect()
+    # every doc lands in exactly one cluster; members sum to corpus size
+    assert sum(r["n_members"] for r in rows) == docs.count()
+    comp = {
+        r["id"]: r["component"]
+        for r in near_dup_clusters(docs, k=3, threshold=0.5, candidates="exact").collect()
+    }
+    quality = {
+        r["doc_id"]: r["q"]
+        for r in docs.select("doc_id", quality_score("text").alias("q")).collect()
+    }
+    for r in rows:
+        members = [i for i, c in comp.items() if c == r["component"]]
+        assert r["keep_id"] in members
+        assert r["quality"] == max(quality[i] for i in members)
+        # ties broken toward the smallest id
+        best = max(members, key=lambda i: (quality[i], -i))
+        assert r["keep_id"] == best
+        assert r["n_members"] == len(members)

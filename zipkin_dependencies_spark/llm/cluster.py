@@ -296,3 +296,46 @@ def near_dup_clusters(
     return docs.select(F.col(id_col).alias("id")).join(
         comp, "id", "left_outer"
     ).select("id", F.coalesce("component", "id").alias("component"))
+
+
+def dedupe_near_keep_best(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidates: str = "lsh",
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """→ (component, keep_id, n_members, quality): the end-to-end near-dedup
+    a pipeline actually runs — cluster near-duplicates, keep ONE document
+    per cluster, the highest ``quality_score`` (ties → smallest id).
+    Singletons keep themselves, so the output is exactly the post-dedup
+    corpus keyed by cluster.
+
+    Composition of three operators that each stand alone:
+    ``near_dup_clusters`` (LSH candidates → Jaccard verify → connected
+    components) → quality scoring (pure Column) → one aggregate per
+    component. The election is ``max_by(id, struct(quality, -id))`` — a
+    hash aggregate, no window sort, and component cardinality ≤ corpus, so
+    the final shuffle is strictly smaller than the clustering's own."""
+    from .text import quality_score
+
+    comp = near_dup_clusters(
+        docs, k=k, threshold=threshold, id_col=id_col, candidates=candidates,
+        num_hashes=num_hashes, bands=bands, hash_fn=hash_fn,
+    )
+    scored = docs.select(
+        F.col(id_col).alias("id"), quality_score(text_col).alias("q")
+    )
+    return (
+        comp.join(scored, "id")
+        .groupBy("component")
+        .agg(
+            F.expr("max_by(id, struct(q, -id))").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("q").alias("quality"),
+        )
+    )

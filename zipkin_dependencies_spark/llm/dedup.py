@@ -539,3 +539,75 @@ def embedding_near_dup(
         .cogroup(right.groupBy("r_bi", "r_bj"))
         .applyInPandas(kernel, out_schema)
     )
+
+
+def dup_ngram_coverage(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oracle_parity: bool = False,
+) -> DataFrame:
+    """→ (doc_id, n_grams, n_dup_grams, dup_frac): per document, how much of
+    it is boilerplate the rest of the corpus also carries — the fraction of
+    its DISTINCT word n-grams that appear in at least one OTHER document
+    (the inter-document complement of llm/text.py::repetition_score, which
+    scores repetition WITHIN a document; the RefinedWeb/CCNet-style
+    "duplicated n-gram coverage" signal used to gate crawl-heavy corpora).
+
+    Scale design (100 TB):
+    - documents become (id, gram-digest) rows ONCE and the digest table is
+      pinned (``localCheckpoint``) — the n-gram regex/split work is the
+      expensive part and must not re-run per consumer; digests are 8 bytes,
+      text never leaves the scan;
+    - the per-gram document count is a map-side-combined aggregate: a hot
+      boilerplate gram costs one row per task, not a collected doc list;
+    - only grams seen in ≥2 documents re-join the digest table (the
+      duplicated set is the small side in a clean corpus, and AQE's skew
+      join splits the probe side under a pathological hot gram — a hot
+      gram is never a window partition here);
+    - short documents (< n words) carry n_grams = 0, dup_frac = 0.0.
+    """
+    from ..scaling import ensure_min_parallelism
+    from .contamination import _digest, word_ngrams
+
+    grams = (
+        ensure_min_parallelism(
+            docs.select(F.col(id_col), F.col(text_col).alias("_text"))
+        )
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_ngrams("_text", n))).alias("_g"),
+        )
+        .select(F.col(id_col), _digest(F.col("_g"), oracle_parity).alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("g", F.lit(1).alias("_dup"))
+    )
+    per_doc = (
+        grams.join(dup, "g", "left_outer")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("_dup", F.lit(0))).cast("long").alias("n_dup_grams"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left_outer")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(F.col("n_dup_grams") / F.col("n_grams"), 9),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

@@ -997,3 +997,99 @@ SELECT token, CAST(count(*) AS BIGINT) AS df,
          AS idf
 FROM tok GROUP BY token
 """
+
+
+def dup_ngram_coverage_sql(n: int = 5) -> str:
+    """Oracle for llm/dedup.py::dup_ngram_coverage (oracle_parity=True):
+    distinct word n-grams per doc, 32-bit md5-prefix digests, per-gram doc
+    counts, per-doc duplicated fraction."""
+    grams = (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(1, len(toks) - {n} + 2),"
+        f" i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + {n - 1} AS INT)), ' '))"
+        f" ELSE [] END"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {TEXT_TOKENS} AS toks FROM documents
+),
+dg AS (
+  SELECT doc_id, ('0x' || substring(md5(g.g), 1, 8))::BIGINT AS g
+  FROM (SELECT doc_id, list_distinct({grams}) AS gs FROM tok), unnest(gs) AS g(g)
+),
+cnt AS (
+  SELECT g, count(*) AS n_docs FROM dg GROUP BY 1
+),
+per AS (
+  SELECT d.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+  FROM dg d JOIN cnt c ON d.g = c.g
+  GROUP BY 1
+)
+SELECT doc.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+       CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN round(p.n_dup_grams / CAST(p.n_grams AS DOUBLE), 9)
+            ELSE 0.0 END AS dup_frac
+FROM documents doc LEFT JOIN per p ON p.doc_id = doc.doc_id
+"""
+
+
+def assign_shards_sql(token_budget: int = 4096, salt: str = "shard") -> str:
+    """Oracle for llm/packing.py::assign_shards — the SINGLE-window global
+    prefix-sum formulation (fine in DuckDB at oracle scale; the Spark side
+    decomposes it into bucket offsets + per-bucket windows, bit-identical
+    because bucket ranges are hash-order ranges)."""
+    h = SAMPLE_BUCKET.format(key="doc_id", salt=salt)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({TEXT_TOKENS}) AS BIGINT) AS n_tokens,
+         {h} AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS s
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(s // {token_budget} AS BIGINT) AS shard FROM c
+"""
+
+
+def dedupe_near_keep_best_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_mod: int = 5,
+) -> str:
+    """Oracle for llm/cluster.py::dedupe_near_keep_best — the full
+    LSH-routed clustering oracle as a subquery, then one election per
+    component (highest quality, ties → smallest id) via a window."""
+    inner = near_dup_clusters_lsh_sql(
+        num_hashes=num_hashes, bands=bands, k=k, threshold=threshold, id_mod=id_mod
+    )
+    return f"""
+WITH comp AS ({inner}),
+q AS (
+  SELECT doc_id AS id, {QUALITY_SQL} AS q
+  FROM documents WHERE doc_id % {id_mod} = 0
+),
+j AS (
+  SELECT c.component, c.id, q.q FROM comp c JOIN q ON q.id = c.id
+),
+r AS (
+  SELECT component, id, q,
+         row_number() OVER (PARTITION BY component ORDER BY q DESC, id ASC) AS rn,
+         count(*) OVER (PARTITION BY component) AS n_members
+  FROM j
+)
+SELECT component, id AS keep_id, CAST(n_members AS BIGINT) AS n_members,
+       q AS quality
+FROM r WHERE rn = 1
+"""
