@@ -17,6 +17,28 @@ import sys
 import time
 
 
+def _calibrate() -> dict[str, float]:
+    """Single-core machine-speed probes, measured BEFORE Spark starts.
+
+    Recorded in the output JSON so wall-clock totals are comparable across
+    sessions: rounds run on freshly-booted sandboxes whose per-core speed
+    varies ~2× (round 2's '2.16× regression' with an untouched diff was
+    exactly this). Interpret `value` relative to `calibration`, and compare
+    ledger entries at like-for-like calibration."""
+    import numpy as np
+
+    t0 = time.monotonic()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    py = time.monotonic() - t0
+    a = np.random.RandomState(0).rand(2000, 2000)
+    t0 = time.monotonic()
+    (a @ a).sum()
+    np_t = time.monotonic() - t0
+    return {"python_loop_s": round(py, 3), "numpy_matmul_s": round(np_t, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -24,6 +46,8 @@ def main() -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+
+    calibration = _calibrate()
 
     from zipkin_dependencies_spark.session import get_spark
     import __spark_entry__ as entry
@@ -59,7 +83,20 @@ def main() -> None:
         if name not in ("trace_normalize", "streaming_daily_links")
     ]
 
+    # driver GC time (local mode: driver == executors, so this is ALL GC).
+    # Per-query GC deltas separate "the plan is slow" from "the session is
+    # sick" — round 2 shipped a 2.16× bench total without this and the
+    # regression turned out to be environmental.
+    gc_beans = (
+        spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans()
+    )
+
+    def gc_ms() -> int:
+        return sum(b.getCollectionTime() for b in gc_beans)
+
     timings: dict[str, float] = {}
+    gc_per_query: dict[str, int] = {}
     for name in headline:
         q = all_queries[name]
         # best-of-2: the first execution of each distinct plan pays one-time
@@ -68,13 +105,18 @@ def main() -> None:
         # rather than the compiler's, and keeps round-over-round comparisons
         # against BASELINE.md stable.
         best, n = None, 0
+        g0 = gc_ms()
         for _ in range(2):
             t0 = time.monotonic()
             n = q(spark, sf_dir).count()  # forces the full plan
             el = time.monotonic() - t0
             best = el if best is None else min(best, el)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        gc_per_query[name] = gc_ms() - g0
+        print(
+            f"# {name}: {timings[name]:.2f}s ({n} rows, gc {gc_per_query[name]}ms)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -85,6 +127,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration": calibration,
+                "gc_ms": gc_per_query,
             }
         )
     )
