@@ -760,6 +760,30 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_events(spark, sf_dir), gap_seconds=1800)
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's most recent
+    click-or-view at or before it (union + ordered window, ONE key-only
+    shuffle — never the quadratic inequality join). Oracle is DuckDB's
+    native ASOF LEFT JOIN."""
+    from zipkin_dependencies_spark.operators.asof import asof_attribution
+    from zipkin_dependencies_spark.testdata import load_events
+
+    return asof_attribution(load_events(spark, sf_dir))
+
+
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: signup → click → purchase, each hop within 24h, greedy from
+    first occurrence. Sequential conditional windows on ONE user exchange."""
+    from zipkin_dependencies_spark.operators.funnel import funnel
+    from zipkin_dependencies_spark.testdata import load_events
+
+    return funnel(
+        load_events(spark, sf_dir),
+        steps=["signup", "click", "purchase"],
+        within_us=24 * 3_600_000_000,
+    )
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: typed metadata + content digest over opaque
     binary payloads (JVM-side md5 over binary)."""
@@ -845,6 +869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "sessionize_events": q_sessionize_events,
+        "asof_attribution": q_asof_attribution,
+        "funnel_events": q_funnel_events,
         "media_stats": q_media_stats,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
@@ -853,6 +879,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from zipkin_dependencies_spark.llm import oracles as llm_oracles
+    from zipkin_dependencies_spark.operators.asof import (
+        ASOF_ATTRIBUTION_SQL as _ASOF_ATTRIBUTION_SQL,
+    )
+    from zipkin_dependencies_spark.operators.funnel import funnel_sql as _funnel_sql
     from zipkin_dependencies_spark.operators.sessionize import sessionize_sql as _sessionize_sql
     from zipkin_dependencies_spark.testdata import (
         LINKS_SQL,
@@ -1143,6 +1173,10 @@ GROUP BY 1, 2, 3
             min_quality=0.4, lang="en", max_dup_3gram=0.5, n=13, bench_mod=97
         ),
         "sessionize_events": _sessionize_sql(),
+        "asof_attribution": _ASOF_ATTRIBUTION_SQL,
+        "funnel_events": _funnel_sql(
+            ["signup", "click", "purchase"], within_us=24 * 3_600_000_000
+        ),
         "media_stats": llm_oracles.media_stats_sql(frame_bytes=100),
         "media_frames": llm_oracles.media_frames_sql(frame_bytes=100),
         "media_features": llm_oracles.media_features_sql(dim=8),

@@ -1,0 +1,163 @@
+"""Unit semantics for the as-of join and funnel operators — the edge cases
+the sf-corpus oracle runs don't isolate: inclusive same-timestamp matches,
+tolerance cutoffs, left-outer nulls, broken funnel chains, hop windows."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from zipkin_dependencies_spark.operators.asof import asof_join
+from zipkin_dependencies_spark.operators.funnel import funnel
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    )
+
+
+def test_asof_inclusive_and_latest_wins(spark):
+    left = _events(spark, [(1, 10, _ts("2024-01-01 12:00:00"), "purchase")])
+    right = _events(
+        spark,
+        [
+            (1, 1, _ts("2024-01-01 11:00:00"), "click"),
+            (1, 2, _ts("2024-01-01 11:30:00"), "click"),
+            # exactly simultaneous with the purchase: inclusive → matches
+            (1, 3, _ts("2024-01-01 12:00:00"), "click"),
+            # after the purchase: never visible
+            (1, 4, _ts("2024-01-01 12:00:01"), "click"),
+        ],
+    )
+    row = asof_join(
+        left, right, on=["user_id"], tiebreak="event_id"
+    ).collect()[0]
+    assert row["event_id_r"] == 3
+
+
+def test_asof_left_outer_null_and_tolerance(spark):
+    left = _events(
+        spark,
+        [
+            (1, 10, _ts("2024-01-01 12:00:00"), "purchase"),
+            (2, 20, _ts("2024-01-01 12:00:00"), "purchase"),  # no right rows
+        ],
+    )
+    right = _events(spark, [(1, 1, _ts("2024-01-01 09:00:00"), "click")])
+    out = {
+        r["user_id"]: r
+        for r in asof_join(left, right, on=["user_id"]).collect()
+    }
+    assert out[1]["event_id_r"] == 1
+    assert out[2]["event_id_r"] is None and out[2]["ts_r_us"] is None
+
+    # 1-hour tolerance: the 3-hours-ago click is out of range → nulled
+    tol = {
+        r["user_id"]: r
+        for r in asof_join(
+            left, right, on=["user_id"], tolerance_us=3_600_000_000
+        ).collect()
+    }
+    assert tol[1]["event_id_r"] is None
+
+
+def test_asof_keys_do_not_cross(spark):
+    left = _events(spark, [(1, 10, _ts("2024-01-01 12:00:00"), "purchase")])
+    right = _events(spark, [(2, 1, _ts("2024-01-01 11:00:00"), "click")])
+    row = asof_join(left, right, on=["user_id"]).collect()[0]
+    assert row["event_id_r"] is None
+
+
+def test_asof_same_ts_right_ties_pick_tiebreak_max(spark):
+    """Two right rows at one timestamp: the window's (ts, side, tiebreak)
+    order makes the LARGEST tiebreak the carried match — deterministic."""
+    left = _events(spark, [(1, 10, _ts("2024-01-01 12:00:00"), "purchase")])
+    right = _events(
+        spark,
+        [
+            (1, 7, _ts("2024-01-01 11:00:00"), "click"),
+            (1, 5, _ts("2024-01-01 11:00:00"), "click"),
+        ],
+    )
+    row = asof_join(
+        left, right, on=["user_id"], tiebreak="event_id"
+    ).collect()[0]
+    assert row["event_id_r"] == 7
+
+
+def test_funnel_strict_order_and_broken_chain(spark):
+    ev = _events(
+        spark,
+        [
+            # user 1: full chain in order
+            (1, 1, _ts("2024-01-01 00:00:00"), "signup"),
+            (1, 2, _ts("2024-01-01 01:00:00"), "click"),
+            (1, 3, _ts("2024-01-01 02:00:00"), "purchase"),
+            # user 2: purchase BEFORE click → stage 2 only
+            (2, 4, _ts("2024-01-01 00:00:00"), "signup"),
+            (2, 5, _ts("2024-01-01 02:00:00"), "click"),
+            (2, 6, _ts("2024-01-01 01:00:00"), "purchase"),
+            # user 3: never signs up → stage 0
+            (3, 7, _ts("2024-01-01 00:00:00"), "click"),
+            (3, 8, _ts("2024-01-01 01:00:00"), "purchase"),
+        ],
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel(ev, ["signup", "click", "purchase"]).collect()
+    }
+    assert out[1]["stage_reached"] == 3
+    assert out[2]["stage_reached"] == 2 and out[2]["t3_us"] is None
+    assert out[3]["stage_reached"] == 0 and out[3]["t1_us"] is None
+
+
+def test_funnel_simultaneous_step_not_counted(spark):
+    """Step k must be STRICTLY after step k-1 — a click at the exact signup
+    timestamp does not advance the funnel."""
+    ev = _events(
+        spark,
+        [
+            (1, 1, _ts("2024-01-01 00:00:00"), "signup"),
+            (1, 2, _ts("2024-01-01 00:00:00"), "click"),
+        ],
+    )
+    row = funnel(ev, ["signup", "click"]).collect()[0]
+    assert row["stage_reached"] == 1 and row["t2_us"] is None
+
+
+def test_funnel_hop_window(spark):
+    """within_us bounds each hop independently, and the hop anchors on the
+    greedy (earliest) previous step."""
+    ev = _events(
+        spark,
+        [
+            (1, 1, _ts("2024-01-01 00:00:00"), "signup"),
+            # 2h later: outside a 1h hop window
+            (1, 2, _ts("2024-01-01 02:00:00"), "click"),
+            # second signup 90min in — greedy anchor stays at 00:00, so
+            # the 02:00 click is STILL out of range
+            (1, 3, _ts("2024-01-01 01:30:00"), "signup"),
+        ],
+    )
+    row = funnel(ev, ["signup", "click"], within_us=3_600_000_000).collect()[0]
+    assert row["stage_reached"] == 1
+    assert row["t1_us"] == int(_ts("2024-01-01 00:00:00").timestamp() * 1e6)
+
+
+def test_funnel_one_exchange(spark):
+    """Funnel depth does not multiply shuffles: the whole chain plans on a
+    single Exchange (window partitioning reused by the final aggregate)."""
+    ev = _events(spark, [(1, 1, _ts("2024-01-01 00:00:00"), "signup")])
+    plan = (
+        funnel(ev, ["signup", "click", "purchase", "error"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
