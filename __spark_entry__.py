@@ -522,6 +522,16 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 32), k=5)
 
 
+def q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized brute-force cosine top-5: 4× less corpus IO, integer
+    dot products (scales cancel), same broadcast-queries plan."""
+    from zipkin_dependencies_spark.llm.similarity import quantized_cosine_topk
+    from zipkin_dependencies_spark.testdata import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    return quantized_cosine_topk(emb, emb.filter(F.col("vec_id") < 32), k=5)
+
+
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate cosine top-5 (multi-probe hyperplane LSH)."""
     from zipkin_dependencies_spark.llm.similarity import lsh_cosine_topk
@@ -760,6 +770,20 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_events(spark, sf_dir), gap_seconds=1800)
 
 
+def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality gate: keep documents at or above their
+    source's 75th-percentile quality. Threshold = tiny grouped aggregate
+    broadcast back onto the scan — no driver collect, zero corpus shuffle."""
+    from zipkin_dependencies_spark.llm.sampling import quantile_gate
+    from zipkin_dependencies_spark.llm.text import quality_score
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    return quantile_gate(
+        docs, quality_score("text"), p=0.75, group_col="source"
+    ).select("doc_id", "source", "score", "threshold")
+
+
 def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase attributed to the user's most recent
     click-or-view at or before it (union + ordered window, ONE key-only
@@ -848,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_clusters_exact": q_near_dup_clusters_exact,
         "cosine_topk": q_cosine_topk,
+        "quantized_cosine_topk": q_quantized_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -871,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "asof_attribution": q_asof_attribution,
         "funnel_events": q_funnel_events,
+        "quantile_gate": q_quantile_gate,
         "media_stats": q_media_stats,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
@@ -1132,6 +1158,9 @@ GROUP BY 1, 2, 3
             k=3, threshold=0.5, id_mod=5
         ),
         "cosine_topk": llm_oracles.cosine_topk_sql(k=5, dim=64, query_max_id=32),
+        "quantized_cosine_topk": llm_oracles.quantized_cosine_topk_sql(
+            k=5, dim=64, query_max_id=32, levels=127
+        ),
         "lsh_cosine_topk": llm_oracles.lsh_cosine_topk_sql(
             k=5, n_planes=8, dim=64, query_max_id=32
         ),
@@ -1174,6 +1203,7 @@ GROUP BY 1, 2, 3
         ),
         "sessionize_events": _sessionize_sql(),
         "asof_attribution": _ASOF_ATTRIBUTION_SQL,
+        "quantile_gate": llm_oracles.quantile_gate_sql(p=0.75, group_col="source"),
         "funnel_events": _funnel_sql(
             ["signup", "click", "purchase"], within_us=24 * 3_600_000_000
         ),

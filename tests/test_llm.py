@@ -508,3 +508,43 @@ def test_dedupe_near_keep_best_elects_max_quality(spark, docs):
         best = max(members, key=lambda i: (quality[i], -i))
         assert r["keep_id"] == best
         assert r["n_members"] == len(members)
+
+
+def test_quantize_embeddings_properties(spark):
+    """Max-|x| element hits ±levels exactly; zero vectors are dropped;
+    qnorm2 is the exact integer norm."""
+    from zipkin_dependencies_spark.llm.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # all-zero: dropped
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = quantize_embeddings(emb, levels=127).collect()
+    assert [r["id"] for r in rows] == [1]
+    r = rows[0]
+    assert r["qvec"] == [64, -127, 32, 0]  # round(x / (1.0/127))
+    assert r["qnorm2"] == 64 * 64 + 127 * 127 + 32 * 32
+    assert abs(r["scale"] - 1.0 / 127) < 1e-12
+
+
+def test_quantized_topk_recall(spark, vectors):
+    """Int8 quantization keeps the exact top-k on the perturbed-copies
+    fixture: cosine distortion from 8-bit rounding is ~1e-3, far below the
+    fixture's neighbor gaps (perturbed copies at cos≥0.99 vs random Gaussian
+    vectors near 0)."""
+    emb, dim = vectors
+    from zipkin_dependencies_spark.llm.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") == 0)
+    exact = {r["neighbor_id"] for r in cosine_topk(emb, queries, k=4).collect()}
+    quant = {
+        r["neighbor_id"]
+        for r in quantized_cosine_topk(emb, queries, k=4).collect()
+    }
+    assert exact == quant

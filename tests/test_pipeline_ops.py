@@ -236,3 +236,27 @@ def test_connected_components_star_handles_long_path(spark):
         connected_components(pairs).collect()
     got = {(r.id, r.component) for r in connected_components_star(pairs).collect()}
     assert got == {(i, 0) for i in range(81)}
+
+
+def test_quantile_gate_semantics(spark):
+    """Global p50 keeps the top half (inclusive of the interpolated cut);
+    grouped mode cuts per group; approx mode returns the same schema."""
+    from pyspark.sql import functions as F
+
+    from zipkin_dependencies_spark.llm.sampling import quantile_gate
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 4 else "b", float(i)) for i in range(8)],
+        "id long, grp string, v double",
+    )
+    # global: p50 of 0..7 = 3.5 → keep 4..7
+    kept = quantile_gate(df, F.col("v"), p=0.5)
+    assert {r["id"] for r in kept.collect()} == {4, 5, 6, 7}
+    assert kept.collect()[0]["threshold"] == 3.5
+    # grouped: a's p50 = 1.5 → {2,3}; b's p50 = 5.5 → {6,7}
+    grouped = quantile_gate(df, F.col("v"), p=0.5, group_col="grp")
+    assert {r["id"] for r in grouped.collect()} == {2, 3, 6, 7}
+    # approx path: same columns, threshold is an actual data value
+    approx = quantile_gate(df, F.col("v"), p=0.5, exact=False)
+    assert set(approx.columns) == set(kept.columns)
+    assert approx.count() >= 4

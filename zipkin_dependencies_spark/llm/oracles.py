@@ -238,6 +238,46 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def quantized_cosine_topk_sql(
+    k: int = 5, dim: int = 64, query_max_id: int = 32, levels: int = 127
+) -> str:
+    """Oracle for llm/similarity.py::quantized_cosine_topk: the same
+    symmetric int8 quantization (scale = max|x|/levels, q = round(x/scale))
+    then cosine on pure INTEGER dots — scales cancel, so the only float op
+    is the final division and both engines agree to the last bit (integer
+    sums are order-free; no fold-order caveat needed)."""
+    return f"""
+WITH {_flat_cte(dim).strip()},
+scl AS (
+  SELECT id, max(abs(x)) / {levels}.0 AS scale FROM flat GROUP BY 1
+  HAVING max(abs(x)) > 0
+),
+qf AS (
+  SELECT f.id, f.i, CAST(round(f.x / s.scale) AS BIGINT) AS q
+  FROM flat f JOIN scl s USING (id)
+),
+qn AS (SELECT id, sum(q * q) AS n2 FROM qf GROUP BY 1 HAVING sum(q * q) > 0),
+dots AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id, sum(a.q * b.q) AS dot
+  FROM qf a JOIN qf b ON a.i = b.i AND a.id <> b.id
+  WHERE a.id < {query_max_id}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dot / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 9) AS cosine
+  FROM dots d
+  JOIN qn na ON na.id = d.query_id
+  JOIN qn nb ON nb.id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def ivf_cosine_topk_sql(
     k: int = 5,
     centroid_stride: int = 97,
@@ -971,6 +1011,24 @@ QUALITY_SQL = r"""round(((CASE WHEN length(text) > 0
                             THEN length(text) / len(""" + TEXT_TOKENS + r""")
                             ELSE 0.0 END) BETWEEN 3 AND 12
                       THEN 1.0 ELSE 0.5 END)) / 3.0, 9)"""
+
+
+def quantile_gate_sql(p: float = 0.75, group_col: str = "source") -> str:
+    """Oracle for llm/sampling.py::quantile_gate (exact mode): DuckDB's
+    ``quantile_cont`` is the same linear-interpolation percentile as
+    Spark's ``percentile``, over the identical round-9 quality scores."""
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {group_col}, {QUALITY_SQL} AS score FROM documents
+),
+thr AS (
+  SELECT {group_col}, quantile_cont(score, {p}) AS threshold
+  FROM scored GROUP BY {group_col}
+)
+SELECT s.doc_id, s.{group_col}, s.score, round(t.threshold, 9) AS threshold
+FROM scored s JOIN thr t USING ({group_col})
+WHERE s.score >= t.threshold
+"""
 
 
 def top_docs_per_group_sql(k: int = 5, group_col: str = "source") -> str:

@@ -79,3 +79,47 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def quantile_gate(
+    df: DataFrame,
+    score: Column,
+    p: float = 0.75,
+    group_col: str | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep rows whose ``score`` is at or above the corpus's (or their
+    group's) p-th percentile — the corpus-RELATIVE quality gate ("keep the
+    top quartile per source") that an absolute threshold can't express,
+    because the cut moves with the data.
+
+    The threshold never touches the driver: it's a one-row (or
+    group-cardinality) aggregate broadcast back onto the scan, so the plan
+    is aggregate → broadcast-join → filter, and the corpus itself is
+    scanned twice but shuffled ZERO times (the grouped aggregate shuffles
+    only (group, score) pairs).
+
+    ``exact=True`` uses ``percentile`` (linear interpolation, the same
+    definition as DuckDB's ``quantile_cont`` — oracle-parity mode). At
+    100 TB exact percentile sort-buffers each group's values inside the
+    aggregate; flip ``exact=False`` for t-digest ``percentile_approx``
+    (bounded memory, rank error ≤ 1/accuracy) — same plan shape, no oracle."""
+    pct = (
+        F.percentile(score, F.lit(p))
+        if exact
+        else F.percentile_approx(score, F.lit(p), F.lit(accuracy))
+    )
+    scored = df.withColumn("_score", score)
+    if group_col is None:
+        thr = scored.agg(pct.alias("_thr"))
+        gated = scored.join(F.broadcast(thr))
+    else:
+        thr = scored.groupBy(group_col).agg(pct.alias("_thr"))
+        gated = scored.join(F.broadcast(thr), group_col)
+    return (
+        gated.filter(F.col("_score") >= F.col("_thr"))
+        .withColumn("_thr", F.round("_thr", 9))
+        .withColumnRenamed("_score", "score")
+        .withColumnRenamed("_thr", "threshold")
+    )
