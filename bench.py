@@ -95,29 +95,38 @@ def main() -> None:
     def gc_ms() -> int:
         return sum(b.getCollectionTime() for b in gc_beans)
 
+    def steal_ticks() -> int:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+
     timings: dict[str, float] = {}
     gc_per_query: dict[str, int] = {}
-    for name in headline:
-        q = all_queries[name]
-        # best-of-2: the first execution of each distinct plan pays one-time
-        # codegen/compile cost (measured: 7.6s -> 2.5s steady state for the
-        # same plan); best-of-N is the standard way to report the query cost
-        # rather than the compiler's, and keeps round-over-round comparisons
-        # against BASELINE.md stable.
-        best, n = None, 0
-        g0 = gc_ms()
-        for _ in range(2):
+    steal0 = steal_ticks()
+    # best-of-2 as two SEPARATED full passes, not back-to-back repeats: the
+    # first execution of each distinct plan pays one-time codegen cost
+    # (measured: 7.6s -> 2.5s steady state), so a repeat is needed — but this
+    # sandbox also shows transient tens-of-seconds machine slowdowns (CPU
+    # steal bursts) that hit BOTH adjacent repeats of the same query and its
+    # neighbors (observed: 4 consecutive linker queries all 2-5x slow in one
+    # run, all at floor in the next). Min across two passes separated by the
+    # full suite length decorrelates query cost from burst timing.
+    for pass_i in range(2):
+        for name in headline:
+            q = all_queries[name]
+            g0 = gc_ms()
             t0 = time.monotonic()
             n = q(spark, sf_dir).count()  # forces the full plan
-            el = time.monotonic() - t0
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 3)
-        gc_per_query[name] = gc_ms() - g0
-        print(
-            f"# {name}: {timings[name]:.2f}s ({n} rows, gc {gc_per_query[name]}ms)",
-            file=sys.stderr,
-        )
+            el = round(time.monotonic() - t0, 3)
+            prev = timings.get(name)
+            if prev is None or el < prev:
+                timings[name] = el
+                gc_per_query[name] = gc_ms() - g0
+            print(
+                f"# pass{pass_i} {name}: {el:.2f}s ({n} rows, gc {gc_ms() - g0}ms)",
+                file=sys.stderr,
+            )
 
+    calibration["steal_s"] = round((steal_ticks() - steal0) / 100.0, 1)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
