@@ -770,6 +770,47 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_events(spark, sf_dir), gap_seconds=1800)
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen epoch-week,
+    counted per activity-week offset. Two exchanges total (user window +
+    weeks² final count)."""
+    from zipkin_dependencies_spark.operators.cohort import cohort_retention
+    from zipkin_dependencies_spark.testdata import load_events
+
+    return cohort_retention(load_events(spark, sf_dir))
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP corpus inventory: (source, lang) / source / grand-total rows
+    from ONE hash aggregate; mean quality via exact integer-scaled sums."""
+    from zipkin_dependencies_spark.llm.text import corpus_stats
+    from zipkin_dependencies_spark.testdata import load
+
+    return corpus_stats(load(spark, sf_dir, "documents"))
+
+
+def q_group_topn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source top-20 sample by salted-hash order — the
+    reproducible reservoir-sample analog (balanced per-domain caps)."""
+    from zipkin_dependencies_spark.llm.sampling import group_hash_topn
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    return group_hash_topn(docs, n=20, group_col="source").select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via exact integer-scaled element sums
+    (order-free, engine-exact); map-side partial agg keeps the exploded
+    rows off the wire."""
+    from zipkin_dependencies_spark.llm.similarity import label_centroids
+    from zipkin_dependencies_spark.testdata import load
+
+    return label_centroids(load(spark, sf_dir, "embeddings"))
+
+
 def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative quality gate: keep documents at or above their
     source's 75th-percentile quality. Threshold = tiny grouped aggregate
@@ -897,6 +938,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "funnel_events": q_funnel_events,
         "quantile_gate": q_quantile_gate,
+        "cohort_retention": q_cohort_retention,
+        "corpus_stats": q_corpus_stats,
+        "group_topn_sample": q_group_topn_sample,
+        "label_centroids": q_label_centroids,
         "media_stats": q_media_stats,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
@@ -907,6 +952,9 @@ def oracle_sql() -> dict[str, str]:
     from zipkin_dependencies_spark.llm import oracles as llm_oracles
     from zipkin_dependencies_spark.operators.asof import (
         ASOF_ATTRIBUTION_SQL as _ASOF_ATTRIBUTION_SQL,
+    )
+    from zipkin_dependencies_spark.operators.cohort import (
+        COHORT_RETENTION_SQL as _COHORT_RETENTION_SQL,
     )
     from zipkin_dependencies_spark.operators.funnel import funnel_sql as _funnel_sql
     from zipkin_dependencies_spark.operators.sessionize import sessionize_sql as _sessionize_sql
@@ -1204,6 +1252,10 @@ GROUP BY 1, 2, 3
         "sessionize_events": _sessionize_sql(),
         "asof_attribution": _ASOF_ATTRIBUTION_SQL,
         "quantile_gate": llm_oracles.quantile_gate_sql(p=0.75, group_col="source"),
+        "cohort_retention": _COHORT_RETENTION_SQL,
+        "corpus_stats": llm_oracles.corpus_stats_sql(),
+        "group_topn_sample": llm_oracles.group_hash_topn_sql(n=20, group_col="source"),
+        "label_centroids": llm_oracles.label_centroids_sql(scale_bits=20, dim=64),
         "funnel_events": _funnel_sql(
             ["signup", "click", "purchase"], within_us=24 * 3_600_000_000
         ),

@@ -260,3 +260,86 @@ def test_quantile_gate_semantics(spark):
     approx = quantile_gate(df, F.col("v"), p=0.5, exact=False)
     assert set(approx.columns) == set(kept.columns)
     assert approx.count() >= 4
+
+
+def test_cohort_retention_discriminates(spark):
+    """Synthetic two-cohort corpus: week-0 cohort loses a user by week 1;
+    week-1 cohort is a singleton."""
+    import datetime as dt
+
+    from zipkin_dependencies_spark.operators.cohort import cohort_retention
+
+    def ts(day):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(days=day)
+
+    ev = spark.createDataFrame(
+        [
+            # users 1,2 first seen week 0 (epoch day 0-6)
+            (1, ts(1)), (2, ts(2)),
+            # user 1 returns week 1; user 2 does not
+            (1, ts(8)),
+            # user 3 first seen week 1
+            (3, ts(9)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    rows = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert rows == {(0, 0): 2, (0, 1): 1, (1, 0): 1}
+
+
+def test_group_hash_topn_exact_n_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from zipkin_dependencies_spark.llm.sampling import group_hash_topn
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 2)) for i in range(40)], "doc_id long, grp string"
+    )
+    out = group_hash_topn(df, n=5, group_col="grp", key_col="doc_id")
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 5, "g1": 5}
+    # repartitioning the input must not change the sample (hash order, not
+    # physical order)
+    out2 = group_hash_topn(df.repartition(7), n=5, group_col="grp", key_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in out2.collect()
+    )
+
+
+def test_label_centroids_known_values(spark):
+    from zipkin_dependencies_spark.llm.similarity import label_centroids
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 7),
+            (2, [0.0, 1.0], 7),
+            (3, [4.0, 4.0], 8),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {(r["label"], r["i"]): (r["c"], r["n_vectors"]) for r in label_centroids(emb).collect()}
+    assert rows[(7, 0)] == (0.5, 2) and rows[(7, 1)] == (0.5, 2)
+    assert rows[(8, 0)] == (4.0, 1) and rows[(8, 1)] == (4.0, 1)
+
+
+def test_corpus_stats_rollup_levels(spark):
+    from zipkin_dependencies_spark.llm.text import corpus_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta", "en", "web"),
+            (2, "gamma delta", "en", "web"),
+            (3, "epsilon", "de", "books"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {(r["source"], r["lang"]): r for r in corpus_stats(docs).collect()}
+    # leaf, per-source subtotal, and grand total all present from one pass
+    assert rows[("web", "en")]["n_docs"] == 2
+    assert rows[("web", "(all)")]["n_docs"] == 2
+    assert rows[("books", "(all)")]["n_docs"] == 1
+    assert rows[("(all)", "(all)")]["n_docs"] == 3
+    assert rows[("(all)", "(all)")]["total_tokens"] == 5

@@ -1031,6 +1031,61 @@ WHERE s.score >= t.threshold
 """
 
 
+def group_hash_topn_sql(n: int, group_col: str = "source", salt: str = "") -> str:
+    """Oracle for llm/sampling.py::group_hash_topn: row_number over the
+    identical salted-md5 order."""
+    bucket = SAMPLE_BUCKET.format(key="doc_id", salt=salt)
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, {group_col},
+         CAST(row_number() OVER (PARTITION BY {group_col}
+              ORDER BY {bucket}, doc_id) AS INT) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, {group_col}, sample_rank FROM ranked WHERE sample_rank <= {n}
+"""
+
+
+def label_centroids_sql(scale_bits: int = 20, dim: int = 64) -> str:
+    """Oracle for llm/similarity.py::label_centroids: the same integer
+    scaling (round(x·2^bits) summed exactly) over the unnested embedding."""
+    scale = 1 << scale_bits
+    return f"""
+WITH flat AS (
+  SELECT label, CAST(u.i - 1 AS INT) AS i,
+         CAST(round(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) * {scale}.0)
+              AS BIGINT) AS qx
+  FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i) u
+)
+SELECT label,
+       i,
+       round((CAST(sum(qx) AS DOUBLE) / count(*)) / {scale}.0, 9) AS c,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM flat GROUP BY label, i
+"""
+
+
+def corpus_stats_sql() -> str:
+    """Oracle for llm/text.py::corpus_stats: GROUP BY ROLLUP with the same
+    integer-scaled quality sum (float sums are order-dependent; the scaled
+    long sum is exact in both engines)."""
+    return f"""
+WITH base AS (
+  SELECT source, lang,
+         CAST(len({TEXT_TOKENS}) AS BIGINT) AS toks,
+         CAST(round({QUALITY_SQL} * 1000000000) AS BIGINT) AS q9
+  FROM documents
+)
+SELECT coalesce(source, '(all)') AS source,
+       coalesce(lang, '(all)') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       round(CAST(sum(q9) AS DOUBLE) / count(*) / 1e9, 9) AS mean_quality
+FROM base
+GROUP BY ROLLUP (source, lang)
+"""
+
+
 def top_docs_per_group_sql(k: int = 5, group_col: str = "source") -> str:
     return f"""
 WITH scored AS (

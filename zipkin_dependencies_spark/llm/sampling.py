@@ -14,7 +14,7 @@ Hash family: the top 32 bits of md5(key || salt), identical in Spark
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_SPACE = 1 << 32
@@ -122,4 +122,30 @@ def quantile_gate(
         .withColumn("_thr", F.round("_thr", 9))
         .withColumnRenamed("_score", "score")
         .withColumnRenamed("_thr", "threshold")
+    )
+
+
+def group_hash_topn(
+    df: DataFrame,
+    n: int,
+    group_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``n`` rows per group (fewer if the group is smaller), chosen
+    by salted-hash order — the deterministic analog of per-group reservoir
+    sampling. Unlike fraction-based sampling, group sizes come out EQUAL
+    (balanced eval sets, per-domain caps); unlike rand()-based reservoirs,
+    re-runs and engines agree row-for-row.
+
+    Plan: one exchange on the group key + per-group sort of (hash, key)
+    prefixes — the window never sees payload columns until the final
+    filter, and a group's cost is its own row count. Skew-bounded like any
+    per-key window; no global sort."""
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(F.col(key_col), salt).alias("_h"), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
     )

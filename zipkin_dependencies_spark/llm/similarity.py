@@ -350,3 +350,37 @@ def quantized_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-label centroid of an embedding column → (label, i, c): the
+    grouped element-wise mean every clustering / class-prototype step needs.
+
+    Components are scaled to exact integers (round(x·2^scale_bits) — float32
+    inputs carry 24 mantissa bits, so 20 bits keeps ~1e-6 resolution) before
+    summing: integer sums are order-free, which makes the result identical
+    across partitionings, re-runs, and engines — a float sum would drift at
+    the last ulp and break value-hash comparison.
+
+    Scale: posexplode looks like an N×dim blow-up, but the groupBy that
+    follows partial-aggregates map-side — the shuffle carries only
+    (label, i) group cells per input partition (labels × dim × partitions
+    rows), never the exploded data. No collect, no UDF."""
+    q = F.round(F.col("x").cast("double") * F.lit(float(1 << scale_bits))).cast(
+        "long"
+    )
+    flat = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    ).select("label", "i", q.alias("qx"))
+    return flat.groupBy("label", "i").agg(
+        F.round(
+            (F.sum("qx") / F.count(F.lit(1))) / F.lit(float(1 << scale_bits)), 9
+        ).alias("c"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

