@@ -225,3 +225,79 @@ def test_streaming_dedupe_exact_keeps_first_copy(spark, tmp_path):
     # the FIRST copy in event order survives within each micro-batch group
     survivors = {r.text: r.doc_id for r in got}
     assert survivors["gamma content"] == 3
+
+
+def test_streaming_window_counts_drops_late_events(spark, tmp_path):
+    """Watermarked sliding windows: (1) closed windows match the batch
+    window expansion for on-time data; (2) an event arriving in a later
+    micro-batch with an event time already behind the watermark is DROPPED
+    (its windows were emitted without it and never re-emit)."""
+    import datetime as dt
+
+    from zipkin_dependencies_spark.streaming.windows import streaming_window_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+
+    # batch 1: two on-time clicks + a flush event far ahead that advances
+    # the watermark past their windows
+    batch1 = [
+        (0, sec(60), "click"),
+        (1, sec(120), "click"),
+        (99, sec(6 * 3600), "flush"),
+    ]
+    # batch 2: a "click" whose EVENT time sits back in the already-closed
+    # windows — behind the watermark, must be dropped
+    batch2 = [(2, sec(180), "click")]
+
+    src = tmp_path / "events"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, event_type string"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    out = tmp_path / "out"
+
+    def run():
+        # parquet sink (not memory): the file sink supports resuming from
+        # the checkpoint, which the second phase of this test relies on
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_window_counts(
+                stream, window="10 minutes", slide="5 minutes",
+                watermark="30 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return {
+            (r.win_start_us, r.event_type): r.n_events
+            for r in spark.read.parquet(str(out)).collect()
+        }
+
+    first = run()
+    # both clicks in [0:00,0:10) and the two overlapping 5-min slides
+    base_us = int(sec(0).timestamp() * 1e6)
+    m = 60_000_000
+    assert first[(base_us, "click")] == 2          # window [0, 10min)
+    assert first[(base_us - 5 * m, "click")] == 2  # window [-5, 5min)
+
+    # append the late batch; re-run the SAME checkpointed query
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    second = run()
+    # the late click changed nothing: closed windows did not re-emit
+    for k, v in first.items():
+        assert second.get(k, v) == v
+    assert second == first
