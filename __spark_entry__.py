@@ -770,6 +770,27 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_events(spark, sf_dir), gap_seconds=1800)
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences
+    (lag window on ONE user exchange; |types|² final aggregate)."""
+    from zipkin_dependencies_spark.operators.events_analytics import event_transitions
+    from zipkin_dependencies_spark.testdata import load_events
+
+    return event_transitions(load_events(spark, sf_dir))
+
+
+def q_window_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly windows: per event_type z-score of 6h tumbling-window
+    counts vs that type's own distribution; variance from exact integer
+    sums (engine- and partitioning-independent)."""
+    from zipkin_dependencies_spark.operators.events_analytics import window_anomalies
+    from zipkin_dependencies_spark.testdata import load_events
+
+    return window_anomalies(
+        load_events(spark, sf_dir), window_seconds=6 * 3600, z_threshold=2.0
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users bucketed by first-seen epoch-week,
     counted per activity-week offset. Two exchanges total (user window +
@@ -938,6 +959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "funnel_events": q_funnel_events,
         "quantile_gate": q_quantile_gate,
+        "event_transitions": q_event_transitions,
+        "window_anomalies": q_window_anomalies,
         "cohort_retention": q_cohort_retention,
         "corpus_stats": q_corpus_stats,
         "group_topn_sample": q_group_topn_sample,
@@ -955,6 +978,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from zipkin_dependencies_spark.operators.cohort import (
         COHORT_RETENTION_SQL as _COHORT_RETENTION_SQL,
+    )
+    from zipkin_dependencies_spark.operators.events_analytics import (
+        EVENT_TRANSITIONS_SQL as _EVENT_TRANSITIONS_SQL,
+        window_anomalies_sql as _window_anomalies_sql,
     )
     from zipkin_dependencies_spark.operators.funnel import funnel_sql as _funnel_sql
     from zipkin_dependencies_spark.operators.sessionize import sessionize_sql as _sessionize_sql
@@ -1253,6 +1280,10 @@ GROUP BY 1, 2, 3
         "asof_attribution": _ASOF_ATTRIBUTION_SQL,
         "quantile_gate": llm_oracles.quantile_gate_sql(p=0.75, group_col="source"),
         "cohort_retention": _COHORT_RETENTION_SQL,
+        "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "window_anomalies": _window_anomalies_sql(
+            window_seconds=6 * 3600, z_threshold=2.0
+        ),
         "corpus_stats": llm_oracles.corpus_stats_sql(),
         "group_topn_sample": llm_oracles.group_hash_topn_sql(n=20, group_col="source"),
         "label_centroids": llm_oracles.label_centroids_sql(scale_bits=20, dim=64),

@@ -161,3 +161,45 @@ def test_funnel_one_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_event_transitions_counts(spark):
+    from zipkin_dependencies_spark.operators.events_analytics import event_transitions
+
+    ev = _events(
+        spark,
+        [
+            (1, 1, _ts("2024-01-01 00:00:00"), "a"),
+            (1, 2, _ts("2024-01-01 00:01:00"), "b"),
+            (1, 3, _ts("2024-01-01 00:02:00"), "b"),
+            (2, 4, _ts("2024-01-01 00:00:00"), "b"),
+        ],
+    )
+    rows = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in event_transitions(ev).collect()
+    }
+    assert rows == {
+        ("(start)", "a"): 1,
+        ("a", "b"): 1,
+        ("b", "b"): 1,
+        ("(start)", "b"): 1,
+    }
+
+
+def test_window_anomalies_zero_variance_guard(spark):
+    """A type with identical counts in every window (variance 0) must
+    produce no rows, not NaN comparisons."""
+    from zipkin_dependencies_spark.operators.events_analytics import window_anomalies
+
+    ev = _events(
+        spark,
+        # 'flat': 1 event per hour-window, 3 windows -> variance 0
+        [(1, i, _ts(f"2024-01-01 0{i}:10:00"), "flat") for i in range(3)]
+        # 'spiky': counts 1,1,4 -> window 2 is the anomaly
+        + [(2, 10 + i, _ts(f"2024-01-01 0{i}:20:00"), "spiky") for i in range(2)]
+        + [(2, 20 + j, _ts("2024-01-01 02:2" + str(j) + ":00"), "spiky") for j in range(4)],
+    )
+    out = window_anomalies(ev, window_seconds=3600, z_threshold=1.0).collect()
+    assert all(r["event_type"] == "spiky" for r in out)
+    assert len(out) == 1 and out[0]["n_events"] == 4
