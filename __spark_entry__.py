@@ -770,6 +770,28 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_events(spark, sf_dir), gap_seconds=1800)
 
 
+def q_service_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Call-weighted PageRank centrality of the service graph (3 unrolled
+    rounds, round-9 per round); iterates over the links table — services²
+    rows — never the span corpus."""
+    from zipkin_dependencies_spark.operators.graph import service_pagerank
+
+    return service_pagerank(q_dependency_links(spark, sf_dir), iterations=3)
+
+
+def q_trace_size_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spans-per-trace distribution per service (exact interpolated
+    p50/p95): one span-scale map-side-combined count, then a group-
+    cardinality percentile aggregate."""
+    from zipkin_dependencies_spark.operators.graph import trace_size_percentiles
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    spans = derived_spans(spark, sf_dir).select(
+        "trace_id", F.col("local_endpoint.service_name").alias("local_service")
+    )
+    return trace_size_percentiles(spans)
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of per-user event sequences
     (lag window on ONE user exchange; |types|² final aggregate)."""
@@ -959,6 +981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "funnel_events": q_funnel_events,
         "quantile_gate": q_quantile_gate,
+        "service_pagerank": q_service_pagerank,
+        "trace_size_percentiles": q_trace_size_percentiles,
         "event_transitions": q_event_transitions,
         "window_anomalies": q_window_anomalies,
         "cohort_retention": q_cohort_retention,
@@ -984,6 +1008,10 @@ def oracle_sql() -> dict[str, str]:
         window_anomalies_sql as _window_anomalies_sql,
     )
     from zipkin_dependencies_spark.operators.funnel import funnel_sql as _funnel_sql
+    from zipkin_dependencies_spark.operators.graph import (
+        pagerank_sql as _pagerank_sql,
+        trace_size_percentiles_sql as _trace_size_percentiles_sql,
+    )
     from zipkin_dependencies_spark.operators.sessionize import sessionize_sql as _sessionize_sql
     from zipkin_dependencies_spark.testdata import (
         LINKS_SQL,
@@ -1280,6 +1308,8 @@ GROUP BY 1, 2, 3
         "asof_attribution": _ASOF_ATTRIBUTION_SQL,
         "quantile_gate": llm_oracles.quantile_gate_sql(p=0.75, group_col="source"),
         "cohort_retention": _COHORT_RETENTION_SQL,
+        "service_pagerank": _pagerank_sql(links_oracle, iterations=3),
+        "trace_size_percentiles": _trace_size_percentiles_sql(SPANS_SQL_CTE),
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "window_anomalies": _window_anomalies_sql(
             window_seconds=6 * 3600, z_threshold=2.0

@@ -343,3 +343,31 @@ def test_corpus_stats_rollup_levels(spark):
     assert rows[("books", "(all)")]["n_docs"] == 1
     assert rows[("(all)", "(all)")]["n_docs"] == 3
     assert rows[("(all)", "(all)")]["total_tokens"] == 5
+
+
+def test_service_pagerank_sink_ranks_highest(spark):
+    """Star graph a->c, b->c: the sink accumulates both sources' mass."""
+    from zipkin_dependencies_spark.operators.graph import service_pagerank
+
+    links = spark.createDataFrame(
+        [("a", "c", 10, 0), ("b", "c", 5, 0)],
+        "parent string, child string, call_count long, error_count long",
+    )
+    ranks = {r["service"]: r["rank9"] for r in service_pagerank(links).collect()}
+    assert ranks["c"] > ranks["a"] == ranks["b"] > 0
+    assert sum(ranks.values()) <= 1.0 + 1e-9  # no dangling redistribution
+
+
+def test_trace_size_percentiles_known(spark):
+    from zipkin_dependencies_spark.operators.graph import trace_size_percentiles
+
+    spans = spark.createDataFrame(
+        # svc x: trace sizes 1 and 3; svc y: size 2
+        [("t1", "x"), ("t2", "x"), ("t2", "x"), ("t2", "x"),
+         ("t3", "y"), ("t3", "y")],
+        "trace_id string, local_service string",
+    )
+    rows = {r["service"]: r for r in trace_size_percentiles(spans).collect()}
+    assert rows["x"]["n_traces"] == 2 and rows["x"]["p50"] == 2.0
+    assert rows["x"]["max_size"] == 3
+    assert rows["y"]["p50"] == 2.0 and rows["y"]["n_traces"] == 1

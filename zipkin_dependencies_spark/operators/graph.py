@@ -1,0 +1,161 @@
+"""Service-graph analytics over the dependency-links table — centrality
+(weighted PageRank) and per-service trace-size distributions. Extension
+operators: the reference STOPS at the links table; these are the questions
+an operator asks of it ("which service is most depended on", "how big are
+the traces touching svc-X").
+
+Scale note up front: everything here consumes the LINKS table (O(services²)
+rows — KBs even for a 100 TB span corpus) or per-(trace, service) counts
+(one row per trace-service pair, the same cardinality class as the
+linker's own map-side output). Nothing in this module re-reads spans more
+than once, and the iterative part iterates over the tiny graph, never the
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def service_pagerank(
+    links: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """→ (service, rank9): call-count-weighted PageRank of the service
+    dependency graph, ``iterations`` unrolled rounds from a uniform start.
+
+    Convention (kept deliberately simple so the SQL twin is an exact
+    unroll): rank' = (1-d)/N + d·Σ_in rank·w/w_out, ranks ROUNDED to 9
+    decimals after every round — the rounding pins cross-engine float
+    parity (per-round accumulated error ~1e-15 « 0.5e-9) and makes the
+    fixed point bit-stable. Dangling mass is not redistributed (documented
+    simplification; ranks then sum to < 1 when sinks exist).
+
+    The graph is links-table-sized, so each round is a broadcast-scale
+    join — iterating is driver-cheap and the plan stays lazy (no
+    checkpointing needed at services² cardinality)."""
+    edges = links.select(
+        F.col("parent"), F.col("child"), F.col("call_count").cast("double").alias("w")
+    )
+    nodes = (
+        edges.select(F.col("parent").alias("service"))
+        .unionByName(edges.select(F.col("child").alias("service")))
+        .distinct()
+    )
+    n_total = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    out_w = edges.groupBy("parent").agg(F.sum("w").alias("w_out"))
+
+    ranks = nodes.join(F.broadcast(n_total)).select(
+        "service", F.round(F.lit(1.0) / F.col("n"), 9).alias("rank9")
+    )
+    for _ in range(iterations):
+        contribs = (
+            edges.join(out_w, "parent")
+            .join(ranks.withColumnRenamed("service", "parent"), "parent")
+            .select(
+                F.col("child").alias("service"),
+                (F.col("rank9") * F.col("w") / F.col("w_out")).alias("c"),
+            )
+            .groupBy("service")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "service", "left_outer")
+            .join(F.broadcast(n_total))
+            .select(
+                "service",
+                F.round(
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("in_sum"), F.lit(0.0)),
+                    9,
+                ).alias("rank9"),
+            )
+        )
+    return ranks
+
+
+def pagerank_sql(links_sql: str, iterations: int = 3, damping: float = 0.85) -> str:
+    """DuckDB twin: the same unrolled rounds over a CTE producing
+    (parent, child, call_count) — pass the links-derivation SQL in."""
+    d = damping
+    ctes = [
+        f"links AS ({links_sql})",
+        "edges AS (SELECT parent, child, CAST(call_count AS DOUBLE) AS w FROM links)",
+        "nodes AS (SELECT DISTINCT service FROM "
+        "(SELECT parent AS service FROM edges UNION SELECT child FROM edges))",
+        "n_total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "out_w AS (SELECT parent, sum(w) AS w_out FROM edges GROUP BY 1)",
+        "r0 AS (SELECT service, round(1.0 / n, 9) AS rank9 FROM nodes, n_total)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.child AS service, sum(r.rank9 * e.w / o.w_out) AS in_sum
+  FROM edges e JOIN out_w o ON e.parent = o.parent
+  JOIN r{i-1} r ON r.service = e.parent
+  GROUP BY 1
+),
+r{i} AS (
+  SELECT nodes.service,
+         round((1.0 - {d}) / n_total.n
+               + {d} * coalesce(c{i}.in_sum, 0.0), 9) AS rank9
+  FROM nodes LEFT JOIN c{i} ON nodes.service = c{i}.service, n_total
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT service, rank9 FROM r{iterations}"
+    )
+
+
+def trace_size_percentiles(
+    spans: DataFrame,
+    service_col: str = "local_service",
+    percentiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """→ (service, n_traces, p50, p95, max_size): distribution of
+    spans-per-trace for traces each service participates in — the "how big
+    are traces through svc-X" capacity-planning view.
+
+    Two aggregates: per-(trace, service) span counts (the only span-scale
+    shuffle, map-side combined), then exact interpolated percentiles per
+    service over those counts (group cardinality = traces × avg services
+    per trace — the same class as the linker's shuffle, not bigger).
+    Expects the flat span projection (trace_id + service string)."""
+    sizes = (
+        spans.filter(F.col(service_col).isNotNull())
+        .groupBy("trace_id", F.col(service_col).alias("service"))
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_traces")]
+    for p in percentiles:
+        aggs.append(
+            F.round(F.percentile("n_spans", F.lit(p)), 9).alias(
+                f"p{int(p * 100)}"
+            )
+        )
+    aggs.append(F.max("n_spans").alias("max_size"))
+    return sizes.groupBy("service").agg(*aggs)
+
+
+def trace_size_percentiles_sql(
+    spans_cte: str, percentiles: tuple[float, ...] = (0.5, 0.95)
+) -> str:
+    """DuckDB twin: quantile_cont matches Spark's exact ``percentile``."""
+    pct_cols = ", ".join(
+        f"round(quantile_cont(n_spans, {p}), 9) AS p{int(p * 100)}"
+        for p in percentiles
+    )
+    return f"""
+WITH {spans_cte.strip()},
+sizes AS (
+  SELECT trace_id, local_service AS service,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM spans WHERE local_service IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT service, CAST(count(*) AS BIGINT) AS n_traces, {pct_cols},
+       max(n_spans) AS max_size
+FROM sizes GROUP BY service
+"""
