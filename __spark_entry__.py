@@ -770,6 +770,16 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_events(spark, sf_dir), gap_seconds=1800)
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram surprisal per document under the corpus's own LM (the
+    cheap perplexity-filter proxy); integer-scaled ln sums keep the score
+    bit-stable across engines/partitionings."""
+    from zipkin_dependencies_spark.llm.text import unigram_surprisal
+    from zipkin_dependencies_spark.testdata import load
+
+    return unigram_surprisal(load(spark, sf_dir, "documents"))
+
+
 def q_service_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Call-weighted PageRank centrality of the service graph (3 unrolled
     rounds, round-9 per round); iterates over the links table — services²
@@ -981,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "funnel_events": q_funnel_events,
         "quantile_gate": q_quantile_gate,
+        "unigram_surprisal": q_unigram_surprisal,
         "service_pagerank": q_service_pagerank,
         "trace_size_percentiles": q_trace_size_percentiles,
         "event_transitions": q_event_transitions,
@@ -1308,6 +1319,7 @@ GROUP BY 1, 2, 3
         "asof_attribution": _ASOF_ATTRIBUTION_SQL,
         "quantile_gate": llm_oracles.quantile_gate_sql(p=0.75, group_col="source"),
         "cohort_retention": _COHORT_RETENTION_SQL,
+        "unigram_surprisal": llm_oracles.unigram_surprisal_sql(),
         "service_pagerank": _pagerank_sql(links_oracle, iterations=3),
         "trace_size_percentiles": _trace_size_percentiles_sql(SPANS_SQL_CTE),
         "event_transitions": _EVENT_TRANSITIONS_SQL,

@@ -548,3 +548,18 @@ def test_quantized_topk_recall(spark, vectors):
         for r in quantized_cosine_topk(emb, queries, k=4).collect()
     }
     assert exact == quant
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark):
+    from zipkin_dependencies_spark.llm.text import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),          # most common token only
+            (2, "the the zyzzyva qwerty"),   # two singletons
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_surprisal(docs).collect()}
+    assert rows[2]["surprisal6"] > rows[1]["surprisal6"] > 0
+    assert rows[1]["n_tokens"] == 4

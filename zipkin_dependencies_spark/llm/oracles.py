@@ -1065,6 +1065,27 @@ FROM flat GROUP BY label, i
 """
 
 
+def unigram_surprisal_sql() -> str:
+    """Oracle for llm/text.py::unigram_surprisal: identical integer-scaled
+    ln sums (ln parity with Spark's F.log established by token_idf)."""
+    return f"""
+WITH occ AS (
+  SELECT doc_id, unnest({TEXT_TOKENS}) AS token FROM documents
+),
+vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY 1),
+total AS (SELECT CAST(count(*) AS BIGINT) AS total FROM occ),
+scored AS (
+  SELECT o.doc_id,
+         CAST(round(ln(v.cnt / CAST(t.total AS DOUBLE)) * 1000000000)
+              AS BIGINT) AS q9
+  FROM occ o JOIN vocab v USING (token), total t
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(-(CAST(sum(q9) AS DOUBLE) / count(*)) / 1e9, 6) AS surprisal6
+FROM scored GROUP BY doc_id
+"""
+
+
 def corpus_stats_sql() -> str:
     """Oracle for llm/text.py::corpus_stats: GROUP BY ROLLUP with the same
     integer-scaled quality sum (float sums are order-dependent; the scaled

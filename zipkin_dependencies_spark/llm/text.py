@@ -323,3 +323,42 @@ def corpus_stats(docs, source_col: str = "source", lang_col: str = "lang"):
             "mean_quality",
         )
     )
+
+
+def unigram_surprisal(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document mean unigram surprisal under the corpus's own unigram
+    LM → (doc_id, n_tokens, surprisal6). The poor man's perplexity filter:
+    documents full of corpus-typical tokens score low, token-soup and
+    boilerplate-anomalies score high — the standard cheap proxy where a
+    real LM is too expensive to run over 100 TB.
+
+    surprisal = −mean ln(count(token)/total_tokens), where the per-token
+    ln values are scaled to exact integers (round(ln·1e9) as long) before
+    the per-document sum — summing doubles across rows is order-dependent,
+    summing longs is not, so the score is bit-stable across engines and
+    partitionings (the final mean is rounded to 6 decimals, three orders
+    of margin above the 1e-9 quantization).
+
+    Plan: one token-keyed aggregate builds the vocabulary (map-side
+    combined; vocab cardinality, not corpus), the corpus total rides in as
+    a broadcast one-row aggregate, and the scoring join shuffles (doc_id,
+    token) pairs — never text. At 100 TB the vocab side of the join is the
+    small one; Spark broadcasts it when it fits, else AQE picks the
+    shuffle join."""
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    vocab = occ.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = occ.agg(F.count(F.lit(1)).alias("total"))
+    q9 = F.round(
+        F.log(F.col("cnt") / F.col("total")) * 1_000_000_000
+    ).cast("long")
+    scored = occ.join(vocab, "token").crossJoin(F.broadcast(total)).select(
+        "doc_id", q9.alias("q9")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            -(F.sum("q9") / F.count(F.lit(1))) / 1e9, 6
+        ).alias("surprisal6"),
+    )
