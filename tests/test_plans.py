@@ -200,3 +200,55 @@ def test_curation_v2_broadcasts_contamination_never_corpus(spark):
     # benchmark), the hit-count agg, the keep-best window
     assert len(_node_ids(plan, "Exchange")) <= 6
     assert plan.count("RoundRobinPartitioning") <= 3
+
+
+def test_asof_join_single_key_exchange(spark):
+    """The as-of join is the union+window decomposition: exactly one
+    Exchange (hash by the join key), never a nested-loop inequality join."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_asof_attribution(spark, SF))
+    assert len(_node_ids(plan, "Exchange")) == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_gate_broadcasts_threshold_no_corpus_shuffle(spark):
+    """The percentile threshold joins back as a BROADCAST; the documents
+    scan is never hash-exchanged — the only shuffle is the tiny
+    (source, score) threshold aggregate."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_quantile_gate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert len(_node_ids(plan, "Exchange")) == 1
+
+
+def test_label_centroids_partial_agg_before_exchange(spark):
+    """The posexplode never reaches the wire: HashAggregate(partial) sits
+    below the single (label, i) exchange."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_label_centroids(spark, SF))
+    agg_ids = _node_ids(plan, "HashAggregate")
+    (ex_id,) = _node_ids(plan, "Exchange")
+    assert min(agg_ids) < ex_id < max(agg_ids)  # partial below, final above
+    assert "partial_" in plan
+
+
+def test_funnel_and_transitions_single_user_exchange(spark):
+    import __spark_entry__ as e
+
+    for q in (e.q_funnel_events, e.q_event_transitions):
+        plan = formatted(q(spark, SF))
+        assert len(_node_ids(plan, "Exchange")) <= 2  # user (+tiny agg)
+
+
+def test_window_anomalies_broadcasts_stats(spark):
+    """Per-type stats join back broadcast; counts aggregate is map-side
+    combined."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_window_anomalies(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
