@@ -770,6 +770,24 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_events(spark, sf_dir), gap_seconds=1800)
 
 
+def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval composition: exact cosine top-3 per query vector, joined
+    back to document metadata (the "ANN hit → payload lookup" pattern).
+    The tiny hit set broadcasts into the documents join — the corpus side
+    is scanned once and never shuffled."""
+    from zipkin_dependencies_spark.llm.similarity import cosine_topk
+    from zipkin_dependencies_spark.testdata import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    hits = cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return (
+        F.broadcast(hits)
+        .join(docs, hits.neighbor_id == docs.doc_id)
+        .select("query_id", "neighbor_id", "cosine", "rank", "source", "lang")
+    )
+
+
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean unigram surprisal per document under the corpus's own LM (the
     cheap perplexity-filter proxy); integer-scaled ln sums keep the score
@@ -991,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "funnel_events": q_funnel_events,
         "quantile_gate": q_quantile_gate,
+        "semantic_search": q_semantic_search,
         "unigram_surprisal": q_unigram_surprisal,
         "service_pagerank": q_service_pagerank,
         "trace_size_percentiles": q_trace_size_percentiles,
@@ -1319,6 +1338,13 @@ GROUP BY 1, 2, 3
         "asof_attribution": _ASOF_ATTRIBUTION_SQL,
         "quantile_gate": llm_oracles.quantile_gate_sql(p=0.75, group_col="source"),
         "cohort_retention": _COHORT_RETENTION_SQL,
+        "semantic_search": (
+            "WITH topk AS ("
+            + llm_oracles.cosine_topk_sql(k=3, dim=64, query_max_id=8)
+            + ")\nSELECT t.query_id, t.neighbor_id, t.cosine, t.rank, "
+            "d.source, d.lang\n"
+            "FROM topk t JOIN documents d ON d.doc_id = t.neighbor_id"
+        ),
         "unigram_surprisal": llm_oracles.unigram_surprisal_sql(),
         "service_pagerank": _pagerank_sql(links_oracle, iterations=3),
         "trace_size_percentiles": _trace_size_percentiles_sql(SPANS_SQL_CTE),
