@@ -203,3 +203,53 @@ def test_window_anomalies_zero_variance_guard(spark):
     out = window_anomalies(ev, window_seconds=3600, z_threshold=1.0).collect()
     assert all(r["event_type"] == "spiky" for r in out)
     assert len(out) == 1 and out[0]["n_events"] == 4
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1337])
+def test_asof_join_matches_python_reference_on_random_streams(spark, seed):
+    """Randomized soundness: the union+window as-of join must agree row for
+    row with a direct per-key python reference (latest right.ts <= left.ts,
+    inclusive, tiebreak = max event_id) on random event streams with
+    colliding timestamps."""
+    import random
+
+    rng = random.Random(seed)
+    mk = lambda n, base: [  # noqa: E731
+        (
+            rng.randrange(5),            # user
+            base + i,                    # unique event id
+            _ts("2024-01-01 00:00:00")
+            + dt.timedelta(seconds=rng.randrange(50)),  # dense -> ties
+        )
+        for i in range(n)
+    ]
+    lrows = mk(60, 1000)
+    rrows = mk(80, 2000)
+
+    left = spark.createDataFrame(
+        [(u, i, t, "purchase") for u, i, t in lrows],
+        "user_id bigint, event_id bigint, ts timestamp, event_type string",
+    )
+    right = spark.createDataFrame(
+        [(u, i, t, "click") for u, i, t in rrows],
+        "user_id bigint, event_id bigint, ts timestamp, event_type string",
+    )
+    got = {
+        r["event_id"]: r["event_id_r"]
+        for r in asof_join(
+            left, right, on=["user_id"], tiebreak="event_id"
+        ).collect()
+    }
+
+    def ref(u, t):
+        cands = [(rt, ri) for ru, ri, rt in rrows if ru == u and rt <= t]
+        if not cands:
+            return None
+        # latest ts wins; among equal ts the largest event_id
+        return max(cands)[1]
+
+    expected = {i: ref(u, t) for u, i, t in lrows}
+    assert got == expected
