@@ -33,12 +33,16 @@ def service_pagerank(
     fixed point bit-stable. Dangling mass is not redistributed (documented
     simplification; ranks then sum to < 1 when sinks exist).
 
-    The graph is links-table-sized, so each round is a broadcast-scale
-    join — iterating is driver-cheap and the plan stays lazy (no
-    checkpointing needed at services² cardinality)."""
+    The links input is MATERIALIZED once up front (eager localCheckpoint —
+    services² rows, trivially small): the iteration references the edge
+    table many times (nodes, out-weights, one join per round), and a lazy
+    plan would inline the caller's full span→links pipeline at every
+    reference — at 100 TB that is several full corpus scans for one graph.
+    After the checkpoint each round is a broadcast-scale join over the
+    tiny materialized table."""
     edges = links.select(
         F.col("parent"), F.col("child"), F.col("call_count").cast("double").alias("w")
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("parent").alias("service"))
         .unionByName(edges.select(F.col("child").alias("service")))
