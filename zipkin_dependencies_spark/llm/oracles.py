@@ -1073,7 +1073,7 @@ WITH occ AS (
   SELECT doc_id, unnest({TEXT_TOKENS}) AS token FROM documents
 ),
 vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY 1),
-total AS (SELECT CAST(count(*) AS BIGINT) AS total FROM occ),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
 scored AS (
   SELECT o.doc_id,
          CAST(round(ln(v.cnt / CAST(t.total AS DOUBLE)) * 1000000000)

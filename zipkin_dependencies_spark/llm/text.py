@@ -348,8 +348,19 @@ def unigram_surprisal(docs, text_col: str = "text", id_col: str = "doc_id"):
     occ = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
     )
-    vocab = occ.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = occ.agg(F.count(F.lit(1)).alias("total"))
+    # the vocab table feeds BOTH the corpus total and the scoring join;
+    # materialize it once (eager checkpoint, vocab-cardinality) so the
+    # corpus is scanned exactly twice — vocab build + scoring join, the
+    # floor without materializing exploded text. (Spark does not reuse
+    # the subtree across consumers on its own: 3 scans without this.)
+    vocab = (
+        occ.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    # corpus total from the vocab table, not another pass over occ: the
+    # sum of per-token counts IS the occurrence total
+    total = vocab.agg(F.sum("cnt").alias("total"))
     q9 = F.round(
         F.log(F.col("cnt") / F.col("total")) * 1_000_000_000
     ).cast("long")

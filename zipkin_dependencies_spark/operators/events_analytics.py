@@ -79,6 +79,11 @@ def window_anomalies(
     never a float accumulation. z9 is the round-9 z-score."""
     win_us = window_seconds * 1_000_000
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # the counts aggregate feeds BOTH the stats pass and the scoring join;
+    # materialize it once (eager checkpoint of the tiny types × windows
+    # table) so the corpus is scanned exactly once — Spark does not reuse
+    # the subtree across the two consumers on its own (verified: 2 scans
+    # without this)
     counts = (
         events.select(
             F.col(type_col).alias("event_type"),
@@ -86,6 +91,7 @@ def window_anomalies(
         )
         .groupBy("event_type", "win_start_us")
         .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=True)
     )
     stats = counts.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_w"),
