@@ -770,6 +770,103 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_events(spark, sf_dir), gap_seconds=1800)
 
 
+def q_dense_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time series: per event_type, EVERY day in the corpus's
+    [min, max] range with its event count, zero-filled where no events —
+    the dense axis a dashboard or forecasting job consumes. The day
+    spine is one sequence() expansion of the broadcast one-row bounds
+    aggregate crossed with the distinct types (days × types rows, tiny),
+    left-joined against the real per-day counts: the corpus is scanned
+    once and shuffled only as the map-side-combined count."""
+    from zipkin_dependencies_spark.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    day = F.to_date(F.date_trunc("day", F.col("ts").cast("timestamp")))
+    counts = (
+        ev.select(F.col("event_type"), day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    bounds = ev.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    return spine.join(counts, ["event_type", "day"], "left_outer").select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+DENSE_DAILY_COUNTS_SQL = """
+WITH counts AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+         CAST(date_trunc('day', max(ts)) AS DATE) AS d1
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, CAST(u.day AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM bounds) u
+)
+SELECT s.event_type, s.day,
+       CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN counts c USING (event_type, day)
+"""
+
+
+def q_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the events `props` JSON column parsed
+    with an explicit schema (from_json — no schema inference pass, the
+    100 TB-safe way) and aggregated per event_type. Malformed/missing keys
+    become nulls and are excluded from the sum via the aggregate's own
+    null semantics."""
+    from zipkin_dependencies_spark.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k bigint")["k"]
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+PROPS_ROLLUP_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
 def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval composition: exact cosine top-3 per query vector, joined
     back to document metadata (the "ANN hit → payload lookup" pattern).
@@ -1009,6 +1106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "funnel_events": q_funnel_events,
         "quantile_gate": q_quantile_gate,
+        "dense_daily_counts": q_dense_daily_counts,
+        "props_rollup": q_props_rollup,
         "semantic_search": q_semantic_search,
         "unigram_surprisal": q_unigram_surprisal,
         "service_pagerank": q_service_pagerank,
@@ -1338,6 +1437,8 @@ GROUP BY 1, 2, 3
         "asof_attribution": _ASOF_ATTRIBUTION_SQL,
         "quantile_gate": llm_oracles.quantile_gate_sql(p=0.75, group_col="source"),
         "cohort_retention": _COHORT_RETENTION_SQL,
+        "dense_daily_counts": DENSE_DAILY_COUNTS_SQL,
+        "props_rollup": PROPS_ROLLUP_SQL,
         "semantic_search": (
             "WITH topk AS ("
             + llm_oracles.cosine_topk_sql(k=3, dim=64, query_max_id=8)
