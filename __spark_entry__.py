@@ -782,15 +782,16 @@ def q_dense_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir)
     day = F.to_date(F.date_trunc("day", F.col("ts").cast("timestamp")))
+    # bounds and the type set derive from the (tiny, checkpointed) counts
+    # table, not from extra passes over events — ONE corpus scan total
     counts = (
         ev.select(F.col("event_type"), day.alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=True)
     )
-    bounds = ev.agg(
-        F.min(day).alias("d0"), F.max(day).alias("d1")
-    )
-    types = ev.select("event_type").distinct()
+    bounds = counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    types = counts.select("event_type").distinct()
     spine = (
         types.join(F.broadcast(bounds))
         .select(
