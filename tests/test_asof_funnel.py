@@ -253,3 +253,49 @@ def test_asof_join_matches_python_reference_on_random_streams(spark, seed):
 
     expected = {i: ref(u, t) for u, i, t in lrows}
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_funnel_matches_python_reference_on_random_streams(spark, seed):
+    """Randomized soundness for the windowed funnel: greedy-from-first
+    semantics replayed by a direct per-user python reference."""
+    import random
+
+    rng = random.Random(seed)
+    types = ["signup", "click", "purchase", "view"]
+    rows = [
+        (
+            rng.randrange(6),
+            i,
+            _ts("2024-01-01 00:00:00") + dt.timedelta(seconds=rng.randrange(7200)),
+            rng.choice(types),
+        )
+        for i in range(120)
+    ]
+    steps = ["signup", "click", "purchase"]
+    W = 1800 * 1_000_000  # 30 min per hop
+
+    got = {
+        r["user_id"]: (r["t1_us"], r["t2_us"], r["t3_us"], r["stage_reached"])
+        for r in funnel(_events(spark, rows), steps, within_us=W).collect()
+    }
+
+    us = lambda t: int(t.timestamp() * 1e6)  # noqa: E731
+    expected = {}
+    for u in {r[0] for r in rows}:
+        ev = [(us(r[2]), r[3]) for r in rows if r[0] == u]
+        ts_list = [None, None, None]
+        prev = None
+        for k, step in enumerate(steps):
+            cands = [
+                t for t, typ in ev
+                if typ == step
+                and (prev is None or (t > prev and t <= prev + W))
+            ]
+            if not cands:
+                break
+            ts_list[k] = min(cands)
+            prev = ts_list[k]
+        stage = sum(1 for t in ts_list if t is not None)
+        expected[u] = (ts_list[0], ts_list[1], ts_list[2], stage)
+    assert got == expected
