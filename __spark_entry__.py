@@ -770,6 +770,17 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_events(spark, sf_dir), gap_seconds=1800)
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means-lite (2 unrolled rounds, stride-sampled init,
+    integer-scaled centroid means): per-vector cluster + round-9 squared
+    distance. Assignment broadcasts the k×dim centroid table — the corpus
+    never shuffles; updates shuffle k·dim cells per partition."""
+    from zipkin_dependencies_spark.llm.kmeans import kmeans_assign
+    from zipkin_dependencies_spark.testdata import load
+
+    return kmeans_assign(load(spark, sf_dir, "embeddings"), rounds=2, stride=97)
+
+
 def q_dense_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled time series: per event_type, EVERY day in the corpus's
     [min, max] range with its event count, zero-filled where no events —
@@ -1107,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "funnel_events": q_funnel_events,
         "quantile_gate": q_quantile_gate,
+        "kmeans_clusters": q_kmeans_clusters,
         "dense_daily_counts": q_dense_daily_counts,
         "props_rollup": q_props_rollup,
         "semantic_search": q_semantic_search,
@@ -1138,6 +1150,9 @@ def oracle_sql() -> dict[str, str]:
         window_anomalies_sql as _window_anomalies_sql,
     )
     from zipkin_dependencies_spark.operators.funnel import funnel_sql as _funnel_sql
+    from zipkin_dependencies_spark.llm.kmeans import (
+        kmeans_assign_sql as _kmeans_assign_sql,
+    )
     from zipkin_dependencies_spark.operators.graph import (
         pagerank_sql as _pagerank_sql,
         trace_size_percentiles_sql as _trace_size_percentiles_sql,
@@ -1438,6 +1453,7 @@ GROUP BY 1, 2, 3
         "asof_attribution": _ASOF_ATTRIBUTION_SQL,
         "quantile_gate": llm_oracles.quantile_gate_sql(p=0.75, group_col="source"),
         "cohort_retention": _COHORT_RETENTION_SQL,
+        "kmeans_clusters": _kmeans_assign_sql(rounds=2, stride=97, dim=64),
         "dense_daily_counts": DENSE_DAILY_COUNTS_SQL,
         "props_rollup": PROPS_ROLLUP_SQL,
         "semantic_search": (

@@ -26,6 +26,7 @@ FLOAT_SENSITIVE = [
     "quantile_gate",
     "quantized_cosine_topk",
     "trace_size_percentiles",
+    "kmeans_clusters",
 ]
 
 

@@ -563,3 +563,17 @@ def test_unigram_surprisal_rare_tokens_score_higher(spark):
     rows = {r["doc_id"]: r for r in unigram_surprisal(docs).collect()}
     assert rows[2]["surprisal6"] > rows[1]["surprisal6"] > 0
     assert rows[1]["n_tokens"] == 4
+
+
+def test_kmeans_groups_near_duplicates_together(spark, vectors):
+    """Vector 0's perturbed copies (1-4, cos >= .99) must land in one
+    cluster; assignments are exhaustive and distances non-negative."""
+    from zipkin_dependencies_spark.llm.kmeans import kmeans_assign
+
+    emb, dim = vectors
+    n = emb.count()
+    out = {r["vec_id"]: r for r in kmeans_assign(emb, rounds=2, stride=10).collect()}
+    assert len(out) == n
+    first = out[0]["cluster"]
+    assert all(out[i]["cluster"] == first for i in (1, 2, 3, 4))
+    assert all(r["d9"] >= 0 for r in out.values())
