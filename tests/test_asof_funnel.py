@@ -299,3 +299,39 @@ def test_funnel_matches_python_reference_on_random_streams(spark, seed):
         stage = sum(1 for t in ts_list if t is not None)
         expected[u] = (ts_list[0], ts_list[1], ts_list[2], stage)
     assert got == expected
+
+
+def test_empty_inputs_degrade_gracefully(spark):
+    """Empty sides/inputs produce empty-or-null results, never errors —
+    the daily-job property (a day with no events must not fail the run)."""
+    from zipkin_dependencies_spark.operators.cohort import cohort_retention
+    from zipkin_dependencies_spark.operators.events_analytics import (
+        event_transitions,
+        window_anomalies,
+    )
+
+    empty = _events(spark, [])
+    one = _events(spark, [(1, 1, _ts("2024-01-01 00:00:00"), "purchase")])
+
+    # as-of: empty right -> all left rows kept with null matches
+    row = asof_join(one, empty, on=["user_id"]).collect()[0]
+    assert row["event_id"] == 1 and row["ts_r_us"] is None
+    # as-of: empty left -> empty output
+    assert asof_join(empty, one, on=["user_id"]).count() == 0
+
+    assert funnel(empty, ["signup", "click"]).count() == 0
+    assert cohort_retention(empty).count() == 0
+    assert event_transitions(empty).count() == 0
+    assert window_anomalies(empty).count() == 0
+
+
+def test_kmeans_raises_without_centroids(spark):
+    import pytest as _pytest
+
+    from zipkin_dependencies_spark.llm.kmeans import kmeans_assign
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="no centroids"):
+        kmeans_assign(emb, stride=97)

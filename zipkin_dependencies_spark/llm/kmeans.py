@@ -55,6 +55,10 @@ def kmeans_assign(
     cents = vecs.filter(F.col("id") % stride == 0).select(
         F.col("id").alias("cid"), F.col("v").alias("cv")
     )
+    # same convention as ivf_cosine_topk: an empty coarse sample is a
+    # caller error (stride too large for the id range), not an empty result
+    if cents.isEmpty():
+        raise ValueError(f"no centroids: no vector id divisible by {stride}")
 
     def assign(centroids: DataFrame) -> DataFrame:
         scored = vecs.join(F.broadcast(centroids)).select(
