@@ -770,6 +770,19 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_events(spark, sf_dir), gap_seconds=1800)
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (sparse-lexical complement to
+    semantic_search): top-10 docs for a 3-term query; per-term
+    contributions integer-scaled before the per-doc sum, stats broadcast,
+    top-k over hit documents only."""
+    from zipkin_dependencies_spark.llm.retrieval import bm25_search
+    from zipkin_dependencies_spark.testdata import load
+
+    return bm25_search(
+        load(spark, sf_dir, "documents"), terms=["table", "hash", "window"], k=10
+    )
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means-lite (2 unrolled rounds, stride-sampled init,
     integer-scaled centroid means): per-vector cluster + round-9 squared
@@ -1118,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "funnel_events": q_funnel_events,
         "quantile_gate": q_quantile_gate,
+        "bm25_search": q_bm25_search,
         "kmeans_clusters": q_kmeans_clusters,
         "dense_daily_counts": q_dense_daily_counts,
         "props_rollup": q_props_rollup,
@@ -1150,6 +1164,9 @@ def oracle_sql() -> dict[str, str]:
         window_anomalies_sql as _window_anomalies_sql,
     )
     from zipkin_dependencies_spark.operators.funnel import funnel_sql as _funnel_sql
+    from zipkin_dependencies_spark.llm.retrieval import (
+        bm25_search_sql as _bm25_search_sql,
+    )
     from zipkin_dependencies_spark.llm.kmeans import (
         kmeans_assign_sql as _kmeans_assign_sql,
     )
@@ -1453,6 +1470,9 @@ GROUP BY 1, 2, 3
         "asof_attribution": _ASOF_ATTRIBUTION_SQL,
         "quantile_gate": llm_oracles.quantile_gate_sql(p=0.75, group_col="source"),
         "cohort_retention": _COHORT_RETENTION_SQL,
+        "bm25_search": _bm25_search_sql(
+            terms=["table", "hash", "window"], k=10
+        ),
         "kmeans_clusters": _kmeans_assign_sql(rounds=2, stride=97, dim=64),
         "dense_daily_counts": DENSE_DAILY_COUNTS_SQL,
         "props_rollup": PROPS_ROLLUP_SQL,

@@ -577,3 +577,22 @@ def test_kmeans_groups_near_duplicates_together(spark, vectors):
     first = out[0]["cluster"]
     assert all(out[i]["cluster"] == first for i in (1, 2, 3, 4))
     assert all(r["d9"] >= 0 for r in out.values())
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    from zipkin_dependencies_spark.llm.retrieval import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog"),          # heavy on 'cat'
+            (2, "cat dog bird fish mouse"),  # one 'cat', longer
+            (3, "bird fish mouse"),          # no query terms -> absent
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_search(docs, ["cat"], k=10).collect()
+    assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2]
+    assert rows[0]["score6"] > 0
+    # determinism under repartitioning (the integer-contribution property)
+    alt = bm25_search(docs.repartition(5), ["cat"], k=10).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, alt))
