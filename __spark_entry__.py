@@ -770,6 +770,43 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_events(spark, sf_dir), gap_seconds=1800)
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 keyword hits
+    and the cosine ANN hits for one query (rrf = Σ 1/(60 + rank), summed
+    per doc over the two sources — with two addends float addition is
+    commutative, so no integer scaling is needed). Both hit lists are
+    rank-bounded and broadcast-scale; the fusion is a tiny outer join."""
+    from zipkin_dependencies_spark.llm.retrieval import bm25_search
+    from zipkin_dependencies_spark.llm.similarity import cosine_topk
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    kw = bm25_search(docs, terms=["table", "hash", "window"], k=10).select(
+        "doc_id", F.col("rank").alias("kw_rank")
+    )
+    sem = (
+        cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    )
+    fused = kw.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "kw_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("kw_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("sem_rank")), F.lit(0.0)),
+            9,
+        ).alias("rrf9"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("rrf9").desc(), F.col("doc_id").asc())
+    return fused.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= 10
+    )
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval (sparse-lexical complement to
     semantic_search): top-10 docs for a 3-term query; per-term
@@ -1132,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": q_funnel_events,
         "quantile_gate": q_quantile_gate,
         "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
         "kmeans_clusters": q_kmeans_clusters,
         "dense_daily_counts": q_dense_daily_counts,
         "props_rollup": q_props_rollup,
@@ -1472,6 +1510,23 @@ GROUP BY 1, 2, 3
         "cohort_retention": _COHORT_RETENTION_SQL,
         "bm25_search": _bm25_search_sql(
             terms=["table", "hash", "window"], k=10
+        ),
+        "hybrid_search": (
+            "WITH kw AS (\n"
+            + _bm25_search_sql(terms=["table", "hash", "window"], k=10)
+            + "\n), sem AS (\n"
+            + llm_oracles.cosine_topk_sql(k=10, dim=64, query_max_id=1)
+            + "\n),\n"
+            + """fused AS (
+  SELECT coalesce(k.doc_id, s.neighbor_id) AS doc_id,
+         k.rank AS kw_rank, s.rank AS sem_rank,
+         round(coalesce(1.0 / (60 + k.rank), 0.0)
+               + coalesce(1.0 / (60 + s.rank), 0.0), 9) AS rrf9
+  FROM kw k FULL OUTER JOIN sem s ON s.neighbor_id = k.doc_id
+)
+SELECT doc_id, kw_rank, sem_rank, rrf9,
+       CAST(row_number() OVER (ORDER BY rrf9 DESC, doc_id ASC) AS INT) AS rank
+FROM fused QUALIFY rank <= 10"""
         ),
         "kmeans_clusters": _kmeans_assign_sql(rounds=2, stride=97, dim=64),
         "dense_daily_counts": DENSE_DAILY_COUNTS_SQL,
