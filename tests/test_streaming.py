@@ -301,3 +301,78 @@ def test_streaming_window_counts_drops_late_events(spark, tmp_path):
     for k, v in first.items():
         assert second.get(k, v) == v
     assert second == first
+
+
+def test_streaming_funnel_completion_and_timeout(spark, tmp_path):
+    """Stateful streaming funnel: a user completing the chain across TWO
+    micro-batches emits one completed row; a user stuck mid-funnel emits a
+    partial row once the watermark passes their TTL; a user who never
+    starts emits nothing."""
+    import datetime as dt
+
+    from zipkin_dependencies_spark.streaming.funnels import streaming_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    schema = "user_id long, ts timestamp, event_type string"
+
+    # batch 1: u1 signs up + clicks; u2 signs up (then goes quiet);
+    # u3 only clicks (never starts)
+    batch1 = [
+        (1, sec(0), "signup"),
+        (1, sec(60), "click"),
+        (2, sec(0), "signup"),
+        (3, sec(0), "click"),
+    ]
+    # batch 2: u1 purchases (completes); a far-future flush event pushes
+    # the watermark past u2's TTL so the timeout fires
+    batch2 = [
+        (1, sec(120), "purchase"),
+        (99, sec(100_000), "signup"),
+    ]
+    src = tmp_path / "events"
+    src.mkdir()
+    out = tmp_path / "out"
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_funnel(
+                stream, ["signup", "click", "purchase"],
+                ttl_ms=600_000, watermark="10 seconds",
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return {
+            r["user_id"]: r for r in spark.read.parquet(str(out)).collect()
+        }
+
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    first = run()
+    assert 1 not in first and 2 not in first and 3 not in first
+
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    second = run()
+
+    us = lambda s: int(sec(s).timestamp() * 1e6)  # noqa: E731
+    u1 = second[1]
+    assert u1["completed"] and u1["stage_reached"] == 3
+    assert (u1["t1_us"], u1["t2_us"], u1["t3_us"]) == (us(0), us(60), us(120))
+    u2 = second[2]
+    assert not u2["completed"] and u2["stage_reached"] == 1
+    assert u2["t1_us"] == us(0) and u2["t3_us"] is None
+    assert 3 not in second  # never started -> no state, no row
