@@ -34,3 +34,34 @@ def test_cli_main_writes_day_partition(spark, spans_df_factory, tmp_path, monkey
     assert [(r.day, r.parent, r.child, r.call_count, r.error_count) for r in out] == [
         (day, "web", "api", 1, 0)
     ]
+
+
+def test_curate_cli_writes_split_partitions(spark, tmp_path):
+    """The curation CLI end-to-end: documents in, split-partitioned
+    survivor table out; every survivor maps to exactly one split and
+    re-running is byte-stable (deterministic decisions)."""
+    from zipkin_dependencies_spark import curate as cli
+
+    out = str(tmp_path / "curated")
+    assert (
+        cli.main(
+            [
+                "--input", "/root/testdata/sf0.001/documents.parquet",
+                "--output", out,
+                "--min-quality", "0.3",
+                "--split", "train=0.8,val=0.2",
+            ]
+        )
+        == 0
+    )
+    got = spark.read.parquet(out)
+    assert set(got.select("split").distinct().toPandas()["split"]) <= {"train", "val"}
+    n1 = got.count()
+    assert n1 > 0
+    # deterministic re-run
+    assert cli.main(
+        ["--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out, "--min-quality", "0.3",
+         "--split", "train=0.8,val=0.2"]
+    ) == 0
+    assert spark.read.parquet(out).count() == n1

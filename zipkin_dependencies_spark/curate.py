@@ -1,0 +1,96 @@
+"""CLI entry for the training-data curation pipeline:
+``python -m zipkin_dependencies_spark.curate --input docs.parquet --output out/``
+
+The extension-set counterpart of the daily links job's CLI: reads a
+documents table (doc_id, text, ...), runs the one-plan curation
+composition (scrub → quality/language/repetition gates →
+[decontamination if a benchmark table is given] → keep-best near-exact
+dedup → reproducible split), and writes the survivor table partitioned by
+split — so downstream trainers read ``out/split=train/`` directly and a
+re-run with the same inputs is byte-stable (every decision is
+content-hash-deterministic; see llm/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def _parse_weights(spec: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        name, _, w = part.partition("=")
+        if not w:
+            raise argparse.ArgumentTypeError(
+                f"bad split spec {part!r} (want name=weight,…)"
+            )
+        out[name.strip()] = float(w)
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="python -m zipkin_dependencies_spark.curate",
+        description="Curate a documents table: scrub, gate, decontaminate, "
+        "dedup, split — one Spark plan, deterministic re-runs.",
+    )
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--output", required=True, help="output directory (parquet)")
+    p.add_argument("--benchmark", help="benchmark/eval parquet for decontamination")
+    p.add_argument("--min-quality", type=float, default=0.4)
+    p.add_argument("--lang", default="en")
+    p.add_argument("--max-dup-3gram", type=float, default=0.5)
+    p.add_argument("--decontaminate-n", type=int, default=13)
+    p.add_argument(
+        "--split",
+        type=_parse_weights,
+        default={"train": 0.9, "val": 0.05, "test": 0.05},
+        help="split weights, e.g. train=0.9,val=0.05,test=0.05",
+    )
+    p.add_argument("--master", default=None, help="spark master override")
+    args = p.parse_args(sys.argv[1:] if argv is None else argv)
+
+    logging.basicConfig(level=logging.INFO)
+    log = logging.getLogger("zipkin_dependencies_spark.curate")
+
+    from .llm.pipeline import curate_v2
+    from .session import get_spark
+
+    spark = get_spark(app_name="curate", master=args.master)
+    docs = spark.read.parquet(args.input)
+    benchmark = (
+        spark.read.parquet(args.benchmark)
+        if args.benchmark
+        # no benchmark table → empty contamination set (same plan, the
+        # broadcast anti-join is against zero digests)
+        else spark.createDataFrame([], "doc_id bigint, text string")
+    )
+    survivors = curate_v2(
+        docs,
+        benchmark,
+        min_quality=args.min_quality,
+        lang=args.lang,
+        max_dup_3gram=args.max_dup_3gram,
+        decontaminate_n=args.decontaminate_n,
+        split_weights=args.split,
+    )
+    (
+        survivors.write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(args.output)
+    )
+    from pyspark.sql import functions as F
+
+    out = spark.read.parquet(args.output)
+    per_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    log.info("curated %s -> %s: %s", args.input, args.output, per_split)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
