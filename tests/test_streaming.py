@@ -376,3 +376,50 @@ def test_streaming_funnel_completion_and_timeout(spark, tmp_path):
     assert not u2["completed"] and u2["stage_reached"] == 1
     assert u2["t1_us"] == us(0) and u2["t3_us"] is None
     assert 3 not in second  # never started -> no state, no row
+
+
+def test_streaming_anomalies_flags_spike_against_static_baseline(spark, tmp_path):
+    """Stream-static join: windowed stream counts scored against a
+    broadcast batch baseline; only the spiking window emits."""
+    import datetime as dt
+
+    from zipkin_dependencies_spark.streaming.windows import streaming_anomalies
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    schema = "user_id long, ts timestamp, event_type string"
+
+    # baseline says clicks run 2 +/- 1 per hour window
+    baseline = spark.createDataFrame(
+        [("click", 2.0, 1.0)], "event_type string, mean double, std double"
+    )
+    # hour 0: 2 clicks (normal); hour 1: 6 clicks (z=4, anomalous);
+    # flush event far ahead closes both windows
+    rows = (
+        [(1, sec(60 * i), "click") for i in range(2)]
+        + [(1, sec(3600 + 60 * i), "click") for i in range(6)]
+        + [(9, sec(10 * 86400), "flush")]
+    )
+    src = tmp_path / "events"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        streaming_anomalies(stream, baseline, window="1 hour",
+                            watermark="10 seconds", z_threshold=2.0)
+        .writeStream.format("memory")
+        .queryName("anom_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.sql("SELECT * FROM anom_out").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["event_type"] == "click" and r["n_events"] == 6 and r["z9"] == 4.0
+    assert r["win_start_us"] == int(sec(3600).timestamp() * 1e6)

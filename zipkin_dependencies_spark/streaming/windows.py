@@ -54,3 +54,49 @@ def streaming_window_counts(
             "n_events",
         )
     )
+
+
+def streaming_anomalies(
+    event_stream: DataFrame,
+    baseline_stats: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    z_threshold: float = 2.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming volume-anomaly monitor: tumbling-window counts per type,
+    scored live against a STATIC baseline — the stream-static broadcast
+    join pattern (the realistic production split of the batch
+    ``window_anomalies`` operator: expected behavior is computed offline
+    over the lake, the stream only has to count and compare).
+
+    ``baseline_stats`` carries (event_type, mean, std) from the batch
+    side; each closed window emits with its z-score when |z| ≥ threshold.
+    State is the windowed count aggregate only (watermark-GC'd); the
+    baseline joins in as a broadcast against every micro-batch, so
+    updating the baseline file between restarts retunes the monitor
+    without touching stream state."""
+    counts = (
+        event_stream.select(
+            F.col(ts_col).cast("timestamp").alias("_ts"),
+            F.col(type_col).alias("event_type"),
+        )
+        .withWatermark("_ts", watermark)
+        .groupBy(F.window("_ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    scored = counts.join(F.broadcast(baseline_stats), "event_type").select(
+        "event_type",
+        "win_start_us",
+        "n_events",
+        F.round(
+            (F.col("n_events") - F.col("mean")) / F.col("std"), 9
+        ).alias("z9"),
+    )
+    return scored.filter(F.abs(F.col("z9")) >= z_threshold)
