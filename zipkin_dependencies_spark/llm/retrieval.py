@@ -78,13 +78,14 @@ def bm25_search(
         .groupBy("doc_id")
         .agg(F.round(F.sum("c9") / 1e9, 6).alias("score6"))
     )
+    # top-k via orderBy+limit (plans as TakeOrdered — per-partition heaps,
+    # never a single-partition sort of the full hit set); the rank window
+    # then runs over exactly k rows, which is bounded by construction
     from pyspark.sql import Window as W
 
+    top = scored.orderBy(F.col("score6").desc(), F.col("doc_id").asc()).limit(k)
     w = W.orderBy(F.col("score6").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 def bm25_search_sql(
