@@ -966,6 +966,15 @@ def q_service_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return service_pagerank(q_dependency_links(spark, sf_dir), iterations=3)
 
 
+def q_service_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast radius: services reachable within 3 hops on the dependency
+    graph, with minimum hop counts (hop-bounded unrolled expansion over
+    the links table; the corpus is never touched)."""
+    from zipkin_dependencies_spark.operators.graph import service_reachability
+
+    return service_reachability(q_dependency_links(spark, sf_dir), max_hops=3)
+
+
 def q_trace_size_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spans-per-trace distribution per service (exact interpolated
     p50/p95): one span-scale map-side-combined count, then a group-
@@ -1176,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_search": q_semantic_search,
         "unigram_surprisal": q_unigram_surprisal,
         "service_pagerank": q_service_pagerank,
+        "service_reachability": q_service_reachability,
         "trace_size_percentiles": q_trace_size_percentiles,
         "event_transitions": q_event_transitions,
         "window_anomalies": q_window_anomalies,
@@ -1210,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from zipkin_dependencies_spark.operators.graph import (
         pagerank_sql as _pagerank_sql,
+        reachability_sql as _reachability_sql,
         trace_size_percentiles_sql as _trace_size_percentiles_sql,
     )
     from zipkin_dependencies_spark.operators.sessionize import sessionize_sql as _sessionize_sql
@@ -1540,6 +1551,7 @@ FROM fused QUALIFY rank <= 10"""
         ),
         "unigram_surprisal": llm_oracles.unigram_surprisal_sql(),
         "service_pagerank": _pagerank_sql(links_oracle, iterations=3),
+        "service_reachability": _reachability_sql(links_oracle, max_hops=3),
         "trace_size_percentiles": _trace_size_percentiles_sql(SPANS_SQL_CTE),
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "window_anomalies": _window_anomalies_sql(

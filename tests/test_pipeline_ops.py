@@ -371,3 +371,22 @@ def test_trace_size_percentiles_known(spark):
     assert rows["x"]["n_traces"] == 2 and rows["x"]["p50"] == 2.0
     assert rows["x"]["max_size"] == 3
     assert rows["y"]["p50"] == 2.0 and rows["y"]["n_traces"] == 1
+
+
+def test_service_reachability_min_hops(spark):
+    """Chain a->b->c->d plus shortcut a->c: min-hop wins (a,c)=1; depth
+    bound cuts (a,d) to 3 via the chain but min over the shortcut is 2."""
+    from zipkin_dependencies_spark.operators.graph import service_reachability
+
+    links = spark.createDataFrame(
+        [("a", "b", 1, 0), ("b", "c", 1, 0), ("c", "d", 1, 0), ("a", "c", 1, 0)],
+        "parent string, child string, call_count long, error_count long",
+    )
+    rows = {
+        (r["service"], r["downstream"]): r["hops"]
+        for r in service_reachability(links, max_hops=3).collect()
+    }
+    assert rows[("a", "b")] == 1 and rows[("a", "c")] == 1
+    assert rows[("a", "d")] == 2  # via the shortcut, not the 3-hop chain
+    assert rows[("b", "d")] == 2
+    assert ("d", "a") not in rows  # directed

@@ -163,3 +163,72 @@ SELECT service, CAST(count(*) AS BIGINT) AS n_traces, {pct_cols},
        max(n_spans) AS max_size
 FROM sizes GROUP BY service
 """
+
+
+def service_reachability(
+    links: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """→ (service, downstream, hops): every service reachable from
+    ``service`` in ≤ ``max_hops`` calls, with the MINIMUM hop count — the
+    "blast radius" query over the dependency graph ("if svc-X degrades,
+    who is downstream?").
+
+    Hop-bounded unrolled expansion (no fixpoint probe, same discipline as
+    ``service_pagerank``): frontier(k) = frontier(k-1) ⋈ edges, unioned
+    with min-hop dedup at the end. All integer arithmetic — no float
+    parity concerns — and every join is links-table-sized (services²
+    ceiling), so the corpus is never touched. Self-loops collapse
+    (service ≠ downstream enforced on output)."""
+    edges = (
+        links.select(F.col("parent"), F.col("child"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = edges.select(
+        F.col("parent").alias("service"),
+        F.col("child").alias("downstream"),
+        F.lit(1).alias("hops"),
+    )
+    layers = [frontier]
+    for _ in range(max_hops - 1):
+        f, e = frontier.alias("f"), edges.alias("e")
+        frontier = (
+            f.join(e, F.col("f.downstream") == F.col("e.parent"))
+            .select(
+                F.col("f.service").alias("service"),
+                F.col("e.child").alias("downstream"),
+                (F.col("f.hops") + 1).alias("hops"),
+            )
+            .distinct()
+        )
+        layers.append(frontier)
+    out = layers[0]
+    for layer in layers[1:]:
+        out = out.unionByName(layer)
+    return (
+        out.filter(F.col("service") != F.col("downstream"))
+        .groupBy("service", "downstream")
+        .agg(F.min("hops").cast("int").alias("hops"))
+    )
+
+
+def reachability_sql(links_sql: str, max_hops: int = 3) -> str:
+    """DuckDB twin: the same unrolled hop expansion over the links CTE."""
+    ctes = [
+        f"links AS ({links_sql})",
+        "edges AS (SELECT DISTINCT parent, child FROM links)",
+        "h1 AS (SELECT parent AS service, child AS downstream, 1 AS hops FROM edges)",
+    ]
+    for i in range(2, max_hops + 1):
+        ctes.append(
+            f"h{i} AS (SELECT DISTINCT h.service, e.child AS downstream, {i} AS hops "
+            f"FROM h{i-1} h JOIN edges e ON h.downstream = e.parent)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM h{i}" for i in range(1, max_hops + 1))
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT service, downstream, CAST(min(hops) AS INT) AS hops
+FROM ({union}) WHERE service <> downstream
+GROUP BY service, downstream"""
+    )
