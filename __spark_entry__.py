@@ -929,6 +929,55 @@ GROUP BY event_type
 """
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: tonight's crawl vs the current corpus — a synthetic
+    new snapshot (1-in-17 docs dropped, 1-in-13 texts edited, 1-in-19
+    re-keyed as new ids) diffed by content digest; output is
+    change-cardinality (doc_id, status)."""
+    from zipkin_dependencies_spark.llm.dedup import corpus_diff
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    new = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" edited"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 19 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1_000_000
+            )
+        )
+    )
+    return corpus_diff(docs, new)
+
+
+CORPUS_DIFF_SQL = """
+WITH new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' edited' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 19 = 0
+),
+o AS (SELECT doc_id, md5(text) AS old_h FROM documents),
+n AS (SELECT doc_id, md5(text) AS new_h FROM new),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_h, n.new_h
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN old_h IS NULL THEN 'added'
+            WHEN new_h IS NULL THEN 'removed'
+            WHEN old_h <> new_h THEN 'changed' END AS status
+FROM j
+WHERE old_h IS NULL OR new_h IS NULL OR old_h <> new_h
+"""
+
+
 def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval composition: exact cosine top-3 per query vector, joined
     back to document metadata (the "ANN hit → payload lookup" pattern).
@@ -1182,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "dense_daily_counts": q_dense_daily_counts,
         "props_rollup": q_props_rollup,
+        "corpus_diff": q_corpus_diff,
         "semantic_search": q_semantic_search,
         "unigram_surprisal": q_unigram_surprisal,
         "service_pagerank": q_service_pagerank,
@@ -1542,6 +1592,7 @@ FROM fused QUALIFY rank <= 10"""
         "kmeans_clusters": _kmeans_assign_sql(rounds=2, stride=97, dim=64),
         "dense_daily_counts": DENSE_DAILY_COUNTS_SQL,
         "props_rollup": PROPS_ROLLUP_SQL,
+        "corpus_diff": CORPUS_DIFF_SQL,
         "semantic_search": (
             "WITH topk AS ("
             + llm_oracles.cosine_topk_sql(k=3, dim=64, query_max_id=8)

@@ -596,3 +596,18 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     # determinism under repartitioning (the integer-contribution property)
     alt = bm25_search(docs.repartition(5), ["cat"], k=10).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, alt))
+
+
+def test_corpus_diff_statuses(spark):
+    from zipkin_dependencies_spark.llm.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert rows == {2: "changed", 3: "removed", 4: "added"}  # 1 drops out

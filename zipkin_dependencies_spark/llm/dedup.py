@@ -611,3 +611,37 @@ def dup_ngram_coverage(
             .alias("dup_frac"),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff of two corpus versions → (doc_id, status) with status
+    ∈ {added, removed, changed} — the incremental-pipeline planning step
+    ("what does tonight's crawl actually change?") that decides which
+    documents re-enter dedup/curation and which partitions need rewriting.
+
+    One full-outer join on the id, comparing 16-byte content digests:
+    unchanged rows (same id, same digest) drop out, so the result is
+    change-cardinality. The exchange carries (id, digest) pairs only —
+    text never moves for either snapshot."""
+    o = old.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_old_h")
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_new_h")
+    )
+    joined = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("_old_h").isNull(), F.lit("added"))
+        .when(F.col("_new_h").isNull(), F.lit("removed"))
+        .when(F.col("_old_h") != F.col("_new_h"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select("doc_id", "status")
+    )
