@@ -216,3 +216,48 @@ def test_decode_image_with_pil_if_present():
 
     w, h, c, px = decode_image(_make_png(2, 2, (1, 2, 3)))
     assert (w, h, c) == (2, 2, 3) and px == bytes((1, 2, 3)) * 4
+
+
+def test_resize_images_nearest_neighbor(spark):
+    """Real resize end to end: a 4x2 two-tone PNG downsamples to 2x1 with
+    exact nearest-neighbor pixels; bad payloads carry resize_error."""
+    from zipkin_dependencies_spark.llm.multimodal import resize_images
+
+    # left half red, right half blue, 4 wide x 2 tall
+    import zlib
+
+    def chunk(tag, data):
+        import struct
+
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    import struct
+
+    w, h = 4, 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    row = bytes((255, 0, 0)) * 2 + bytes((0, 0, 255)) * 2
+    raw = b"".join(b"\x00" + row for _ in range(h))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in resize_images(media, 2, 1).collect()}
+    ok = out[1]
+    assert (ok.src_width, ok.src_height, ok.width, ok.height) == (4, 2, 2, 1)
+    # NN with floor(i*src/target): x indices 0 and 2 -> red, blue
+    assert bytes(ok.pixels) == bytes((255, 0, 0)) + bytes((0, 0, 255))
+    assert ok.resize_error is None
+    bad = out[2]
+    assert bad.pixels is None and bad.resize_error
