@@ -1015,6 +1015,34 @@ def q_service_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return service_pagerank(q_dependency_links(spark, sf_dir), iterations=3)
 
 
+def q_span_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trace-shape analytics: distribution of per-parent fan-out (how many
+    direct children a span has). Two map-side-combined aggregates — the
+    first is the span-scale one keyed by (trace, parent), the second is
+    histogram-cardinality."""
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    spans = derived_spans(spark, sf_dir)
+    children = spans.filter(F.col("parent_id").isNotNull())
+    fanout = children.groupBy("trace_id", "parent_id").agg(
+        F.count(F.lit(1)).alias("n_children")
+    )
+    return fanout.groupBy("n_children").agg(
+        F.count(F.lit(1)).alias("n_parents")
+    )
+
+
+SPAN_FANOUT_SQL = """
+SELECT n_children, CAST(count(*) AS BIGINT) AS n_parents
+FROM (
+  SELECT trace_id, parent_id, CAST(count(*) AS BIGINT) AS n_children
+  FROM spans WHERE parent_id IS NOT NULL
+  GROUP BY trace_id, parent_id
+)
+GROUP BY n_children
+"""
+
+
 def q_service_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blast radius: services reachable within 3 hops on the dependency
     graph, with minimum hop counts (hop-bounded unrolled expansion over
@@ -1236,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": q_unigram_surprisal,
         "service_pagerank": q_service_pagerank,
         "service_reachability": q_service_reachability,
+        "span_fanout_histogram": q_span_fanout_histogram,
         "trace_size_percentiles": q_trace_size_percentiles,
         "event_transitions": q_event_transitions,
         "window_anomalies": q_window_anomalies,
@@ -1603,6 +1632,9 @@ FROM fused QUALIFY rank <= 10"""
         "unigram_surprisal": llm_oracles.unigram_surprisal_sql(),
         "service_pagerank": _pagerank_sql(links_oracle, iterations=3),
         "service_reachability": _reachability_sql(links_oracle, max_hops=3),
+        "span_fanout_histogram": (
+            "WITH " + SPANS_SQL_CTE.strip() + "\n" + SPAN_FANOUT_SQL
+        ),
         "trace_size_percentiles": _trace_size_percentiles_sql(SPANS_SQL_CTE),
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "window_anomalies": _window_anomalies_sql(
