@@ -1015,6 +1015,31 @@ def q_service_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return service_pagerank(q_dependency_links(spark, sf_dir), iterations=3)
 
 
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p95 of the event value per type (the latency-
+    SLO query shape): one grouped sort-based aggregate over (type, value)
+    pairs; quantile_cont parity with DuckDB."""
+    from zipkin_dependencies_spark.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy(F.col("event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.percentile("value", F.lit(0.5)), 9).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 9).alias("p95"),
+        F.round(F.max("value"), 9).alias("max_value"),
+    )
+
+
+EVENT_VALUE_PCT_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(quantile_cont(value, 0.5), 9) AS p50,
+       round(quantile_cont(value, 0.95), 9) AS p95,
+       round(max(value), 9) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_span_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trace-shape analytics: distribution of per-parent fan-out (how many
     direct children a span has). Two map-side-combined aggregates — the
@@ -1265,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_pagerank": q_service_pagerank,
         "service_reachability": q_service_reachability,
         "span_fanout_histogram": q_span_fanout_histogram,
+        "event_value_percentiles": q_event_value_percentiles,
         "trace_size_percentiles": q_trace_size_percentiles,
         "event_transitions": q_event_transitions,
         "window_anomalies": q_window_anomalies,
@@ -1635,6 +1661,7 @@ FROM fused QUALIFY rank <= 10"""
         "span_fanout_histogram": (
             "WITH " + SPANS_SQL_CTE.strip() + "\n" + SPAN_FANOUT_SQL
         ),
+        "event_value_percentiles": EVENT_VALUE_PCT_SQL,
         "trace_size_percentiles": _trace_size_percentiles_sql(SPANS_SQL_CTE),
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "window_anomalies": _window_anomalies_sql(
