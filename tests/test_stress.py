@@ -1,0 +1,69 @@
+"""Opt-in scale stress (SPARK_GRAFT_STRESS=1): the SCALING.md 10× point,
+reproducible — 7.5M spans (ten sf0.1 replicas under fresh trace ids)
+through the full flagship pipeline, asserting result invariance and a
+throughput floor. Skipped by default to keep the suite fast."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_STRESS"),
+    reason="set SPARK_GRAFT_STRESS=1 to run the 7.5M-span stress point",
+)
+
+
+def test_flagship_at_10x_replicated_sf01(spark):
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    base = derived_spans(spark, "/root/testdata/sf0.1")
+    replicas = []
+    for i in range(10):
+        p = str(i)
+        replicas.append(
+            base.withColumn(
+                "trace_id", F.concat(F.lit(p), F.substring("trace_id", 2, 15))
+            )
+            .withColumn(
+                "id",
+                F.when(
+                    F.col("parent_id").isNull(),
+                    F.concat(F.lit(p), F.substring("id", 2, 15)),
+                ).otherwise(F.col("id")),
+            )
+            .withColumn(
+                "parent_id",
+                F.when(
+                    F.col("parent_id").isNotNull(),
+                    F.concat(F.lit(p), F.substring("parent_id", 2, 15)),
+                ),
+            )
+        )
+    big = replicas[0]
+    for r in replicas[1:]:
+        big = big.unionByName(r)
+    big = big.localCheckpoint(eager=True)
+    n = big.count()
+    assert n == 7_500_000
+
+    # replicas preserve service names, so links must equal 10x the base
+    base_links = {
+        (r["parent"], r["child"]): (r["call_count"], r["error_count"])
+        for r in links_from_spans(normalize_spans(base)).collect()
+    }
+    t0 = time.monotonic()
+    got = {
+        (r["parent"], r["child"]): (r["call_count"], r["error_count"])
+        for r in links_from_spans(normalize_spans(big)).collect()
+    }
+    wall = time.monotonic() - t0
+    assert got == {k: (10 * c, 10 * e) for k, (c, e) in base_links.items()}
+    # generous floor: the recorded point is ~1M spans/s; flag anything
+    # an order of magnitude off (a plan regression, not machine noise)
+    assert n / wall > 100_000, f"throughput collapsed: {n/wall:,.0f} spans/s"
