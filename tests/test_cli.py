@@ -65,3 +65,45 @@ def test_curate_cli_writes_split_partitions(spark, tmp_path):
          "--split", "train=0.8,val=0.2"]
     ) == 0
     assert spark.read.parquet(out).count() == n1
+
+
+def test_curate_cli_incremental_appends_only_new_content(spark, tmp_path):
+    """--existing mode: a delta crawl containing the ORIGINAL corpus plus
+    new documents appends only the new content's survivors; re-running the
+    same increment appends nothing (fingerprint anti-join idempotence)."""
+    from pyspark.sql import functions as F
+
+    from zipkin_dependencies_spark import curate as cli
+
+    out = str(tmp_path / "store")
+    base_in = "/root/testdata/sf0.001/documents.parquet"
+    common = ["--min-quality", "0.3", "--split", "train=1.0"]
+
+    assert cli.main(["--input", base_in, "--output", out, *common]) == 0
+    n_base = spark.read.parquet(out).count()
+    assert n_base > 0
+
+    # delta crawl = old corpus + genuinely new docs (re-keyed, edited text)
+    delta_in = str(tmp_path / "delta")
+    docs = spark.read.parquet(base_in)
+    new_docs = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" fresh crawl content")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    docs.unionByName(new_docs).write.mode("overwrite").parquet(delta_in)
+
+    assert cli.main(
+        ["--input", delta_in, "--output", out, "--existing", out, *common]
+    ) == 0
+    n_incr = spark.read.parquet(out).count()
+    assert n_incr > n_base  # new content landed
+    # old content did NOT duplicate: every fingerprint still appears once
+    fp = spark.read.parquet(out).groupBy("fingerprint").count()
+    assert fp.filter(F.col("count") > 1).count() == 0
+
+    # idempotent: the same increment again appends nothing
+    assert cli.main(
+        ["--input", delta_in, "--output", out, "--existing", out, *common]
+    ) == 0
+    assert spark.read.parquet(out).count() == n_incr

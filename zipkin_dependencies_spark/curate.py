@@ -49,6 +49,12 @@ def main(argv: list[str] | None = None) -> int:
         default={"train": 0.9, "val": 0.05, "test": 0.05},
         help="split weights, e.g. train=0.9,val=0.05,test=0.05",
     )
+    p.add_argument(
+        "--existing",
+        help="existing curated store: run INCREMENTALLY — survivors whose "
+        "content fingerprint is already present are dropped and the rest "
+        "APPENDED to --output (don't re-curate the world for a delta crawl)",
+    )
     p.add_argument("--master", default=None, help="spark master override")
     args = p.parse_args(sys.argv[1:] if argv is None else argv)
 
@@ -76,11 +82,25 @@ def main(argv: list[str] | None = None) -> int:
         decontaminate_n=args.decontaminate_n,
         split_weights=args.split,
     )
-    (
-        survivors.write.mode("overwrite")
-        .partitionBy("split")
-        .parquet(args.output)
-    )
+    if args.existing:
+        # incremental: the existing store contributes ONLY its fingerprint
+        # column (column-pruned scan — the accumulated corpus text is never
+        # re-read); the delta's survivors anti-join against it, and the
+        # checkpoint pins the delta before the append so reading and
+        # appending the same directory cannot race
+        existing_fp = (
+            spark.read.parquet(args.existing).select("fingerprint").distinct()
+        )
+        survivors = survivors.join(
+            existing_fp, "fingerprint", "left_anti"
+        ).localCheckpoint(eager=True)
+        survivors.write.mode("append").partitionBy("split").parquet(args.output)
+    else:
+        (
+            survivors.write.mode("overwrite")
+            .partitionBy("split")
+            .parquet(args.output)
+        )
     from pyspark.sql import functions as F
 
     out = spark.read.parquet(args.output)
