@@ -348,6 +348,62 @@ def q_s3_join_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: revenue per nation where customer and supplier
+    share the nation, ASIA region, 1996 orders — a six-table join chain
+    that exercises Catalyst's join reordering and dimension broadcasts
+    (region/nation/supplier/customer all broadcast; lineitem is the only
+    big probe side). Revenue summed as exact cents for cross-engine
+    hashing."""
+    from zipkin_dependencies_spark.testdata import load
+
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("timestamp").between("1996-01-01", "1996-12-31")
+    )
+    lineitem = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    revenue_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("n_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(revenue_cents).alias("revenue_cents"),
+        )
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS TIMESTAMP) BETWEEN '1996-01-01' AND '1996-12-31'
+GROUP BY n_name
+"""
+
+
 def q_a2_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 analog: hash partial+final aggregation (money summed as cents for
     bit-exact cross-engine hashing)."""
@@ -1242,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_normalize": q_trace_normalize,
         "s3_join_distinct": q_s3_join_distinct,
         "a2_agg_lineitem": q_a2_agg_lineitem,
+        "local_supplier_volume": q_local_supplier_volume,
         "f1_window_events": q_f1_window_events,
         "sliding_window_events": q_sliding_window_events,
         "day_rollup_events": q_day_rollup_events,
@@ -1662,6 +1719,7 @@ FROM fused QUALIFY rank <= 10"""
             "WITH " + SPANS_SQL_CTE.strip() + "\n" + SPAN_FANOUT_SQL
         ),
         "event_value_percentiles": EVENT_VALUE_PCT_SQL,
+        "local_supplier_volume": LOCAL_SUPPLIER_VOLUME_SQL,
         "trace_size_percentiles": _trace_size_percentiles_sql(SPANS_SQL_CTE),
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "window_anomalies": _window_anomalies_sql(

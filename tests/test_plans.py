@@ -252,3 +252,16 @@ def test_window_anomalies_broadcasts_stats(spark):
     plan = formatted(e.q_window_anomalies(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q5_join_chain_broadcasts_dimensions(spark):
+    """The six-table Q5 analog plans every dimension join as a broadcast
+    hash join at test scale — no sort-merge exchange of the fact table for
+    dimension lookups."""
+    import __spark_entry__ as e
+
+    df = e.q_local_supplier_volume(spark, SF)
+    df.count()  # AQE-final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
