@@ -1071,6 +1071,38 @@ def q_service_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return service_pagerank(q_dependency_links(spark, sf_dir), iterations=3)
 
 
+def q_events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted daily activity matrix: one row per UTC day, one column per
+    event type (explicit value list — no inference pass, so the pivot is
+    a single scan + one hash aggregate with map-side combine)."""
+    from zipkin_dependencies_spark.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    day = F.to_date(F.date_trunc("day", F.col("ts").cast("timestamp")))
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        ev.select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+    )
+    # pivot leaves missing cells null; a day with zero of a type is 0
+    return pivoted.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
+    )
+
+
+EVENTS_DAILY_PIVOT_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY 1
+"""
+
+
 def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated p50/p95 of the event value per type (the latency-
     SLO query shape): one grouped sort-based aggregate over (type, value)
@@ -1348,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_reachability": q_service_reachability,
         "span_fanout_histogram": q_span_fanout_histogram,
         "event_value_percentiles": q_event_value_percentiles,
+        "events_daily_pivot": q_events_daily_pivot,
         "trace_size_percentiles": q_trace_size_percentiles,
         "event_transitions": q_event_transitions,
         "window_anomalies": q_window_anomalies,
@@ -1720,6 +1753,7 @@ FROM fused QUALIFY rank <= 10"""
         ),
         "event_value_percentiles": EVENT_VALUE_PCT_SQL,
         "local_supplier_volume": LOCAL_SUPPLIER_VOLUME_SQL,
+        "events_daily_pivot": EVENTS_DAILY_PIVOT_SQL,
         "trace_size_percentiles": _trace_size_percentiles_sql(SPANS_SQL_CTE),
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "window_anomalies": _window_anomalies_sql(

@@ -390,3 +390,41 @@ def test_service_reachability_min_hops(spark):
     assert rows[("a", "d")] == 2  # via the shortcut, not the 3-hop chain
     assert rows[("b", "d")] == 2
     assert ("d", "a") not in rows  # directed
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [11, 202])
+def test_cohort_retention_matches_python_reference(spark, seed):
+    """Randomized soundness for cohort retention: epoch-week cohorts and
+    offsets replayed by a direct per-user python reference."""
+    import datetime as dt
+    import random
+
+    from zipkin_dependencies_spark.operators.cohort import cohort_retention
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            rng.randrange(20),
+            dt.datetime(1970, 1, 1) + dt.timedelta(days=rng.randrange(60)),
+        )
+        for _ in range(300)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+
+    per_user: dict[int, set[int]] = {}
+    for u, t in rows:
+        week = (t - dt.datetime(1970, 1, 1)).days // 7
+        per_user.setdefault(u, set()).add(week)
+    expected: dict[tuple[int, int], int] = {}
+    for weeks in per_user.values():
+        c = min(weeks)
+        for w in weeks:
+            expected[(c, w - c)] = expected.get((c, w - c), 0) + 1
+    assert got == expected
