@@ -1278,6 +1278,164 @@ def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_event_files(
+    spark: SparkSession, frames, root: str
+) -> tuple[str, str]:
+    """Stage a list of DataFrames as one parquet file each in ``root``/src,
+    with FORCED ascending mtimes so the file-stream source (which orders
+    files by modification time) replays them as micro-batches in exactly
+    this order — deterministic multi-batch replay, no mtime races."""
+    import os
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/src"
+    seen: set[str] = set()
+    for i, df in enumerate(frames):
+        df.coalesce(1).write.mode("append").parquet(src)
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in seen:
+                seen.add(f)
+                t = 1_000_000 + i * 1_000
+                os.utime(os.path.join(src, f), (t, t))
+    return src, f"{root}"
+
+
+def q_streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-replay twin of the STREAMING stateful funnel
+    (streaming/funnels.py, applyInPandasWithState): the events table is
+    staged as two time-split files (all of batch 1 precedes batch 2 in
+    event time, so the forward-only state progression equals the batch
+    greedy scan), replayed availableNow through the streaming kernel, and
+    the drained append sink must equal the batch funnel's COMPLETED rows —
+    which is exactly what the DuckDB funnel oracle asserts. TTL is set
+    beyond the replay horizon so no partial-timeout rows blur the contract;
+    sticky completion keeps append one-row-per-user across batches."""
+    import hashlib
+
+    from zipkin_dependencies_spark.streaming.funnels import streaming_funnel
+    from zipkin_dependencies_spark.testdata import load_events
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/zds_funnel_replay/{tag}"
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    split = F.lit("2024-01-16").cast("timestamp")
+    src, _ = _stage_event_files(
+        spark,
+        [ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split)],
+        root,
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_funnel(
+            stream,
+            ["signup", "click", "purchase"],
+            within_us=24 * 3_600_000_000,
+            ttl_ms=10_000_000_000_000,  # beyond replay horizon: no timeouts
+            watermark="60 days",  # beyond data span: nothing is ever late
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{root}/sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{root}/sink").select(
+        "user_id", "t1_us", "t2_us", "t3_us", "stage_reached", "completed"
+    )
+
+
+def q_streaming_anomalies_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-replay twin of the STREAMING anomaly monitor
+    (streaming/windows.py, watermarked tumbling windows × stream-static
+    broadcast baseline): baseline mean/std per type come from the batch
+    exact-integer-sum recipe (the window_anomalies formula), the events
+    replay as two time-split files plus a far-future flush file that drives
+    the watermark past every real window, and the drained sink must equal
+    the batch window_anomalies result — the DuckDB oracle is literally
+    window_anomalies_sql at the same window width."""
+    import datetime as dt
+    import hashlib
+
+    from zipkin_dependencies_spark.streaming.windows import streaming_anomalies
+    from zipkin_dependencies_spark.testdata import load_events
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/zds_anom_replay/{tag}"
+    win_us = 4 * 3600 * 1_000_000
+    ev = load_events(spark, sf_dir).select("ts", "event_type")
+
+    # baseline: per-type mean/std of 4h tumbling counts, population variance
+    # from EXACT integer sums (engine-exact; zero-variance types filtered
+    # BEFORE the division) — the same arithmetic, in the same IEEE op order,
+    # as operators/events_analytics.window_anomalies and its SQL twin
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    counts = (
+        ev.select(
+            "event_type",
+            (F.floor(ts_us / win_us) * win_us).cast("long").alias("w"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_w"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    ).filter(F.col("n_w") * F.col("s2") > F.col("s1") * F.col("s1"))
+    baseline = stats.select(
+        "event_type",
+        (F.col("s1") / F.col("n_w")).alias("mean"),
+        F.sqrt(
+            (F.col("n_w") * F.col("s2") - F.col("s1") * F.col("s1"))
+            / (F.col("n_w") * F.col("n_w"))
+        ).alias("std"),
+    )
+
+    split = F.lit("2024-01-16").cast("timestamp")
+    flush = spark.createDataFrame(
+        [(dt.datetime(2024, 6, 1), "__flush__")], ev.schema
+    )
+    src, _ = _stage_event_files(
+        spark,
+        [ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split), flush],
+        root,
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_anomalies(
+            stream,
+            baseline,
+            window="4 hours",
+            # delay covers the whole data span: no real event is ever late
+            # regardless of batch boundaries; only the June flush advances
+            # the watermark past the January windows and closes them
+            watermark="30 days",
+            z_threshold=2.0,
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{root}/sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{root}/sink").select(
+        "event_type", "win_start_us", "n_events", "z9"
+    )
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: typed metadata + content digest over opaque
     binary payloads (JVM-side md5 over binary)."""
@@ -1312,7 +1470,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # REGISTRY ORDER IS EVIDENCE POLICY: the driver's correctness gate runs
+    # the first 50 entries (CORRECTNESS_r03 == first 50 of the r03 registry,
+    # exactly). Rounds 1-3 gated the zipkin core + the first LLM block; the
+    # 28 operators added later never received a driver row. This round they
+    # come FIRST so CORRECTNESS_r04 covers them; the previously-gated block
+    # follows (still covered by tests/test_entry_oracle.py's local replica
+    # gate at sf0.01, which runs ALL entries every time).
     return {
+        # --- never driver-gated before r04 (28) + new batch-replay twins ---
+        "streaming_funnel_replay": q_streaming_funnel_replay,
+        "streaming_anomalies_replay": q_streaming_anomalies_replay,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
+        "sessionize_events": q_sessionize_events,
+        "asof_attribution": q_asof_attribution,
+        "funnel_events": q_funnel_events,
+        "quantile_gate": q_quantile_gate,
+        "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
+        "kmeans_clusters": q_kmeans_clusters,
+        "dense_daily_counts": q_dense_daily_counts,
+        "props_rollup": q_props_rollup,
+        "corpus_diff": q_corpus_diff,
+        "semantic_search": q_semantic_search,
+        "unigram_surprisal": q_unigram_surprisal,
+        "service_pagerank": q_service_pagerank,
+        "service_reachability": q_service_reachability,
+        "span_fanout_histogram": q_span_fanout_histogram,
+        "event_value_percentiles": q_event_value_percentiles,
+        "events_daily_pivot": q_events_daily_pivot,
+        "trace_size_percentiles": q_trace_size_percentiles,
+        "event_transitions": q_event_transitions,
+        "window_anomalies": q_window_anomalies,
+        "cohort_retention": q_cohort_retention,
+        "corpus_stats": q_corpus_stats,
+        "group_topn_sample": q_group_topn_sample,
+        "label_centroids": q_label_centroids,
+        "media_stats": q_media_stats,
+        "media_frames": q_media_frames,
+        "media_features": q_media_features,
+        # --- driver-gated green in CORRECTNESS_r01..r03 (50) ---
         "dependency_links": q_dependency_links,
         "dependency_links_f2_window": q_dependency_links_f2,
         "v1_reconstruct": q_v1_reconstruct,
@@ -1363,34 +1560,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_idf": q_token_idf,
         "top_docs_per_source": q_top_docs_per_source,
         "curation_pipeline": q_curation_pipeline,
-        "curation_pipeline_v2": q_curation_pipeline_v2,
-        "sessionize_events": q_sessionize_events,
-        "asof_attribution": q_asof_attribution,
-        "funnel_events": q_funnel_events,
-        "quantile_gate": q_quantile_gate,
-        "bm25_search": q_bm25_search,
-        "hybrid_search": q_hybrid_search,
-        "kmeans_clusters": q_kmeans_clusters,
-        "dense_daily_counts": q_dense_daily_counts,
-        "props_rollup": q_props_rollup,
-        "corpus_diff": q_corpus_diff,
-        "semantic_search": q_semantic_search,
-        "unigram_surprisal": q_unigram_surprisal,
-        "service_pagerank": q_service_pagerank,
-        "service_reachability": q_service_reachability,
-        "span_fanout_histogram": q_span_fanout_histogram,
-        "event_value_percentiles": q_event_value_percentiles,
-        "events_daily_pivot": q_events_daily_pivot,
-        "trace_size_percentiles": q_trace_size_percentiles,
-        "event_transitions": q_event_transitions,
-        "window_anomalies": q_window_anomalies,
-        "cohort_retention": q_cohort_retention,
-        "corpus_stats": q_corpus_stats,
-        "group_topn_sample": q_group_topn_sample,
-        "label_centroids": q_label_centroids,
-        "media_stats": q_media_stats,
-        "media_frames": q_media_frames,
-        "media_features": q_media_features,
     }
 
 
@@ -1764,6 +1933,19 @@ FROM fused QUALIFY rank <= 10"""
         "label_centroids": llm_oracles.label_centroids_sql(scale_bits=20, dim=64),
         "funnel_events": _funnel_sql(
             ["signup", "click", "purchase"], within_us=24 * 3_600_000_000
+        ),
+        # streaming replay twins: drained availableNow streams must equal
+        # the BATCH truth — completed funnels / the batch anomaly monitor
+        "streaming_funnel_replay": (
+            "SELECT user_id, t1_us, t2_us, t3_us, stage_reached, "
+            "CAST(TRUE AS BOOLEAN) AS completed FROM ("
+            + _funnel_sql(
+                ["signup", "click", "purchase"], within_us=24 * 3_600_000_000
+            )
+            + ") f WHERE stage_reached = 3"
+        ),
+        "streaming_anomalies_replay": _window_anomalies_sql(
+            window_seconds=4 * 3600, z_threshold=2.0
         ),
         "media_stats": llm_oracles.media_stats_sql(frame_bytes=100),
         "media_frames": llm_oracles.media_frames_sql(frame_bytes=100),

@@ -378,6 +378,81 @@ def test_streaming_funnel_completion_and_timeout(spark, tmp_path):
     assert 3 not in second  # never started -> no state, no row
 
 
+def test_streaming_funnel_sticky_completion_suppresses_second_emission(
+    spark, tmp_path
+):
+    """A completed user keeps a done marker: a second full sequence while
+    the marker is live emits NOTHING (append stays one-row-per-user like the
+    batch funnel); once the marker expires by event-time TTL, a fresh
+    sequence is a new funnel and MAY emit again (documented restart)."""
+    import datetime as dt
+
+    from zipkin_dependencies_spark.streaming.funnels import streaming_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    us = lambda s: int(sec(s).timestamp() * 1e6)  # noqa: E731
+    schema = "user_id long, ts timestamp, event_type string"
+    src = tmp_path / "events"
+    src.mkdir()
+    out = tmp_path / "out"
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_funnel(
+                stream, ["signup", "click", "purchase"],
+                ttl_ms=3_600_000, watermark="10 seconds",
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return [
+            r for r in spark.read.parquet(str(out)).collect()
+            if r["user_id"] == 1
+        ]
+
+    def append(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    # batch 1: u1 completes -> one row, done marker set (TTL 1h past 120s)
+    append([(1, sec(0), "signup"), (1, sec(60), "click"),
+            (1, sec(120), "purchase")])
+    first = run()
+    assert len(first) == 1 and first[0]["completed"]
+
+    # batch 2: u1 runs a SECOND full sequence while the marker is live
+    # (watermark only reaches 990s < 120s+3600s); must be suppressed —
+    # and the marker TTL refreshes to 420s+3600s
+    append([(1, sec(300), "signup"), (1, sec(360), "click"),
+            (1, sec(420), "purchase"), (9, sec(1_000), "flush")])
+    second = run()
+    assert len(second) == 1 and second[0]["t3_us"] == us(120)
+
+    # batch 3: quiet gap — watermark 9_990s passes the marker's 4_020s
+    # timeout; the done marker expires SILENTLY (no partial row)
+    append([(9, sec(10_000), "flush")])
+    assert len(run()) == 1
+
+    # batch 4: post-expiry fresh sequence -> a NEW funnel may emit
+    append([(1, sec(10_100), "signup"), (1, sec(10_160), "click"),
+            (1, sec(10_220), "purchase"), (9, sec(20_000), "flush")])
+    fourth = run()
+    assert len(fourth) == 2
+    assert sorted(r["t3_us"] for r in fourth) == [us(120), us(10_220)]
+
+
 def test_streaming_anomalies_flags_spike_against_static_baseline(spark, tmp_path):
     """Stream-static join: windowed stream counts scored against a
     broadcast batch baseline; only the spiking window emits."""

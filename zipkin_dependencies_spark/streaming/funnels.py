@@ -18,6 +18,14 @@ Timeout: event-time (not processing-time) — a user's funnel expires
 ``ttl_ms`` after their latest event, measured against the stream's
 watermark, so replaying history at full speed produces the identical
 output as real-time ingestion (processing-time timeouts would not).
+
+Completion is sticky: a completed user keeps a one-bit ``done`` marker in
+state (refreshed to ``ttl_ms`` past their latest event) so later events
+cannot start a second funnel and re-emit — append mode stays
+one-row-per-user, matching the batch operator, until the marker itself
+expires by event-time TTL (after which a genuinely new burst of activity
+is a new funnel, the intended restart). Without the marker a user who
+completed in batch N and stayed active in batch N+1 would emit twice.
 """
 
 from __future__ import annotations
@@ -55,7 +63,7 @@ def streaming_funnel(
         + ", ".join(f"{c} bigint" for c in t_cols)
         + ", stage_reached int, completed boolean"
     )
-    state_schema = ", ".join(f"{c} bigint" for c in t_cols)
+    state_schema = ", ".join(f"{c} bigint" for c in t_cols) + ", done boolean"
     empty = pd.DataFrame(
         columns=["user_id", *t_cols, "stage_reached", "completed"]
     )
@@ -70,18 +78,38 @@ def streaming_funnel(
     def kernel(key, pdfs, state: GroupState):
         (uid,) = key
         if state.hasTimedOut:
-            ts_list = list(state.get)
+            stored = list(state.get)
+            ts_list, was_done = stored[:k], bool(stored[k])
             state.remove()
-            yield row(uid, ts_list, False)
+            if not was_done:
+                # a completed marker expiring emits nothing (its row went
+                # out at completion time); only live partials emit here
+                yield row(uid, ts_list, False)
+            else:
+                yield empty
             return
 
-        ts_list = list(state.get) if state.exists else [None] * k
+        if state.exists:
+            stored = list(state.get)
+            ts_list, done = stored[:k], bool(stored[k])
+        else:
+            ts_list, done = [None] * k, False
         events = []
         for pdf in pdfs:
             events.extend(
                 zip(pdf["_ts_us"].tolist(), pdf["_type"].tolist())
             )
         events.sort()
+        if done:
+            # sticky completion: ignore post-completion events, refresh the
+            # marker's TTL past the newest one so suppression outlives an
+            # active user's tail activity (append stays one-row-per-user)
+            if events:
+                newest = events[-1][0]
+                state.update((*ts_list, True))
+                state.setTimeoutTimestamp(newest // 1000 + ttl_ms)
+            yield empty
+            return
         max_ts = None
         for t, typ in events:
             max_ts = t if max_ts is None else max(max_ts, t)
@@ -98,11 +126,14 @@ def streaming_funnel(
             ts_list[idx] = t
 
         if ts_list[k - 1] is not None:
-            if state.exists:
-                state.remove()
+            # keep a done marker (not the old remove()) so later batches'
+            # events for this user cannot start and emit a second funnel
+            state.update((*ts_list, True))
+            if max_ts is not None:
+                state.setTimeoutTimestamp(max_ts // 1000 + ttl_ms)
             yield row(uid, ts_list, True)
         elif any(t is not None for t in ts_list):
-            state.update(tuple(ts_list))
+            state.update((*ts_list, False))
             if max_ts is not None:
                 state.setTimeoutTimestamp(max_ts // 1000 + ttl_ms)
             yield empty
