@@ -1,10 +1,15 @@
 #!/usr/bin/env python
 """Headline benchmark: runs the engine's flagship queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS].
 
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <sf>}
+Output contract (driver-proof): the LAST stdout line is ONE compact JSON
+headline — total seconds, query count, sf, calibration — guaranteed to fit
+the driver's 2 KB stdout-tail capture (round 3's per-query map pushed the
+headline past the tail and the driver recorded "parsed": null). Per-query
+times and GC detail go to a sidecar file ($SPARK_GRAFT_BENCH_DETAIL,
+default bench_detail.json next to this script), committed per round as
+BENCH_r{N}_local.json. Progress chatter goes to stderr only.
 
 The ledger of recorded runs lives in BASELINE.md.
 """
@@ -80,7 +85,17 @@ def main() -> None:
     headline = [
         name
         for name in all_queries
-        if name not in ("trace_normalize", "streaming_daily_links")
+        if name
+        not in (
+            "trace_normalize",
+            # streaming orchestration queries: availableNow replay through
+            # foreachBatch / file-sink staging — correctness-gated, but
+            # their wall time measures the micro-batch scheduler and
+            # filesystem staging, not an engine plan
+            "streaming_daily_links",
+            "streaming_funnel_replay",
+            "streaming_anomalies_replay",
+        )
     ]
 
     # driver GC time (local mode: driver == executors, so this is ALL GC).
@@ -105,12 +120,24 @@ def main() -> None:
     # and pushes the JVM's hot paths through C2 — measured: v1_links' first
     # timed sf0.1 run drops 16.6 s → 5.3 s with this pass in place. Costs
     # ~1 s/query of untimed wall, affects no recorded number except by
-    # removing compiler noise from pass 1.
-    for name in headline:
-        try:
-            all_queries[name](spark, "/root/testdata/sf0.001").count()
-        except Exception as ex:  # pragma: no cover - diagnostics only
-            print(f"# warmup {name} failed: {ex}", file=sys.stderr)
+    # removing compiler noise from pass 1. The warmup dir is derived from
+    # the configured sf_dir's parent (smallest sibling sf), not hardcoded,
+    # so a relocated testdata root still warms up.
+    base = os.path.dirname(os.path.abspath(sf_dir.rstrip("/")))
+    sibs = sorted(
+        (d for d in os.listdir(base) if d.startswith("sf"))
+        if os.path.isdir(base) else [],
+        key=lambda d: float(d[2:]) if d[2:].replace(".", "", 1).isdigit() else 1e9,
+    )
+    warm_dir = os.path.join(base, sibs[0]) if sibs else None
+    if warm_dir is None or not os.path.isdir(warm_dir):
+        print("# no warmup dir found; pass-1 timings include JIT", file=sys.stderr)
+    else:
+        for name in headline:
+            try:
+                all_queries[name](spark, warm_dir).count()
+            except Exception as ex:  # pragma: no cover - diagnostics only
+                print(f"# warmup {name} failed: {ex}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     gc_per_query: dict[str, int] = {}
@@ -141,16 +168,40 @@ def main() -> None:
 
     calibration["steal_s"] = round((steal_ticks() - steal0) / 100.0, 1)
     total = round(sum(timings.values()), 3)
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
+    )
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "calibration": calibration,
+        "gc_ms": gc_per_query,
+    }
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(f"# per-query detail written to {detail_path}", file=sys.stderr)
+    # LAST stdout line: compact headline only (the driver captures a 2 KB
+    # stdout tail — this must always fit, whatever the query count). The
+    # "queries" key stays present for parsers that expect it, bounded to
+    # the 5 slowest; the full map is in the sidecar.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
+                "queries": slowest,
                 "sf": sf,
                 "calibration": calibration,
-                "gc_ms": gc_per_query,
+                "detail": os.path.basename(detail_path),
             }
         )
     )
