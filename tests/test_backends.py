@@ -174,3 +174,78 @@ def test_es_link_docs_synthetic_id(spark):
     assert es_link_docs(links).columns == [
         "id", "parent", "child", "callCount", "errorCount",
     ]
+
+
+# --- W2 self-contained day upsert (MySQLDependenciesJob.java:243-252) --------
+
+def test_mysql_write_day_upsert_is_rerun_idempotent(spark):
+    """write_links_mysql issues the day-scoped DELETE itself before the
+    distributed append (REPLACE-semantics parity), so a re-run for the same
+    day never duplicates rows and never touches other days. Proven against
+    a REAL JDBC database — the Derby engine embedded in the Spark JVM — not
+    a mock: the exact statement, the prepared-date binding, and the
+    delete-then-append ordering all execute for real."""
+    import datetime as dt
+
+    from zipkin_dependencies_spark.sources.backends import (
+        MYSQL_DAY_DELETE_SQL,
+        MysqlConfig,
+        write_links_mysql,
+    )
+
+    # the statement itself is part of the contract
+    assert MYSQL_DAY_DELETE_SQL == "DELETE FROM zipkin_dependencies WHERE day = ?"
+
+    url = "jdbc:derby:memory:w2test;create=true"
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url, "", "")
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE zipkin_dependencies (day DATE, parent VARCHAR(64), "
+        "child VARCHAR(64), call_count BIGINT, error_count BIGINT)"
+    )
+    # a stale row for the target day (must be replaced) and a row for a
+    # neighboring day (must survive untouched)
+    st.execute(
+        "INSERT INTO zipkin_dependencies VALUES "
+        "('2024-01-02', 'stale', 'stale', 1, 0)"
+    )
+    st.execute(
+        "INSERT INTO zipkin_dependencies VALUES "
+        "('2024-01-03', 'keep', 'keep', 7, 1)"
+    )
+    st.close()
+    conn.close()
+
+    links = spark.createDataFrame(
+        [("frontend", "backend", 10, 2), ("frontend", "cache", 5, 0)],
+        "parent string, child string, call_count long, error_count long",
+    )
+    cfg = MysqlConfig(url=url, user="", password="", max_connections=2)
+    day = dt.date(2024, 1, 2)
+
+    write_links_mysql(links, day, cfg)
+    write_links_mysql(links, day, cfg)  # re-run: delete-then-append again
+
+    got = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "zipkin_dependencies")
+        .load()
+    )
+    cols = {c.lower(): c for c in got.columns}
+    rows = sorted(
+        (
+            r[cols["day"]].isoformat(),
+            r[cols["parent"]],
+            r[cols["child"]],
+            r[cols["call_count"]],
+            r[cols["error_count"]],
+        )
+        for r in got.collect()
+    )
+    assert rows == [
+        ("2024-01-02", "frontend", "backend", 10, 2),
+        ("2024-01-02", "frontend", "cache", 5, 0),
+        ("2024-01-03", "keep", "keep", 7, 1),
+    ]

@@ -352,14 +352,44 @@ def read_spans_mysql(
     )
 
 
+#: the exact day-scope statement issued before every MySQL links write —
+#: module-level so the contract test pins the SQL itself
+MYSQL_DAY_DELETE_SQL = "DELETE FROM zipkin_dependencies WHERE day = ?"
+
+
+def _jdbc_execute_day_delete(
+    spark: SparkSession, url: str, user: str, password: str, day: dt.date
+) -> int:
+    """Run the day-scoped DELETE through the JVM's own JDBC DriverManager
+    (one driver-side statement — no Spark job), returning the deleted row
+    count. Uses a prepared statement so the date never round-trips through
+    string formatting."""
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url, user, password)
+    try:
+        ps = conn.prepareStatement(MYSQL_DAY_DELETE_SQL)
+        try:
+            ps.setDate(1, jvm.java.sql.Date.valueOf(day.isoformat()))
+            return ps.executeUpdate()
+        finally:
+            ps.close()
+    finally:
+        conn.close()
+
+
 def write_links_mysql(links: DataFrame, day: dt.date, cfg: MysqlConfig) -> None:
     """``zipkin_dependencies(day, parent, child, call_count, error_count)``
-    append (W2; MySQLDependenciesJob.java:241-256). The reference's REPLACE
-    upsert isn't expressible through Spark's JDBC writer; parity for re-runs
-    is delete-then-append on the day — callers run
-    ``DELETE FROM zipkin_dependencies WHERE day = ?`` first (the REPLACE is
-    row-wise delete+insert anyway). Distributed write, one connection per
-    partition, capped by coalesce to the connection budget."""
+    upsert (W2; MySQLDependenciesJob.java:243-252). The reference's
+    ``REPLACE INTO`` is row-wise delete+insert; Spark's JDBC writer has no
+    REPLACE mode, so day-level parity is SELF-CONTAINED here as
+    delete-then-append: one driver-side ``DELETE ... WHERE day = ?``
+    (MYSQL_DAY_DELETE_SQL) through the JVM's DriverManager, then the
+    distributed append — re-running the job for a day is idempotent without
+    any caller ritual. Distributed write, one connection per partition,
+    capped by coalesce to the connection budget."""
+    _jdbc_execute_day_delete(
+        links.sparkSession, cfg.url, cfg.user, cfg.password, day
+    )
     (
         links.coalesce(cfg.max_connections)
         .select(
