@@ -189,3 +189,49 @@ def test_two_phase_giant_trace_matches_kernel_and_splits(spark, skewed_spans):
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     assert parts >= 2
+
+
+def test_depth64_giant_trace_routes_relationally_and_matches_kernel(spark):
+    """A DEEP giant trace (64-hop parent chain — exactly the shape the old
+    depth-6 unroll exiled to the single-task kernel) must now pass E4 via
+    the pointer-doubling walk and link on the relational path, byte-equal
+    to the kernel; depth just past the bound must still route to the
+    kernel and stay correct."""
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+    from zipkin_dependencies_spark.operators.link_relational import (
+        eligible_trace_keys,
+        links_from_spans_hybrid,
+        trace_links_relational,
+    )
+    from zipkin_dependencies_spark.schemas import LINK_INPUT_SCHEMA
+
+    def chain(tk: str, depth: int):
+        rows = [(tk, None, "n0", "SERVER", "svc0", "gw", False, False, 1)]
+        for i in range(1, depth + 1):
+            rows.append(
+                (
+                    tk, f"n{i-1}", f"n{i}", "SERVER",
+                    f"svc{i}", f"svc{i-1}", False, i % 7 == 0, 1,
+                )
+            )
+        return rows
+
+    deep = spark.createDataFrame(chain("t-deep", 64), schema=LINK_INPUT_SCHEMA)
+    assert [r.trace_key for r in eligible_trace_keys(deep).collect()] == ["t-deep"]
+
+    got = sorted(
+        tuple(r)
+        for r in trace_links_relational(deep)
+        .select("parent", "child", "call_count", "error_count")
+        .collect()
+    )
+    want = sorted(tuple(r) for r in links_from_spans(deep).collect())
+    assert got == want and len(want) == 65  # 64 chain links + root's gw link
+
+    # past the bound (128 > MAX_DEPTH=127): E4 must reject, and the hybrid
+    # must still be correct via the kernel route
+    deeper = spark.createDataFrame(chain("t-deeper", 128), schema=LINK_INPUT_SCHEMA)
+    assert eligible_trace_keys(deeper).count() == 0
+    got_h = sorted(tuple(r) for r in links_from_spans_hybrid(deeper).collect())
+    want_h = sorted(tuple(r) for r in links_from_spans(deeper).collect())
+    assert got_h == want_h and len(want_h) == 129

@@ -48,16 +48,31 @@ E1 every span has a valid kind, or null kind with both service names;
 E2 exactly one root span (parent_id null, not shared);
 E3 no duplicate (id, shared) key inside the trace;
 E4 every span's resolved-parent chain reaches the root within MAX_DEPTH
-   hops — proves acyclicity without iteration-to-fixpoint (deeper/cyclic
-   traces are rare and go to the kernel, whose tree builder handles them).
+   hops — proves acyclicity without iteration-to-fixpoint, via POINTER
+   DOUBLING: r self-join rounds prove depth 2^r - 1 exactly, so the
+   default 127 costs 7 rounds (vs 127 one-hop joins) — deeper than any
+   realistic RPC chain, so deep-but-tree giants stay on the relational
+   path; cyclic or >MAX_DEPTH traces go to the kernel, whose tree builder
+   handles them. The round count scales logarithmically, so raising the
+   bound is cheap: depth 1023 is 10 rounds. Depth is NOT a correctness
+   precondition of the relational emission (only acyclicity is); the bound
+   exists purely to terminate the proof, so any 2^r - 1 works.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-MAX_DEPTH = 6
+#: maximum resolved-parent chain depth the relational path proves
+#: acyclicity for; traces deeper than this route to the kernel. Rounds of
+#: the E4 doubling walk = ceil(log2(MAX_DEPTH+1)); r rounds prove exactly
+#: 2^r - 1, so keep this a power-of-two-minus-one. Generous on purpose
+#: (r3 verdict: the depth-6 unroll sent exactly the traces most likely to
+#: be deep to the single-task kernel).
+MAX_DEPTH = 127
 
 _VALID = ("CLIENT", "SERVER", "PRODUCER", "CONSUMER")
 
@@ -168,11 +183,13 @@ def _with_tree(s: DataFrame) -> DataFrame:
     )
 
 
-def eligible_trace_keys(normalized_spans: DataFrame) -> DataFrame:
+def eligible_trace_keys(
+    normalized_spans: DataFrame, max_depth: int = MAX_DEPTH
+) -> DataFrame:
     """→ single-column frame of trace_keys the relational path may own.
 
     The tree frame is materialized (localCheckpoint) before the bounded
-    reachability walk: 6 chained self-joins over an unmaterialized
+    reachability walk: chained self-joins over an unmaterialized
     window+join plan made Catalyst re-optimize an exponentially growing DAG
     — planning time, not data, was the bottleneck. At ingest scale this
     materialization is the narrow keyed projection only."""
@@ -186,51 +203,63 @@ def eligible_trace_keys(normalized_spans: DataFrame) -> DataFrame:
         F.max(F.coalesce(F.col("n_roots"), F.lit(0))).alias("n_roots"),  # E2
     )
 
-    # E4: depth-bounded reachability — propagate depth down the resolved-
-    # parent chain for MAX_DEPTH rounds; spans still depth-less are in a
-    # cycle or deeper than the bound. Formulated WITHOUT unions (a union of
+    # E4: depth-bounded reachability by POINTER DOUBLING — after round r a
+    # span's pointer is its 2^r-th resolved ancestor and `reached` proves
+    # the root lies within 2^r - 1 hops, so ceil(log2(max_depth+1)) rounds
+    # prove depth max_depth (7 joins for 64 vs 64 for the old one-hop
+    # unroll). Spans still unreached after the walk are in a cycle or
+    # deeper than the bound. Formulated WITHOUT unions (a union of
     # checkpointed frames trips a Catalyst constraint-rewrite bug in 4.1:
     # NoSuchElementException in UnionBase.rewriteConstraints).
     # one row per (trace, id, shared): duplicate keys would MULTIPLY rows on
-    # every round of the parent join (d^MAX_DEPTH blow-up on adversarial
+    # every round of the self-join (d^rounds blow-up on adversarial
     # traces); duplicates are E3-ineligible regardless, so collapsing them
     # here cannot change the outcome
     cur = (
         t.select(
-            "trace_key", "id", "shared", "tp_id", "tp_shared",
-            F.when(F.col("is_root"), F.lit(0)).alias("depth"),
+            "trace_key", "id", "shared",
+            F.when(~F.col("is_root"), F.col("tp_id")).alias("ptr_id"),
+            F.when(~F.col("is_root"), F.col("tp_shared")).alias("ptr_shared"),
+            F.coalesce(F.col("is_root"), F.lit(False)).alias("reached"),
         )
         .dropDuplicates(["trace_key", "id", "shared"])
         .localCheckpoint(eager=True)
     )
-    for _ in range(MAX_DEPTH):
-        parents = cur.filter(F.col("depth").isNotNull()).select(
+    for _ in range(max(1, math.ceil(math.log2(max_depth + 1)))):
+        hop = cur.select(
             F.col("trace_key").alias("q_trace"),
             F.col("id").alias("q_id"),
             F.col("shared").alias("q_shared"),
-            F.col("depth").alias("q_depth"),
+            F.col("ptr_id").alias("q_ptr_id"),
+            F.col("ptr_shared").alias("q_ptr_shared"),
+            F.col("reached").alias("q_reached"),
+        )
+        now_reached = F.col("c.reached") | F.coalesce(
+            F.col("q_reached"), F.lit(False)
         )
         cur = (
             cur.alias("c")
             .join(
-                parents,
+                hop,
                 (F.col("c.trace_key") == F.col("q_trace"))
-                & (F.col("c.tp_id") == F.col("q_id"))
-                & (F.col("c.tp_shared") == F.col("q_shared")),
+                & (F.col("c.ptr_id") == F.col("q_id"))
+                & (F.col("c.ptr_shared") == F.col("q_shared")),
                 "left_outer",
             )
             .select(
                 F.col("c.trace_key").alias("trace_key"),
                 F.col("c.id").alias("id"),
                 F.col("c.shared").alias("shared"),
-                F.col("c.tp_id").alias("tp_id"),
-                F.col("c.tp_shared").alias("tp_shared"),
-                F.coalesce(F.col("c.depth"), F.col("q_depth") + 1).alias("depth"),
+                # a reached span's pointer is dead weight — null it so the
+                # next round's join skips it
+                F.when(~now_reached, F.col("q_ptr_id")).alias("ptr_id"),
+                F.when(~now_reached, F.col("q_ptr_shared")).alias("ptr_shared"),
+                now_reached.alias("reached"),
             )
             .localCheckpoint(eager=True)
         )
     unreached = (
-        cur.filter(F.col("depth").isNull())
+        cur.filter(~F.col("reached"))
         .select("trace_key")
         .distinct()
         .withColumn("deep_or_cyclic", F.lit(True))
@@ -369,17 +398,22 @@ def trace_links_relational(normalized_spans: DataFrame) -> DataFrame:
     )
 
 
-def links_from_spans_hybrid(normalized_spans: DataFrame) -> DataFrame:
+def links_from_spans_hybrid(
+    normalized_spans: DataFrame, max_depth: int = MAX_DEPTH
+) -> DataFrame:
     """Route each trace to the cheapest correct path: relational for the
     eligible majority (all-JVM, codegen), kernel for the rest. The union is
     exact: both paths implement the same contract, and the randomized
-    cross-check pins hybrid == kernel on arbitrary forests."""
+    cross-check pins hybrid == kernel on arbitrary forests. ``max_depth``
+    bounds the E4 acyclicity proof (rounds grow as log2 of it)."""
     from .aggregate import aggregate_links
     from .link import trace_links_partitioned
 
     # the key set is trace-cardinality and feeds BOTH branch filters —
     # materialize it once so neither branch replans the eligibility DAG
-    ok = eligible_trace_keys(normalized_spans).localCheckpoint(eager=True)
+    ok = eligible_trace_keys(
+        normalized_spans, max_depth=max_depth
+    ).localCheckpoint(eager=True)
     tagged = normalized_spans.join(
         ok.withColumn("_fast", F.lit(True)), "trace_key", "left_outer"
     )
