@@ -335,3 +335,17 @@ def test_kmeans_raises_without_centroids(spark):
     )
     with _pytest.raises(ValueError, match="no centroids"):
         kmeans_assign(emb, stride=97)
+
+
+def test_asof_tiebreak_typo_and_bad_type_raise(spark):
+    """A tiebreak column present in NEITHER input is a typo, and a
+    non-integral tiebreak would cast to null — both must raise instead of
+    silently degrading to nondeterministic same-ts ordering."""
+    import pytest as _pytest
+
+    left = _events(spark, [(1, 10, _ts("2024-01-01 12:00:00"), "purchase")])
+    right = _events(spark, [(1, 7, _ts("2024-01-01 11:00:00"), "click")])
+    with _pytest.raises(ValueError, match="neither"):
+        asof_join(left, right, on=["user_id"], tiebreak="event_idd")
+    with _pytest.raises(ValueError, match="integral"):
+        asof_join(left, right, on=["user_id"], tiebreak="event_type")

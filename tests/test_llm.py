@@ -611,3 +611,33 @@ def test_corpus_diff_statuses(spark):
     )
     rows = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert rows == {2: "changed", 3: "removed", 4: "added"}  # 1 drops out
+
+
+def test_ivf_centroid_budget_guard(spark, vectors):
+    """The coarse quantizer ships in every task closure: more centroids
+    than MAX_CENTROIDS must raise with the stride sizing rule instead of
+    silently building a giant closure."""
+    from zipkin_dependencies_spark.llm import similarity
+
+    emb, _ = vectors
+    orig = similarity.MAX_CENTROIDS
+    similarity.MAX_CENTROIDS = 3
+    try:
+        with pytest.raises(ValueError, match="centroid_stride"):
+            similarity.ivf_cosine_topk(
+                emb, emb.limit(1), k=2, centroid_stride=1
+            )
+    finally:
+        similarity.MAX_CENTROIDS = orig
+
+
+def test_quantile_gate_rejects_output_name_collision(spark):
+    """Input columns named 'score'/'threshold' would collide with the
+    gate's fixed output columns — must raise, not duplicate."""
+    from zipkin_dependencies_spark.llm.sampling import quantile_gate
+
+    df = spark.createDataFrame(
+        [(1, 0.5)], "doc_id long, score double"
+    )
+    with pytest.raises(ValueError, match="rename"):
+        quantile_gate(df, F.col("score") * 2, p=0.5)

@@ -105,6 +105,14 @@ def quantile_gate(
     100 TB exact percentile sort-buffers each group's values inside the
     aggregate; flip ``exact=False`` for t-digest ``percentile_approx``
     (bounded memory, rank error ≤ 1/accuracy) — same plan shape, no oracle."""
+    clash = {"score", "threshold"} & set(df.columns)
+    if clash:
+        # the gate appends fixed output columns; a silent duplicate would
+        # make downstream F.col("score") ambiguous — fail loudly
+        raise ValueError(
+            f"quantile_gate: input already has column(s) {sorted(clash)}; "
+            "rename them first (the gate emits 'score' and 'threshold')"
+        )
     pct = (
         F.percentile(score, F.lit(p))
         if exact

@@ -17,6 +17,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: IVF coarse-quantizer budget: the centroid matrix rides in every task
+#: closure (n × dim × 8 B ≈ 8 MB at dim 64), so size centroid_stride to
+#: keep corpus_rows / centroid_stride at or under this.
+MAX_CENTROIDS = 16_384
+
 
 def _dot(a: str, b: str) -> Column:
     return F.expr(
@@ -152,6 +157,17 @@ def ivf_cosine_topk(
     if not cents:
         raise ValueError(
             f"no centroids: no corpus id divisible by {centroid_stride}"
+        )
+    if len(cents) > MAX_CENTROIDS:
+        # sizing rule (100 TB note): the centroid matrix ships inside every
+        # task closure — n_centroids × dim × 8 B, ≈8 MB at the 16k/dim-64
+        # cap. At 10⁹ vectors a careless stride makes a multi-MB-per-task
+        # closure and a slow driver collect; fail loudly with the fix.
+        raise ValueError(
+            f"ivf_cosine_topk: {len(cents)} centroids exceed MAX_CENTROIDS="
+            f"{MAX_CENTROIDS}; raise centroid_stride to >= "
+            f"corpus_rows / {MAX_CENTROIDS} (the centroid matrix is "
+            "broadcast in the task closure — keep it ~8 MB)"
         )
 
     import numpy as np

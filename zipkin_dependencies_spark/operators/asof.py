@@ -71,6 +71,24 @@ def asof_join(
     # pruned projections: key, event-time µs, one payload struct per side.
     # `_tb` makes same-timestamp SAME-side rows deterministic; cross-side
     # ties are already pinned by `_side` (right sorts first → inclusive).
+    # A tiebreak column absent from BOTH inputs is a caller typo that would
+    # silently degrade to nondeterministic same-ts ordering — fail loudly.
+    if tiebreak and tiebreak not in left.columns and tiebreak not in right.columns:
+        raise ValueError(
+            f"asof_join: tiebreak column {tiebreak!r} exists in neither "
+            f"input (left: {left.columns}, right: {right.columns})"
+        )
+    if tiebreak:
+        # a non-integral tiebreak would cast to long as null (silently
+        # nondeterministic again) — require an integral id column
+        for side in (left, right):
+            if tiebreak in side.columns:
+                dtype = dict(side.dtypes)[tiebreak]
+                if dtype not in ("tinyint", "smallint", "int", "bigint"):
+                    raise ValueError(
+                        f"asof_join: tiebreak column {tiebreak!r} must be "
+                        f"an integral id column, got {dtype}"
+                    )
     tb_l = F.col(tiebreak) if tiebreak and tiebreak in left.columns else F.lit(0)
     tb_r = F.col(tiebreak) if tiebreak and tiebreak in right.columns else F.lit(0)
     lhs = left.select(
