@@ -551,9 +551,12 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.testdata import load
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    # memo_key: same-session reuse of the (id, component) table with
+    # q_dedupe_near (multi-consumer-subtree rule — see llm/cluster.py)
     return near_dup_clusters(
         docs, k=3, threshold=0.5, candidates="lsh",
         num_hashes=16, bands=4, hash_fn="affine",
+        memo_key=f"{sf_dir}:documents%5",
     )
 
 
@@ -814,6 +817,7 @@ def q_dedupe_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe_near_keep_best(
         docs, k=3, threshold=0.5, candidates="lsh",
         num_hashes=16, bands=4, hash_fn="affine",
+        memo_key=f"{sf_dir}:documents%5",
     )
 
 

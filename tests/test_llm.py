@@ -641,3 +641,26 @@ def test_quantile_gate_rejects_output_name_collision(spark):
     )
     with pytest.raises(ValueError, match="rename"):
         quantile_gate(df, F.col("score") * 2, p=0.5)
+
+
+def test_near_dup_component_memo_reuses_table(spark):
+    """memo_key opt-in: a second same-session call with the same key and
+    params returns the SAME checkpointed (id, component) table (zero
+    marginal pipeline cost — the bench's two consumers share it); no key,
+    or a different key, recomputes."""
+    from zipkin_dependencies_spark.llm import cluster
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "something else entirely")],
+        "doc_id long, text string",
+    )
+    a = cluster.near_dup_clusters(docs, memo_key="memo-test")
+    b = cluster.near_dup_clusters(docs, memo_key="memo-test")
+    assert a is b
+    c = cluster.near_dup_clusters(docs)
+    assert c is not a
+    d = cluster.near_dup_clusters(docs, memo_key="memo-test", bands=8)
+    assert d is not a  # different params -> different cache slot
+    # cached and recomputed agree exactly
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, c.collect()))
