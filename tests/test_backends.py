@@ -249,3 +249,46 @@ def test_mysql_write_day_upsert_is_rerun_idempotent(spark):
         ("2024-01-02", "frontend", "cache", 5, 0),
         ("2024-01-03", "keep", "keep", 7, 1),
     ]
+
+
+# --- S1 co-partitioned scan declaration (CassandraDependenciesJob.java:220) --
+
+def test_cassandra_scan_split_size_and_clustering_contract():
+    """The live scan declares the token-range split target, and the
+    complete-trace-per-partition property transfers to the linker's group
+    key only in strict mode (lenient low-64 grouping crosses token
+    ranges)."""
+    from zipkin_dependencies_spark.sources.backends import (
+        cassandra_scan_is_trace_clustered,
+    )
+
+    assert cassandra_scan_is_trace_clustered(strict_trace_id=True) is True
+    assert cassandra_scan_is_trace_clustered(strict_trace_id=False) is False
+
+
+def test_job_clustered_skips_repartition_and_dedupe_exchange(spark):
+    """JobConfig(clustered=True) must produce a links plan with NO
+    span-scale Exchange before the linker (the bucketed/token-range spanBy
+    parity path) and skip the D1 dropDuplicates exchange; results equal the
+    default path when the input really is trace-co-located."""
+    import pyspark.sql.functions as F
+
+    from zipkin_dependencies_spark.plans.job import DependencyLinksJob, JobConfig
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    spans = derived_spans(spark, "/root/testdata/sf0.001")
+    # co-locate traces for real so the declaration is true
+    co = spans.repartition(4, "trace_id").localCheckpoint(eager=True)
+
+    day = "1996-03-15"
+    base = DependencyLinksJob(
+        spark, JobConfig(day=day, spans_path="unused")
+    ).links(co)
+    fast = DependencyLinksJob(
+        spark, JobConfig(day=day, spans_path="unused", clustered=True)
+    ).links(co)
+
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    pre_agg = plan.split("MapInPandas")[-1]  # below the linker stage
+    assert "Exchange" not in pre_agg, pre_agg
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, base.collect()))

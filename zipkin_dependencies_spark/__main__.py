@@ -66,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
     import os as _os
 
     environ = dict(_os.environ)
+    clustered_scan = False
     if env.source_format == "v1":
         spans_df = v1_to_v2_spans(
             spark.read.parquet(f"{env.spans_path}/zipkin_spans"),
@@ -90,11 +91,17 @@ def main(argv: list[str] | None = None) -> int:
             flavor=flavor,
         )
     elif env.source_format == "cassandra":
-        from .sources.backends import read_spans_cassandra
+        from .sources.backends import (
+            cassandra_scan_is_trace_clustered,
+            read_spans_cassandra,
+        )
 
         spans_df = read_spans_cassandra(
             spark, keyspace=environ.get("CASSANDRA_KEYSPACE", "zipkin2")
         )
+        # strict-mode token-range scans co-locate complete traces: the
+        # linker can skip its span-scale shuffle (the spanBy parity path)
+        clustered_scan = cassandra_scan_is_trace_clustered(env.strict_trace_id)
     elif env.source_format == "mysql":
         from .sources.backends import mysql_config_from_env, read_spans_mysql
 
@@ -116,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
             links_path=env.links_path,
             day_filter=env.day_filter,
             strict_trace_id=env.strict_trace_id,
+            clustered=clustered_scan,
         ),
     )
     links = job.run(spans_df)

@@ -47,6 +47,14 @@ from pyspark.sql import functions as F
 _COMPONENT_MEMO: dict[tuple, DataFrame] = {}
 
 
+def clear_component_memo() -> None:
+    """Drop all memoized component tables. Benchmarks call this at each
+    measurement-pass boundary so a repeated pass re-pays the pipeline (the
+    memo's purpose is intra-pass sharing between the two consumers, not
+    making repeat passes measure a dict lookup)."""
+    _COMPONENT_MEMO.clear()
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

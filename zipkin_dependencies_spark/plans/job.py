@@ -38,6 +38,10 @@ class JobConfig:
     day_filter: DayFilter = DayFilter.TRACE_ROOT   # F2 Cassandra-parity default
     strict_trace_id: bool = False            # G1 vs G2/G3 grouping
     dedupe: bool = True                      # D1 span dedup before grouping
+    clustered: bool = False                  # input already trace-co-located
+    #   (bucketed table, or a strict-mode Cassandra token-range scan —
+    #   sources/backends.py::cassandra_scan_is_trace_clustered): the linker
+    #   skips its span-scale repartition. The caller owns the guarantee.
 
 
 class DependencyLinksJob:
@@ -60,11 +64,15 @@ class DependencyLinksJob:
             spans = filter_span_window(spans, start_us, end_us)  # F1: pushed
 
         normalized = normalize_spans(spans, strict_trace_id=cfg.strict_trace_id)
-        if cfg.dedupe:
+        if cfg.dedupe and not cfg.clustered:
+            # D1 is a shuffle-shrinking optimization whose dropDuplicates
+            # exchange would destroy the declared co-location; the linker
+            # kernel's tree merge makes exact duplicates harmless (see
+            # operators/dedup.py), so clustered scans skip it
             normalized = dedupe_spans(normalized)
 
         window = (start_us, end_us) if cfg.day_filter is DayFilter.TRACE_ROOT else None
-        return links_from_spans(normalized, window=window)
+        return links_from_spans(normalized, window=window, clustered=cfg.clustered)
 
     def run(self, spans: DataFrame | None = None) -> DataFrame:
         """Execute and (if configured) write the day partition idempotently."""

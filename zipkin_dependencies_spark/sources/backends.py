@@ -222,23 +222,54 @@ def cassandra_conf_from_env(
     )
 
 
+def cassandra_scan_is_trace_clustered(strict_trace_id: bool) -> bool:
+    """Whether the Cassandra scan's partitioning co-locates complete traces
+    — the reference's ``spanBy`` token-range exploitation
+    (CassandraDependenciesJob.java:220): the zipkin2 ``span`` table's
+    Cassandra partition key is ``trace_id``, and the connector maps each
+    token range to one Spark partition WITHOUT splitting inside a partition
+    key, so every row of a trace lands in one task.
+
+    That guarantee transfers to the linker's group key only in STRICT mode
+    (group key == the stored 128-bit trace_id). Lenient mode groups by the
+    LOW 64 BITS, and two storage trace_ids sharing a low-64 suffix hash to
+    different token ranges — the declared clustering would silently
+    under-link them, so lenient scans must keep the repartition."""
+    return strict_trace_id
+
+
 def read_spans_cassandra(
-    spark: SparkSession, keyspace: str = "zipkin2"
+    spark: SparkSession,
+    keyspace: str = "zipkin2",
+    input_split_size_mb: int | None = 64,
 ) -> DataFrame:
     """Full scan of ``{keyspace}.span`` (S1 — deliberately NO server-side day
     predicate; time filtering is per-trace downstream, F2;
     CassandraDependenciesJob.java:177). Token-range partitioning and column
     pruning are the connector's job: unlike the reference's client-side
     full-row fetch (SURVEY §4 "known inefficiency we must NOT replicate"),
-    the DataFrame projection prunes at the CQL level."""
+    the DataFrame projection prunes at the CQL level.
+
+    ``input_split_size_mb`` declares the token-range → Spark-partition
+    split target (the connector's ``spark.cassandra.input.split.sizeInMB``)
+    so a 100 TB keyspace arrives in memory-bounded partitions instead of
+    one task per vnode. Splits always fall BETWEEN partition keys, so the
+    complete-trace-per-partition property
+    (``cassandra_scan_is_trace_clustered``) survives any split size —
+    strict-mode jobs can run the linker with ``clustered=True`` and skip
+    the span-scale shuffle entirely."""
     from ..schemas import SPAN_SCHEMA  # noqa: F401  (shape documented here)
 
-    raw = (
+    reader = (
         spark.read.format(CASSANDRA_FORMAT)
         .option("table", "span")
         .option("keyspace", keyspace)
-        .load()
     )
+    if input_split_size_mb is not None:
+        reader = reader.option(
+            "spark.cassandra.input.split.sizeInMB", str(input_split_size_mb)
+        )
+    raw = reader.load()
     # project the 9 consumed fields into canonical v2 shape (P1;
     # CassandraRowToSpan.java:25-63). UDT l_ep/r_ep arrive as structs.
     return raw.select(
