@@ -418,7 +418,16 @@ def embedding_near_dup_lsh(
     Verification uses the deterministic sequential-fold cosine (zip_with +
     aggregate in array order, same arithmetic as the DuckDB oracle) rather
     than the blocked numpy matmul: candidates are O(dups), not O(N²), so
-    fold cost is bounded and the value-hash gate confirms end to end."""
+    fold cost is bounded and the value-hash gate confirms end to end.
+
+    SIZING RULE (measured on the derived-sf1 tier, BASELINE.md r4 ledger:
+    4.9× wall at 10× vectors with n_planes pinned): bucket count is
+    2^n_planes and in-bucket verify pairs grow with occupancy², so scale
+    ``n_planes ≈ log2(corpus / target_occupancy)`` to hold occupancy
+    constant — e.g. target ~1k/bucket puts 10⁸ vectors at n_planes=17.
+    Each +1 plane doubles buckets at the price of slightly lower per-pair
+    recall; add one probe bit (Hamming ≤ 2) to compensate if the recall
+    gate demands it."""
     from .similarity import _dot, _with_norm, hyperplane_signature
 
     e = _with_norm(embeddings, id_col, vec_col).withColumn(
