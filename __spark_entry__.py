@@ -1282,6 +1282,115 @@ def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incident_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval RANGE JOIN, bin-bucketed (operators/range_join.py):
+    'incidents' are above-average-error 4h windows (integer-exact
+    threshold: n_errors × n_windows > total_errors), spanning
+    [first_error_ts, last_error_ts]; every event landing inside an
+    incident's span joins it through 1h-bin equi-buckets — an ordinary
+    shuffled hash join instead of Spark's BroadcastNestedLoop for
+    inequality predicates. Oracle is DuckDB's native BETWEEN join."""
+    from zipkin_dependencies_spark.operators.range_join import range_join_points
+    from zipkin_dependencies_spark.testdata import load_events
+
+    win_us = 4 * 3600 * 1_000_000
+    ev = load_events(spark, sf_dir).select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        "user_id",
+    )
+    err = ev.filter(F.col("event_type") == "error").withColumn(
+        "incident_win_us", (F.floor(F.col("ts_us") / win_us) * win_us).cast("long")
+    )
+    wins = err.groupBy("incident_win_us").agg(
+        F.count(F.lit(1)).alias("n_err"),
+        F.min("ts_us").alias("lo_us"),
+        F.max("ts_us").alias("hi_us"),
+    )
+    stats = wins.agg(
+        F.sum("n_err").alias("tot"), F.count(F.lit(1)).alias("nw")
+    )
+    incidents = (
+        wins.crossJoin(F.broadcast(stats))
+        .filter(F.col("n_err") * F.col("nw") > F.col("tot"))
+        .select("incident_win_us", "lo_us", "hi_us")
+    )
+    joined = range_join_points(
+        ev.select("ts_us", "user_id"),
+        incidents,
+        bin_width=3600 * 1_000_000,
+    )
+    return joined.groupBy("incident_win_us", "lo_us", "hi_us").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_collapse_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst compression: same-(user, type) events within a 30min gap chain
+    collapse to one row (first/last ts + count) — lag + running-sum burst
+    numbering + one aggregate, all on ONE (user, type) exchange."""
+    from zipkin_dependencies_spark.operators.events_analytics import collapse_bursts
+    from zipkin_dependencies_spark.testdata import load_events
+
+    return collapse_bursts(load_events(spark, sf_dir), gap_us=1_800_000_000)
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over mid-frequency vocabulary (20 ≤ df ≤ 200),
+    exploded to (token, df, pos, doc_id) for engine-agnostic value hashing
+    — postings arrays are sorted so position is deterministic."""
+    from zipkin_dependencies_spark.llm.retrieval import inverted_index
+    from zipkin_dependencies_spark.testdata import load
+
+    idx = inverted_index(
+        load(spark, sf_dir, "documents"), min_df=20, max_df=200
+    )
+    return idx.select(
+        "token", "df", F.posexplode("postings").alias("pos", "doc_id")
+    )
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: n-gram CONTAINMENT ≥ 0.8 (|A∩B|/min(|A|,|B|))
+    — catches a short document quoted inside a long one, which Jaccard
+    scores near zero. Same 1-in-5 subset as the other pair queries."""
+    from zipkin_dependencies_spark.llm.dedup import ngram_containment_pairs
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return ngram_containment_pairs(docs, k=3, threshold=0.8)
+
+
+def q_link_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-health trend: per-(parent, child, day) error rate plus the
+    7-day trailing rate — integer sums inside a RANGE window (exact,
+    partitioning-independent), one division at the end. Consumes the
+    multi-day linker output (the ops dashboard built on the engine's own
+    links table)."""
+    from pyspark.sql import Window
+
+    daily = q_multi_day_links(spark, sf_dir).withColumn(
+        "day_num", F.datediff(F.col("day"), F.lit("1996-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("parent", "child")
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
+    calls7 = F.sum("call_count").over(w)
+    errs7 = F.sum("error_count").over(w)
+    return daily.select(
+        "day",
+        "parent",
+        "child",
+        "call_count",
+        "error_count",
+        F.round(F.col("error_count") / F.col("call_count"), 9).alias("rate9"),
+        F.round(errs7 / calls7, 9).alias("rate7_9"),
+    )
+
+
 def _stage_event_files(
     spark: SparkSession, frames, root: str
 ) -> tuple[str, str]:
@@ -1513,6 +1622,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": q_media_stats,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
+        # --- new in r04 (never gated; still within the first-50 window) ---
+        "incident_range_join": q_incident_range_join,
+        "collapse_bursts": q_collapse_bursts,
+        "inverted_index": q_inverted_index,
+        "ngram_containment": q_ngram_containment,
+        "link_error_rates": q_link_error_rates,
         # --- driver-gated green in CORRECTNESS_r01..r03 (50) ---
         "dependency_links": q_dependency_links,
         "dependency_links_f2_window": q_dependency_links_f2,
@@ -1578,6 +1693,9 @@ def oracle_sql() -> dict[str, str]:
     from zipkin_dependencies_spark.operators.events_analytics import (
         EVENT_TRANSITIONS_SQL as _EVENT_TRANSITIONS_SQL,
         window_anomalies_sql as _window_anomalies_sql,
+    )
+    from zipkin_dependencies_spark.operators.events_analytics import (
+        collapse_bursts_sql as _collapse_bursts_sql,
     )
     from zipkin_dependencies_spark.operators.funnel import funnel_sql as _funnel_sql
     from zipkin_dependencies_spark.llm.retrieval import (
@@ -1950,6 +2068,65 @@ FROM fused QUALIFY rank <= 10"""
         ),
         "streaming_anomalies_replay": _window_anomalies_sql(
             window_seconds=4 * 3600, z_threshold=2.0
+        ),
+        "incident_range_join": """
+WITH err AS (
+  SELECT CAST(floor(epoch_us(ts) / 14400000000) * 14400000000 AS BIGINT)
+           AS incident_win_us,
+         epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'error'
+),
+wins AS (
+  SELECT incident_win_us, CAST(count(*) AS BIGINT) AS n_err,
+         min(ts_us) AS lo_us, max(ts_us) AS hi_us
+  FROM err GROUP BY 1
+),
+stats AS (SELECT sum(n_err) AS tot, count(*) AS nw FROM wins),
+inc AS (
+  SELECT incident_win_us, lo_us, hi_us
+  FROM wins, stats WHERE n_err * nw > tot
+),
+pts AS (SELECT epoch_us(ts) AS ts_us, user_id FROM events)
+SELECT i.incident_win_us, i.lo_us, i.hi_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+FROM pts p JOIN inc i ON p.ts_us BETWEEN i.lo_us AND i.hi_us
+GROUP BY 1, 2, 3
+""",
+        "collapse_bursts": _collapse_bursts_sql(1_800_000_000),
+        "inverted_index": llm_oracles.inverted_index_sql(min_df=20, max_df=200),
+        "ngram_containment": llm_oracles.ngram_containment_sql(
+            k=3, threshold=0.8, id_mod=5
+        ),
+        "link_error_rates": (
+            "WITH "
+            + SPANS_SQL_CTE.strip()
+            + """,
+daily AS (
+  SELECT day, parent, child,
+         CAST(count(*) AS BIGINT) AS call_count,
+         CAST(coalesce(sum(CASE WHEN is_error THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS error_count
+  FROM (
+    SELECT day,
+           CASE WHEN kind = 'SERVER' THEN remote_service ELSE local_service END AS parent,
+           CASE WHEN kind = 'SERVER' THEN local_service ELSE remote_service END AS child,
+           is_error
+    FROM spans
+  ) WHERE parent IS NOT NULL AND child IS NOT NULL
+  GROUP BY day, parent, child
+),
+d AS (
+  SELECT *, date_diff('day', DATE '1996-01-01', day) AS day_num FROM daily
+)
+SELECT day, parent, child, call_count, error_count,
+       round(CAST(error_count AS DOUBLE) / call_count, 9) AS rate9,
+       round(CAST(sum(error_count) OVER w AS DOUBLE) / sum(call_count) OVER w, 9)
+         AS rate7_9
+FROM d
+WINDOW w AS (PARTITION BY parent, child ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
         ),
         "media_stats": llm_oracles.media_stats_sql(frame_bytes=100),
         "media_frames": llm_oracles.media_frames_sql(frame_bytes=100),

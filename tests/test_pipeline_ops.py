@@ -428,3 +428,91 @@ def test_cohort_retention_matches_python_reference(spark, seed):
         for w in weeks:
             expected[(c, w - c)] = expected.get((c, w - c), 0) + 1
     assert got == expected
+
+
+def test_range_join_points_bounds_bins_and_overlaps(spark):
+    """Inclusive bounds, intervals spanning multiple bins, overlapping
+    intervals -> multiple matches, unmatched points dropped, and no
+    duplicate matches from the binning construction."""
+    from pyspark.sql import functions as F
+
+    from zipkin_dependencies_spark.operators.range_join import range_join_points
+
+    pts = spark.createDataFrame(
+        [(1, 100), (2, 250), (3, 999)], "pid long, ts_us long"
+    )
+    iv = spark.createDataFrame(
+        [(10, 100, 250), (20, 240, 260)], "iid long, lo_us long, hi_us long"
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join_points(pts, iv, bin_width=50).collect()
+    )
+    #  pid 1 @100: iid 10's lo (inclusive);  pid 2 @250: iid 10's hi
+    #  (inclusive) AND inside iid 20;  pid 3 matches nothing
+    assert got == [(1, 10), (2, 10), (2, 20)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        range_join_points(pts, iv, bin_width=0)
+    with _pytest.raises(ValueError, match="inner"):
+        range_join_points(pts, iv, bin_width=50, how="left")
+
+
+def test_collapse_bursts_chain_semantics(spark):
+    """Bursts chain on consecutive gaps (sessionize-style): 0,50,100 with a
+    60s gap is ONE burst (each hop <= gap) even though 100 is >gap from the
+    burst head; a 61s hop starts a new burst; types never mix."""
+    import datetime as dt
+
+    from zipkin_dependencies_spark.operators.events_analytics import collapse_bursts
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda x: t0 + dt.timedelta(seconds=x)  # noqa: E731
+    rows = [
+        (1, s(0), 1, "click"), (2, s(50), 1, "click"), (3, s(100), 1, "click"),
+        (4, s(161), 1, "click"),          # 61s after 100 -> new burst
+        (5, s(0), 1, "view"),             # different type -> own burst
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = sorted(
+        (r.event_type, r.burst_seq, r.n_events)
+        for r in collapse_bursts(ev, gap_us=60_000_000).collect()
+    )
+    assert got == [("click", 1, 3), ("click", 2, 1), ("view", 1, 1)]
+
+
+def test_inverted_index_sorted_postings_and_df_filters(spark):
+    from zipkin_dependencies_spark.llm.retrieval import inverted_index
+
+    docs = spark.createDataFrame(
+        [(3, "apple banana"), (1, "apple"), (2, "apple cherry cherry")],
+        "doc_id long, text string",
+    )
+    idx = {r.token: r for r in inverted_index(docs, min_df=1).collect()}
+    assert idx["apple"].postings == [1, 2, 3] and idx["apple"].df == 3
+    assert idx["cherry"].df == 1  # duplicate within a doc counts once
+    # min_df prunes hapax; max_df prunes stopword-scale tokens
+    only_mid = inverted_index(docs, min_df=2, max_df=2).collect()
+    assert [r.token for r in only_mid] == []
+
+
+def test_ngram_containment_catches_subset_jaccard_misses(spark):
+    """A short text fully inside a long one: containment 1.0, jaccard far
+    below 0.8 — the asymmetric measure catches what Jaccard can't."""
+    from zipkin_dependencies_spark.llm.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "the quick brown fox"
+    long_ = short + " jumps over the lazy dog and keeps running far away " * 3
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    cont = ngram_containment_pairs(docs, k=3, threshold=0.8).collect()
+    assert len(cont) == 1 and cont[0].containment == 1.0
+    assert ngram_jaccard_pairs(docs, k=3, threshold=0.8).count() == 0

@@ -654,3 +654,49 @@ def corpus_diff(
         .filter(F.col("status").isNotNull())
         .select("doc_id", "status")
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT join: pairs where the smaller shingle set
+    is ≥ ``threshold`` contained in the other — |A∩B| / min(|A|, |B|).
+
+    Jaccard misses subset duplication (a paragraph quoted inside a much
+    longer page scores J ≈ |para|/|page| → tiny); containment is the
+    standard asymmetric complement that catches it. Same plan shape as
+    ``ngram_jaccard_pairs`` (shingle explode → self-equi-join → per-pair
+    intersection count), same scale caveat: quadratic standalone, intended
+    over LSH candidate buckets at scale."""
+    from ..scaling import ensure_min_parallelism
+
+    sh = ensure_min_parallelism(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+    ).select(
+        F.col("id"),
+        char_shingles("_text", k).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    exploded = sh.select("id", "n_sh", F.explode("shingles").alias("sh"))
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    cont = F.col("n_inter") / F.least("n_a", "n_b")
+    return (
+        inter.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "containment")
+    )

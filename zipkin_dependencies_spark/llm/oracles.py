@@ -65,6 +65,46 @@ FROM inter WHERE n_inter / (n_a + n_b - n_inter) >= {threshold}
 """
 
 
+def ngram_containment_sql(
+    k: int = 3, threshold: float = 0.8, id_mod: int = 5
+) -> str:
+    """Twin of llm/dedup.py::ngram_containment_pairs — same shingle
+    explode/self-join, containment = n_inter / min(n_a, n_b)."""
+    return f"""
+WITH {_shingles_cte(k, f"WHERE doc_id % {id_mod} = 0").strip()},
+ex AS (SELECT id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, n_inter, CAST(n_a AS INT) AS n_a, CAST(n_b AS INT) AS n_b,
+       n_inter / least(n_a, n_b) AS containment
+FROM inter WHERE n_inter / least(n_a, n_b) >= {threshold}
+"""
+
+
+def inverted_index_sql(min_df: int = 20, max_df: int = 200) -> str:
+    """Twin of llm/retrieval.py::inverted_index exploded to scalar rows:
+    distinct (token, doc) pairs -> per-token df + doc's 0-based position in
+    the doc_id-sorted posting list."""
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT token, doc_id
+  FROM (SELECT unnest({TEXT_TOKENS}) AS token, doc_id FROM documents)
+),
+idx AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) - 1 AS pos,
+         count(*) OVER (PARTITION BY token) AS df
+  FROM pairs
+)
+SELECT token, CAST(df AS BIGINT) AS df, CAST(pos AS INT) AS pos, doc_id
+FROM idx WHERE df BETWEEN {min_df} AND {max_df}
+"""
+
+
 def _sig_cte(num_hashes: int, k: int, where: str) -> str:
     """Affine MinHash (shared constants with llm.dedup.affine_params):
     digest each shingle once (md5 → low 32 bits), then num_hashes affine

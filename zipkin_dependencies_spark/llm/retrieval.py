@@ -128,3 +128,39 @@ SELECT doc_id, score6, CAST(row_number() OVER (
     ORDER BY score6 DESC, doc_id ASC) AS INT) AS rank
 FROM ranked QUALIFY rank <= {k}
 """
+
+
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = 2,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (token, df, postings): the sparse-retrieval building block — one
+    row per vocabulary token with its document frequency and the SORTED
+    posting list of containing doc ids (deterministic: collect_set
+    de-dupes, sort_array fixes the order regardless of partitioning).
+
+    Plan: explode tokens → distinct (token, doc) pairs → ONE hash
+    aggregate per token. At 100 TB the postings array of a stopword-scale
+    token is corpus-sized — ``max_df`` is the standard guard (drop tokens
+    appearing in more than this many docs; they carry no retrieval signal
+    and BM25's IDF would near-zero them anyway). ``min_df`` prunes hapax
+    noise. The shuffle moves distinct (token, doc) pairs — vocabulary ×
+    avg-df cardinality, not token occurrences."""
+    pairs = docs.select(
+        F.explode(tokens(text_col)).alias("token"),
+        F.col(id_col).alias("doc_id"),
+    ).distinct()
+    idx = pairs.groupBy("token").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("postings")
+    ).select(
+        "token",
+        F.size("postings").cast("long").alias("df"),
+        "postings",
+    )
+    out = idx.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        out = out.filter(F.col("df") <= max_df)
+    return out

@@ -147,3 +147,83 @@ scored AS (
 SELECT event_type, win_start_us, n_events, z9
 FROM scored WHERE abs(z9) >= {z_threshold}
 """
+
+
+def collapse_bursts(
+    events: DataFrame,
+    gap_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """→ (user_id, event_type, burst_seq, first_ts_us, last_ts_us,
+    n_events): consecutive same-(user, type) events closer than ``gap_us``
+    collapse into one burst row — the event-throttling / burst-compression
+    primitive (retry storms, double-clicks, sensor chatter → one logical
+    occurrence with a span and a count).
+
+    Gap semantics (sessionize's, applied per (user, type)): a burst BREAKS
+    when the gap from the PREVIOUS EVENT exceeds ``gap_us`` — lag + a
+    cumulative sum of break flags numbers the bursts, then one aggregate
+    per burst. All three windows and the aggregate share ONE hash exchange
+    on (user, type); per key the cost is linear in that key's own events,
+    so power users bound only themselves. Simultaneous events order by the
+    id tiebreak — deterministic burst numbering on any partitioning."""
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy("u", "t").orderBy("ts_us", "id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("t"),
+            ts_us.alias("ts_us"),
+            F.col(id_col).alias("id"),
+        )
+        .withColumn("prev", F.lag("ts_us").over(w))
+        .withColumn(
+            "brk",
+            (F.col("prev").isNull() | (F.col("ts_us") - F.col("prev") > gap_us))
+            .cast("long"),
+        )
+        .withColumn("burst_seq", F.sum("brk").over(cum))
+    )
+    return (
+        marked.groupBy("u", "t", "burst_seq")
+        .agg(
+            F.min("ts_us").alias("first_ts_us"),
+            F.max("ts_us").alias("last_ts_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("t").alias("event_type"),
+            F.col("burst_seq").cast("long").alias("burst_seq"),
+            "first_ts_us",
+            "last_ts_us",
+            "n_events",
+        )
+    )
+
+
+def collapse_bursts_sql(gap_us: int) -> str:
+    """DuckDB twin: identical lag → break flag → running sum → aggregate."""
+    return f"""
+WITH marked AS (
+  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts_us, event_id AS id,
+         lag(epoch_us(ts)) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id)
+),
+numbered AS (
+  SELECT u, t, ts_us, id,
+         sum(CASE WHEN prev IS NULL OR ts_us - prev > {gap_us} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY u, t ORDER BY ts_us, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_seq
+  FROM marked
+)
+SELECT u AS user_id, t AS event_type, CAST(burst_seq AS BIGINT) AS burst_seq,
+       min(ts_us) AS first_ts_us, max(ts_us) AS last_ts_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY u, t, burst_seq
+"""
