@@ -1391,6 +1391,22 @@ def q_link_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training data-mixture planner: per weighted source, available
+    tokens (exact integer sums, the gated tokenizer), the mixture's target
+    tokens, the repeat factor (epochs), and the single-epoch sampling
+    fraction to feed stratified_hash_sample. |sources|-row output — the
+    plan is free, the sampling scan it parameterizes runs once."""
+    from zipkin_dependencies_spark.llm.sampling import mixing_plan
+    from zipkin_dependencies_spark.testdata import load
+
+    return mixing_plan(
+        load(spark, sf_dir, "documents"),
+        weights={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        token_budget=1_000_000,
+    )
+
+
 def _stage_event_files(
     spark: SparkSession, frames, root: str
 ) -> tuple[str, str]:
@@ -1628,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "ngram_containment": q_ngram_containment,
         "link_error_rates": q_link_error_rates,
+        "mixing_plan": q_mixing_plan,
         # --- driver-gated green in CORRECTNESS_r01..r03 (50) ---
         "dependency_links": q_dependency_links,
         "dependency_links_f2_window": q_dependency_links_f2,
@@ -2097,6 +2114,10 @@ GROUP BY 1, 2, 3
         "inverted_index": llm_oracles.inverted_index_sql(min_df=20, max_df=200),
         "ngram_containment": llm_oracles.ngram_containment_sql(
             k=3, threshold=0.8, id_mod=5
+        ),
+        "mixing_plan": llm_oracles.mixing_plan_sql(
+            weights={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+            token_budget=1_000_000,
         ),
         "link_error_rates": (
             "WITH "

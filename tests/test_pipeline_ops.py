@@ -516,3 +516,28 @@ def test_ngram_containment_catches_subset_jaccard_misses(spark):
     cont = ngram_containment_pairs(docs, k=3, threshold=0.8).collect()
     assert len(cont) == 1 and cont[0].containment == 1.0
     assert ngram_jaccard_pairs(docs, k=3, threshold=0.8).count() == 0
+
+
+def test_mixing_plan_epochs_and_fraction(spark):
+    """epochs > 1 for an under-provisioned source (must repeat),
+    keep_fraction capped at 1.0, unweighted sources excluded; the plan's
+    fraction drives stratified_hash_sample to roughly the mix."""
+    from zipkin_dependencies_spark.llm.sampling import mixing_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "web"), (2, "e f", "code"), (3, "x y z", "junk")],
+        "doc_id long, text string, source string",
+    )
+    plan = {
+        r.source: r
+        for r in mixing_plan(
+            docs, weights={"web": 0.5, "code": 0.5}, token_budget=8
+        ).collect()
+    }
+    assert set(plan) == {"web", "code"}  # junk unweighted -> excluded
+    web, code = plan["web"], plan["code"]
+    assert (web.n_tokens, code.n_tokens) == (4, 2)
+    assert web.target_tokens == 4 and code.target_tokens == 4
+    assert web.epochs9 == 1.0 and web.keep_fraction9 == 1.0
+    assert code.epochs9 == 2.0          # needs two passes to hit its weight
+    assert code.keep_fraction9 == 1.0   # single-epoch fraction capped

@@ -658,6 +658,31 @@ def hash_sample_sql(fraction: float, salt: str = "") -> str:
     return f"SELECT * FROM documents WHERE {bucket} < {threshold}"
 
 
+def mixing_plan_sql(weights: dict[str, float], token_budget: int) -> str:
+    """Twin of llm/sampling.py::mixing_plan — same integer token sums, the
+    same single multiply/divide, round-9."""
+    cases = " ".join(
+        f"WHEN '{v}' THEN CAST({float(w)} AS DOUBLE)"
+        for v, w in sorted(weights.items())
+    )
+    return f"""
+WITH agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({TEXT_TOKENS})) AS BIGINT) AS n_tokens,
+         CASE source {cases} ELSE NULL END AS weight
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens, weight,
+       CAST(floor(weight * {int(token_budget)}) AS BIGINT) AS target_tokens,
+       round(CAST(floor(weight * {int(token_budget)}) AS DOUBLE) / n_tokens, 9)
+         AS epochs9,
+       round(least(1.0,
+             CAST(floor(weight * {int(token_budget)}) AS DOUBLE) / n_tokens), 9)
+         AS keep_fraction9
+FROM agg WHERE weight IS NOT NULL
+"""
+
+
 def stratified_hash_sample_sql(
     fractions: dict[str, float],
     strata_col: str,

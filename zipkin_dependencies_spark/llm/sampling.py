@@ -157,3 +157,60 @@ def group_hash_topn(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n)
     )
+
+
+def mixing_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ one row per weighted source: (source, n_docs, n_tokens, weight,
+    target_tokens, epochs9, keep_fraction9) — the pre-training data-mixture
+    planner. Given mixture ``weights`` (fractions of ``token_budget``) it
+    reports, per source, how many tokens exist, how many the mixture wants
+    (``target_tokens = floor(weight × budget)``), the repeat factor
+    (``epochs9 = target / available``; > 1 means the source must repeat to
+    hit its weight) and the single-epoch sampling fraction
+    (``keep_fraction9 = min(1, epochs)`` — feed it straight into
+    ``stratified_hash_sample`` to materialize the mix).
+
+    One hash aggregate over (source) — token counting is the same
+    whitespace tokenizer the gated text_stats uses, summed as exact
+    integers, so the plan is engine-exact; the two derived floats are one
+    multiply and one divide on those integers (round-9 pinned). At 100 TB
+    the aggregate output is |sources| rows — the plan itself is free; the
+    expensive part (the sampling scan) happens once, downstream, with the
+    plan's fractions baked into a codegen'd predicate."""
+    from .text import token_count
+
+    w_expr = F.lit(None).cast("double")
+    for value, weight in sorted(weights.items()):
+        w_expr = F.when(
+            F.col(source_col) == value, F.lit(float(weight))
+        ).otherwise(w_expr)
+
+    counted = docs.select(
+        F.col(source_col).alias("source"),
+        token_count(text_col).alias("_tok"),
+    )
+    agg = counted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("n_tokens"),
+    )
+    out = agg.withColumn(
+        "weight", w_expr.alias("weight")
+    ).filter(F.col("weight").isNotNull())
+    target = F.floor(F.col("weight") * F.lit(int(token_budget))).cast("long")
+    return out.select(
+        "source",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "weight",
+        target.alias("target_tokens"),
+        F.round(target / F.col("n_tokens"), 9).alias("epochs9"),
+        F.round(
+            F.least(F.lit(1.0), target / F.col("n_tokens")), 9
+        ).alias("keep_fraction9"),
+    )
