@@ -1407,6 +1407,17 @@ def q_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_trace_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top root→leaf service paths (pointer-doubling path construction,
+    O(log depth) self-joins; DuckDB twin is a recursive CTE): the
+    multi-hop complement of the single-edge links table."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.paths import top_trace_paths
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    return top_trace_paths(normalize_spans(derived_spans(spark, sf_dir)), k=50)
+
+
 def _stage_event_files(
     spark: SparkSession, frames, root: str
 ) -> tuple[str, str]:
@@ -1645,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "link_error_rates": q_link_error_rates,
         "mixing_plan": q_mixing_plan,
+        "top_trace_paths": q_top_trace_paths,
         # --- driver-gated green in CORRECTNESS_r01..r03 (50) ---
         "dependency_links": q_dependency_links,
         "dependency_links_f2_window": q_dependency_links_f2,
@@ -1715,6 +1727,9 @@ def oracle_sql() -> dict[str, str]:
         collapse_bursts_sql as _collapse_bursts_sql,
     )
     from zipkin_dependencies_spark.operators.funnel import funnel_sql as _funnel_sql
+    from zipkin_dependencies_spark.operators.paths import (
+        top_trace_paths_sql as _top_trace_paths_sql,
+    )
     from zipkin_dependencies_spark.llm.retrieval import (
         bm25_search_sql as _bm25_search_sql,
     )
@@ -2119,6 +2134,7 @@ GROUP BY 1, 2, 3
             weights={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
             token_budget=1_000_000,
         ),
+        "top_trace_paths": _top_trace_paths_sql(SPANS_SQL_CTE, k=50),
         "link_error_rates": (
             "WITH "
             + SPANS_SQL_CTE.strip()

@@ -541,3 +541,30 @@ def test_mixing_plan_epochs_and_fraction(spark):
     assert web.epochs9 == 1.0 and web.keep_fraction9 == 1.0
     assert code.epochs9 == 2.0          # needs two passes to hit its weight
     assert code.keep_fraction9 == 1.0   # single-epoch fraction capped
+
+
+def test_trace_paths_deep_dangling_cycle_semantics(spark):
+    """Pointer-doubling path construction: a 64-deep chain resolves fully
+    root-first; a dangling parent terminates the chain at the dangling
+    span; a cyclic trace's leaves are dropped; null service renders as
+    (unknown)."""
+    from zipkin_dependencies_spark.operators.paths import trace_paths
+    from zipkin_dependencies_spark.schemas import LINK_INPUT_SCHEMA
+
+    rows = [("deep", None, "n0", "SERVER", "s0", None, False, False, 1)]
+    rows += [
+        ("deep", f"n{i-1}", f"n{i}", "SERVER", f"s{i}", None, False, False, 1)
+        for i in range(1, 65)
+    ]
+    rows += [
+        ("dang", "missing", "a", "SERVER", "root-ish", None, False, False, 1),
+        ("dang", "a", "b", "CLIENT", None, None, False, False, 1),
+        ("cyc", "y", "x", "CLIENT", "cx", None, False, False, 1),
+        ("cyc", "x", "y", "CLIENT", "cy", None, False, False, 1),
+        ("cyc", "x", "z", "CLIENT", "cz", None, False, False, 1),
+    ]
+    norm = spark.createDataFrame(rows, schema=LINK_INPUT_SCHEMA)
+    got = {r.trace_key: r.path for r in trace_paths(norm).collect()}
+    assert got["deep"] == "->".join(f"s{i}" for i in range(65))
+    assert got["dang"] == "root-ish->(unknown)"  # chain stops at dangling
+    assert "cyc" not in got                       # cyclic leaves dropped

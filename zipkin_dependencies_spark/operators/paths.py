@@ -1,0 +1,187 @@
+"""Root→leaf service-path analytics — "what call chains dominate this
+system" (extension operator; the reference computes only single-edge
+links, never multi-hop paths).
+
+The path of a leaf span is the service sequence along its raw
+``parent_id`` chain, root-first, joined with ``->``. Construction is
+POINTER DOUBLING with segment concatenation (the same O(log depth)
+technique as the relational linker's E4 proof): every span starts with
+``(ptr = parent_id, seg = [service])``; each round a span splices its
+pointer's accumulated segment in front of its own and adopts the
+pointer's pointer — after r rounds a segment covers 2^r ancestors, so
+depth ``max_depth`` costs ceil(log2(max_depth+1)) narrow self-joins of a
+(trace, id, ptr, seg) frame, never a per-level loop.
+
+Semantics (deliberately raw-tree, identical to the DuckDB recursive-CTE
+twin by definition):
+- a span with null ``parent_id`` is a root; a DANGLING parent_id (no such
+  span in the trace) terminates the chain there — the span acts as its
+  own subtree root (storage loss shouldn't void the whole trace's paths);
+- leaves are spans that are nobody's parent within their trace;
+- CYCLIC chains never resolve and their leaves are dropped (counted
+  nowhere — the linker kernel, not paths, is the recovery route there);
+- null service names render as ``(unknown)`` (Spark's concat_ws would
+  silently skip nulls while SQL would null the whole path — the coalesce
+  pins one behavior on both engines);
+- callers must provide unique (trace_key, id) rows — run D1
+  ``dedupe_spans`` first (duplicate keys would multiply every splice
+  join, the same d^rounds hazard the linker's E4 dedupes away).
+
+Scale: each round shuffles (trace, id) → a few strings; the final count
+is |distinct paths| cardinality with a TakeOrdered top-k — no global
+sort, no driver collect.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_DEPTH = 127
+
+
+def trace_paths(
+    normalized_spans: DataFrame, max_depth: int = MAX_DEPTH
+) -> DataFrame:
+    """→ (trace_key, leaf_id, path): one row per acyclic leaf span, path =
+    root-first ``->``-joined service chain."""
+    nodes = normalized_spans.select(
+        "trace_key",
+        "id",
+        "parent_id",
+        F.coalesce(F.col("local_service"), F.lit("(unknown)")).alias("svc"),
+    )
+    cur = nodes.select(
+        "trace_key",
+        "id",
+        F.col("parent_id").alias("ptr"),
+        F.array("svc").alias("seg"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max(1, math.ceil(math.log2(max_depth + 1)))):
+        t = cur.select(
+            F.col("trace_key").alias("t_trace"),
+            F.col("id").alias("t_id"),
+            F.col("ptr").alias("t_ptr"),
+            F.col("seg").alias("t_seg"),
+        )
+        cur = (
+            cur.alias("c")
+            .join(
+                t,
+                (F.col("c.trace_key") == F.col("t_trace"))
+                & (F.col("c.ptr") == F.col("t_id")),
+                "left_outer",
+            )
+            .select(
+                F.col("c.trace_key").alias("trace_key"),
+                F.col("c.id").alias("id"),
+                # pointer resolved but ancestor row missing => dangling:
+                # chain terminates here (t_ptr is null in that case too)
+                F.when(F.col("t_id").isNotNull(), F.col("t_ptr")).alias("ptr"),
+                F.when(
+                    F.col("t_id").isNotNull(),
+                    F.concat(F.col("t_seg"), F.col("c.seg")),
+                )
+                .otherwise(F.col("c.seg"))
+                .alias("seg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    parents = nodes.filter(F.col("parent_id").isNotNull()).select(
+        F.col("trace_key").alias("p_trace"), F.col("parent_id").alias("p_id")
+    ).distinct()
+    leaves = cur.join(
+        parents,
+        (cur.trace_key == parents.p_trace) & (cur.id == parents.p_id),
+        "left_anti",
+    )
+    # ptr still set after the walk = cycle (or deeper than max_depth): drop
+    return leaves.filter(F.col("ptr").isNull()).select(
+        "trace_key",
+        F.col("id").alias("leaf_id"),
+        F.concat_ws("->", "seg").alias("path"),
+    )
+
+
+def top_trace_paths(
+    normalized_spans: DataFrame, k: int = 50, max_depth: int = MAX_DEPTH
+) -> DataFrame:
+    """→ (path, n_occurrences, rank): the k most common root→leaf service
+    paths (ties broken by path text — deterministic under any
+    partitioning). orderBy+limit plans as TakeOrdered: per-partition heaps
+    + driver merge of k rows, never a single-partition global sort."""
+    from pyspark.sql import Window
+
+    counts = (
+        trace_paths(normalized_spans, max_depth=max_depth)
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("path").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+    return top.select(
+        "path",
+        "n_occurrences",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def top_trace_paths_sql(spans_cte: str, k: int = 50, max_depth: int = 127) -> str:
+    """DuckDB twin: recursive CTE walking each leaf's parent chain upward,
+    same dangling/cycle/unknown-service semantics by construction.
+    ``spans_cte`` must define a ``spans`` relation with (trace_id, id,
+    parent_id, local_service)."""
+    return f"""
+WITH RECURSIVE {spans_cte.strip()},
+nodes AS (
+  SELECT trace_id AS trace_key, id, parent_id,
+         coalesce(local_service, '(unknown)') AS svc
+  FROM spans
+),
+parents AS (
+  SELECT DISTINCT trace_key, parent_id AS pid FROM nodes
+  WHERE parent_id IS NOT NULL
+),
+leaves AS (
+  SELECT n.* FROM nodes n
+  LEFT JOIN parents p ON p.trace_key = n.trace_key AND p.pid = n.id
+  WHERE p.pid IS NULL
+),
+walk AS (
+  SELECT trace_key, id AS leaf_id, parent_id AS nxt, svc AS path, 1 AS depth
+  FROM leaves
+  UNION ALL
+  SELECT w.trace_key, w.leaf_id, n.parent_id, n.svc || '->' || w.path,
+         w.depth + 1
+  FROM walk w
+  JOIN nodes n ON n.trace_key = w.trace_key AND n.id = w.nxt
+  WHERE w.depth <= {max_depth}
+),
+term AS (
+  SELECT trace_key, leaf_id, nxt, path,
+         row_number() OVER (PARTITION BY trace_key, leaf_id
+                            ORDER BY depth DESC) AS rn
+  FROM walk
+),
+resolved AS (
+  SELECT t.path FROM term t
+  WHERE t.rn = 1 AND (t.nxt IS NULL OR NOT EXISTS (
+    SELECT 1 FROM nodes n
+    WHERE n.trace_key = t.trace_key AND n.id = t.nxt
+  ))
+),
+counted AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM resolved GROUP BY path
+)
+SELECT path, n_occurrences,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, path ASC) AS BIGINT)
+         AS rank
+FROM counted
+ORDER BY n_occurrences DESC, path ASC
+LIMIT {k}
+"""
