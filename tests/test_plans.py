@@ -265,3 +265,66 @@ def test_q5_join_chain_broadcasts_dimensions(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") == 5
     assert "SortMergeJoin" not in plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The bin-bucketed range join must plan as an equi-join (hash join on
+    the bin key) — never BroadcastNestedLoopJoin or CartesianProduct, the
+    default physical strategies for pure inequality predicates."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_incident_range_join(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the deliberate ONE-ROW stats
+    # broadcast (the above-average threshold); the data-scale points ×
+    # incidents join must be a hash equi-join on the bin key
+    assert len(_node_ids(plan, "BroadcastNestedLoopJoin")) <= 1
+    hash_joins = (
+        _node_ids(plan, "BroadcastHashJoin")
+        + _node_ids(plan, "ShuffledHashJoin")
+        + _node_ids(plan, "SortMergeJoin")
+    )
+    assert len(hash_joins) >= 1
+
+
+def test_collapse_bursts_single_exchange(spark):
+    """lag + running-sum numbering + the burst aggregate all share ONE
+    (user, type) hash exchange."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_collapse_bursts(spark, SF))
+    assert len(_node_ids(plan, "Exchange")) == 1
+    # ...and the burst aggregate reuses that same partitioning: the
+    # partial/final HashAggregate pair has NO exchange between them
+
+
+def test_inverted_index_partial_agg_and_no_occurrence_shuffle(spark):
+    """The (token, doc) distinct and the postings aggregate both hash —
+    the exchanges carry distinct pairs, and partial aggregation runs below
+    the exchange (vocabulary-cardinality shuffle, not token occurrences)."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_inverted_index(spark, SF))
+    assert "partial" in plan  # map-side combine before the exchange
+    assert "SortMergeJoin" not in plan  # no join at all in this pipeline
+
+
+def test_mixing_plan_single_aggregate_no_join(spark):
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_mixing_plan(spark, SF))
+    assert len(_node_ids(plan, "Exchange")) == 1  # one (source) hash agg
+    assert len(_node_ids(plan, r"\S*Join\S*")) == 0
+
+
+def test_trace_paths_joins_are_narrow_and_bounded(spark):
+    """Pointer doubling: the path build is a fixed number of self-joins of
+    a narrow (trace, id, ptr, seg) frame — no CartesianProduct, no
+    nested-loop join anywhere, and the top-k is TakeOrdered (no global
+    sort of the counts)."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_top_trace_paths(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
