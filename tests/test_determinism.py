@@ -27,6 +27,12 @@ FLOAT_SENSITIVE = [
     "quantized_cosine_topk",
     "trace_size_percentiles",
     "kmeans_clusters",
+    # r04 additions: trailing-rate divisions, burst numbering via window
+    # tiebreaks, path top-k tie ordering, mixture-plan epoch division
+    "link_error_rates",
+    "collapse_bursts",
+    "top_trace_paths",
+    "mixing_plan",
 ]
 
 
