@@ -226,6 +226,14 @@ def eligible_trace_keys(
         .localCheckpoint(eager=True)
     )
     for _ in range(max(1, math.ceil(math.log2(max_depth + 1)))):
+        # early exit: a span still mattering to the walk is unreached WITH
+        # a live pointer; once none remain (every span reached the root or
+        # got stuck on a broken chain) further rounds are no-ops — a
+        # depth-2 production forest pays ONE round, not log2(max_depth)
+        if cur.filter(
+            ~F.col("reached") & F.col("ptr_id").isNotNull()
+        ).isEmpty():
+            break
         hop = cur.select(
             F.col("trace_key").alias("q_trace"),
             F.col("id").alias("q_id"),

@@ -60,6 +60,13 @@ def trace_paths(
         F.array("svc").alias("seg"),
     ).localCheckpoint(eager=True)
     for _ in range(max(1, math.ceil(math.log2(max_depth + 1)))):
+        # early exit: once no live pointer remains, every chain is fully
+        # resolved (or provably broken/dangling) and further rounds are
+        # no-ops — a depth-2 production forest pays ONE round, not
+        # log2(max_depth). isEmpty on the checkpointed frame is a cheap
+        # scan of materialized blocks.
+        if cur.filter(F.col("ptr").isNotNull()).isEmpty():
+            break
         t = cur.select(
             F.col("trace_key").alias("t_trace"),
             F.col("id").alias("t_id"),
