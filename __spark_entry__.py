@@ -1604,6 +1604,55 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", F.posexplode("embedding").alias("dim_idx", "value"))
 
 
+def q_streaming_bursts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-replay twin of the STREAMING burst compressor
+    (streaming/bursts.py, applyInPandasWithState): time-split files replay
+    availableNow through the stateful kernel; every burst CLOSED by a
+    successor event must equal the batch collapse_bursts row — the oracle
+    is the batch SQL minus each key's final (still-open-at-stream-end)
+    burst. TTL beyond the replay horizon: no state GC blurs the contract."""
+    import hashlib
+
+    from zipkin_dependencies_spark.streaming.bursts import (
+        streaming_collapse_bursts,
+    )
+    from zipkin_dependencies_spark.testdata import load_events
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/zds_bursts_replay/{tag}"
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    split = F.lit("2024-01-16").cast("timestamp")
+    src, _ = _stage_event_files(
+        spark,
+        [ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split)],
+        root,
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_collapse_bursts(
+            stream,
+            gap_us=1_800_000_000,
+            ttl_ms=10_000_000_000_000,
+            watermark="60 days",
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{root}/sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{root}/sink").select(
+        "user_id", "event_type", "burst_seq", "first_ts_us", "last_ts_us",
+        "n_events",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -1657,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_error_rates": q_link_error_rates,
         "mixing_plan": q_mixing_plan,
         "top_trace_paths": q_top_trace_paths,
+        "streaming_bursts_replay": q_streaming_bursts_replay,
         # --- driver-gated green in CORRECTNESS_r01..r03 (50) ---
         "dependency_links": q_dependency_links,
         "dependency_links_f2_window": q_dependency_links_f2,
@@ -2135,6 +2185,13 @@ GROUP BY 1, 2, 3
             token_budget=1_000_000,
         ),
         "top_trace_paths": _top_trace_paths_sql(SPANS_SQL_CTE, k=50),
+        "streaming_bursts_replay": (
+            "SELECT user_id, event_type, burst_seq, first_ts_us, "
+            "last_ts_us, n_events FROM (SELECT b.*, max(burst_seq) OVER "
+            "(PARTITION BY user_id, event_type) AS mx FROM ("
+            + _collapse_bursts_sql(1_800_000_000)
+            + ") b) WHERE burst_seq < mx"
+        ),
         "link_error_rates": (
             "WITH "
             + SPANS_SQL_CTE.strip()

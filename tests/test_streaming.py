@@ -498,3 +498,65 @@ def test_streaming_anomalies_flags_spike_against_static_baseline(spark, tmp_path
     r = got[0]
     assert r["event_type"] == "click" and r["n_events"] == 6 and r["z9"] == 4.0
     assert r["win_start_us"] == int(sec(3600).timestamp() * 1e6)
+
+
+def test_streaming_collapse_bursts_closes_on_successor_and_gc(spark, tmp_path):
+    """Close-on-next-event semantics: a burst emits the moment an event
+    beyond the gap arrives (cross-batch), numbering continues per key, the
+    final open burst never emits, and a silent key's open burst is GC'd by
+    the event-time TTL without emitting."""
+    import datetime as dt
+
+    from zipkin_dependencies_spark.streaming.bursts import (
+        streaming_collapse_bursts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    us = lambda s: int(sec(s).timestamp() * 1e6)  # noqa: E731
+    schema = "user_id long, ts timestamp, event_type string"
+    src = tmp_path / "events"
+    src.mkdir()
+    out = tmp_path / "out"
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_collapse_bursts(
+                stream, gap_us=60_000_000, ttl_ms=600_000,
+                watermark="10 seconds",
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sorted(
+            (r.user_id, r.burst_seq, r.first_ts_us, r.last_ts_us, r.n_events)
+            for r in spark.read.parquet(str(out)).collect()
+        )
+
+    def append(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    # batch 1: u1 chain 0,50,100 (one burst — each hop <= 60s);
+    # u2 single event (stays open, then goes silent past TTL)
+    append([(1, sec(0), "click"), (1, sec(50), "click"),
+            (1, sec(100), "click"), (2, sec(0), "click")])
+    assert run() == []  # nothing closed yet
+
+    # batch 2: u1 event 61s after 100 closes burst 1 ACROSS the batch
+    # boundary; a far-future u9 event pushes the watermark past u2's TTL
+    # (GC, no emission) — u1's burst 2 stays open, never emits
+    append([(1, sec(161), "click"), (9, sec(100_000), "flush")])
+    got = run()
+    assert got == [(1, 1, us(0), us(100), 3)]
