@@ -1653,6 +1653,57 @@ def q_streaming_bursts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-replay twin of the native STREAM-STREAM interval join
+    (streaming/joins.py): clicks and purchases replay as two file streams
+    over the same staged events; every same-user (click, purchase) pair
+    within 2h must emit — inner stream-stream joins emit on match, not on
+    watermark, so the drained sink equals DuckDB's BETWEEN join exactly."""
+    import hashlib
+
+    from zipkin_dependencies_spark.streaming.joins import (
+        streaming_interval_join,
+    )
+    from zipkin_dependencies_spark.testdata import load_events
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/zds_join_replay/{tag}"
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_type", "event_id")
+    split = F.lit("2024-01-16").cast("timestamp")
+    src, _ = _stage_event_files(
+        spark,
+        [ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split)],
+        root,
+    )
+
+    def typed_stream(t):
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .filter(F.col("event_type") == t)
+        )
+
+    out = streaming_interval_join(
+        typed_stream("click"),
+        typed_stream("purchase"),
+        within_seconds=2 * 3600,
+        watermark="60 days",
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{root}/sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{root}/sink").select(
+        "user_id", "left_id", "right_id", "left_ts_us", "right_ts_us"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -1707,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixing_plan": q_mixing_plan,
         "top_trace_paths": q_top_trace_paths,
         "streaming_bursts_replay": q_streaming_bursts_replay,
+        "streaming_join_replay": q_streaming_join_replay,
         # --- driver-gated green in CORRECTNESS_r01..r03 (50) ---
         "dependency_links": q_dependency_links,
         "dependency_links_f2_window": q_dependency_links_f2,
@@ -2185,6 +2237,16 @@ GROUP BY 1, 2, 3
             token_budget=1_000_000,
         ),
         "top_trace_paths": _top_trace_paths_sql(SPANS_SQL_CTE, k=50),
+        "streaming_join_replay": """
+SELECT c.user_id, c.event_id AS left_id, p.event_id AS right_id,
+       epoch_us(c.ts) AS left_ts_us, epoch_us(p.ts) AS right_ts_us
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND epoch_us(p.ts) >= epoch_us(c.ts)
+ AND epoch_us(p.ts) <= epoch_us(c.ts) + 7200000000
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
         "streaming_bursts_replay": (
             "SELECT user_id, event_type, burst_seq, first_ts_us, "
             "last_ts_us, n_events FROM (SELECT b.*, max(burst_seq) OVER "

@@ -568,3 +568,57 @@ def test_trace_paths_deep_dangling_cycle_semantics(spark):
     assert got["deep"] == "->".join(f"s{i}" for i in range(65))
     assert got["dang"] == "root-ish->(unknown)"  # chain stops at dangling
     assert "cyc" not in got                       # cyclic leaves dropped
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_collapse_bursts_matches_python_reference_on_random_events(spark, seed):
+    """Randomized soundness: collapse_bursts must equal a per-key greedy
+    gap-chain scan in plain Python on arbitrary event streams (dense same-
+    timestamp collisions included — the id tiebreak pins them)."""
+    import datetime as dt
+    import random
+
+    from zipkin_dependencies_spark.operators.events_analytics import collapse_bursts
+
+    rng = random.Random(seed)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for eid in range(400):
+        rows.append(
+            (
+                eid,
+                t0 + dt.timedelta(seconds=rng.randrange(0, 3000)),
+                rng.randrange(0, 6),
+                rng.choice(["a", "b"]),
+            )
+        )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    gap_us = 120_000_000
+
+    expected = []
+    bykey: dict = {}
+    for eid, ts, uid, typ in rows:
+        bykey.setdefault((uid, typ), []).append(
+            (int(ts.timestamp() * 1e6), eid)
+        )
+    for (uid, typ), evs in bykey.items():
+        evs.sort()
+        seq = 0
+        first = last = None
+        n = 0
+        for t, _ in evs:
+            if first is None or t - last > gap_us:
+                if first is not None:
+                    expected.append((uid, typ, seq, first, last, n))
+                seq += 1
+                first = last = t
+                n = 1
+            else:
+                last = t
+                n += 1
+        expected.append((uid, typ, seq, first, last, n))
+
+    got = sorted(tuple(r) for r in collapse_bursts(ev, gap_us=gap_us).collect())
+    assert got == sorted(expected)

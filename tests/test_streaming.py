@@ -560,3 +560,56 @@ def test_streaming_collapse_bursts_closes_on_successor_and_gc(spark, tmp_path):
     append([(1, sec(161), "click"), (9, sec(100_000), "flush")])
     got = run()
     assert got == [(1, 1, us(0), us(100), 3)]
+
+
+def test_streaming_interval_join_matches_across_batches(spark, tmp_path):
+    """A click in batch 1 joins a purchase arriving in batch 2 (state held
+    across micro-batches); pairs beyond the interval never emit; emission
+    needs no flush event (inner stream-stream joins emit on match)."""
+    import datetime as dt
+
+    from zipkin_dependencies_spark.streaming.joins import (
+        streaming_interval_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    src = tmp_path / "events"
+    src.mkdir()
+
+    def append(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    append([(1, sec(0), "click", 10), (2, sec(0), "click", 20)])
+    append([(1, sec(1800), "purchase", 11),   # inside 1h of click 10
+            (2, sec(7200), "purchase", 21)])  # beyond 1h of click 20
+
+    def typed(t):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .filter(F.col("event_type") == t)
+        )
+
+    q = (
+        streaming_interval_join(
+            typed("click"), typed("purchase"),
+            within_seconds=3600, watermark="10 seconds",
+        )
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r.user_id, r.left_id, r.right_id)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [(1, 10, 11)]
