@@ -95,6 +95,8 @@ def main() -> None:
             "streaming_daily_links",
             "streaming_funnel_replay",
             "streaming_anomalies_replay",
+            "streaming_bursts_replay",
+            "streaming_join_replay",
         )
     ]
     # optional subset (scaling-tier runs measure the expensive scale-path
