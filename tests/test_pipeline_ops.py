@@ -622,3 +622,61 @@ def test_collapse_bursts_matches_python_reference_on_random_events(spark, seed):
 
     got = sorted(tuple(r) for r in collapse_bursts(ev, gap_us=gap_us).collect())
     assert got == sorted(expected)
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_trace_paths_matches_python_reference_on_random_forests(spark, seed):
+    """Randomized soundness for the pointer-doubling path builder: on
+    arbitrary forests (dangling parents, cycles, null services, deep
+    chains) the output must equal a plain-Python per-trace chain walk."""
+    import random
+
+    from zipkin_dependencies_spark.operators.paths import trace_paths
+    from zipkin_dependencies_spark.schemas import LINK_INPUT_SCHEMA
+
+    rng = random.Random(seed)
+    rows = []
+    for t in range(60):
+        tk = f"p{seed}-{t}"
+        n = rng.randint(1, 12)
+        ids = [f"s{i}" for i in range(n)]
+        for i, sid in enumerate(ids):
+            # parents may point ANYWHERE (later ids -> cycles possible),
+            # dangle, or be absent
+            parent = rng.choice([None, "dangling", *ids])
+            if parent == sid:
+                parent = None  # self-loop is just a root here; cycles of
+                # length >= 2 still occur via mutual references
+            rows.append(
+                (tk, parent, sid, "SERVER",
+                 rng.choice([None, "a", "b", "c"]), None, False, False, 1)
+            )
+
+    norm = spark.createDataFrame(rows, schema=LINK_INPUT_SCHEMA)
+    got = sorted(
+        (r.trace_key, r.leaf_id, r.path) for r in trace_paths(norm).collect()
+    )
+
+    bytrace: dict = {}
+    for tk, parent, sid, _k, svc, *_ in rows:
+        bytrace.setdefault(tk, {})[sid] = (parent, svc or "(unknown)")
+    expected = []
+    for tk, nodes in bytrace.items():
+        parent_vals = {p for p, _ in nodes.values() if p is not None}
+        for leaf in nodes:
+            if leaf in parent_vals:
+                continue
+            path, seen, cur, ok = [], set(), leaf, True
+            while True:
+                if cur in seen:
+                    ok = False  # cycle
+                    break
+                seen.add(cur)
+                p, svc = nodes[cur]
+                path.append(svc)
+                if p is None or p not in nodes:
+                    break  # root or dangling terminates
+                cur = p
+            if ok:
+                expected.append((tk, leaf, "->".join(reversed(path))))
+    assert got == sorted(expected)
