@@ -1704,6 +1704,97 @@ def q_streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+H1_1996_US = (820_454_400_000_000, 836_179_200_000_000 - 1)  # [Jan 1, Jul 1)
+H2_1996_US = (836_179_200_000_000, 852_076_800_000_000 - 1)  # [Jul 1, Jan 1 97)
+
+
+def q_links_window_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-graph drift: H1-1996 links vs H2-1996 links (two F2
+    trace-root windows through the SAME linker), full-outer joined per
+    edge with added/removed/changed/steady status — the regression-detect
+    query an operator runs after a deploy wave. Link cardinality is
+    O(services²), so the diff join is tiny regardless of span volume."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    norm = normalize_spans(derived_spans(spark, sf_dir))
+    a = links_from_spans(norm, window=H1_1996_US).select(
+        "parent", "child",
+        F.col("call_count").alias("calls_a"),
+        F.col("error_count").alias("errors_a"),
+    )
+    b = links_from_spans(norm, window=H2_1996_US).select(
+        "parent", "child",
+        F.col("call_count").alias("calls_b"),
+        F.col("error_count").alias("errors_b"),
+    )
+    j = a.join(b, ["parent", "child"], "full_outer")
+    ca = F.coalesce("calls_a", F.lit(0))
+    cb = F.coalesce("calls_b", F.lit(0))
+    status = (
+        F.when(F.col("calls_a").isNull(), F.lit("added"))
+        .when(F.col("calls_b").isNull(), F.lit("removed"))
+        .when(
+            (F.col("calls_a") != F.col("calls_b"))
+            | (F.col("errors_a") != F.col("errors_b")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("steady"))
+    )
+    return j.select(
+        "parent", "child",
+        ca.alias("calls_a"),
+        F.coalesce("errors_a", F.lit(0)).alias("errors_a"),
+        cb.alias("calls_b"),
+        F.coalesce("errors_b", F.lit(0)).alias("errors_b"),
+        (cb - ca).alias("delta_calls"),
+        status.alias("status"),
+    )
+
+
+def q_trace_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trace-shape health: distribution of root→leaf chain lengths from
+    the pointer-doubling path build (a deep tail = retry storm or broken
+    linking); output cardinality bounded by the depth cap."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.paths import trace_depth_histogram
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    return trace_depth_histogram(normalize_spans(derived_spans(spark, sf_dir)))
+
+
+def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: top-20 users by event count with their
+    round-9 share of total traffic — the report that decides whether a
+    pipeline needs salting before its user-keyed joins. Aggregate →
+    one-row broadcast → TakeOrdered; never a global sort."""
+    from pyspark.sql import Window
+    from zipkin_dependencies_spark.testdata import load_events
+
+    counts = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    total = counts.agg(F.sum("n_events").alias("tot"))
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") / F.col("tot"), 9).alias("share9"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    return top.select(
+        "user_id", "n_events", "share9",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -1759,6 +1850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_trace_paths": q_top_trace_paths,
         "streaming_bursts_replay": q_streaming_bursts_replay,
         "streaming_join_replay": q_streaming_join_replay,
+        "links_window_diff": q_links_window_diff,
+        "trace_depth_histogram": q_trace_depth_histogram,
+        "heavy_hitter_users": q_heavy_hitter_users,
         # --- driver-gated green in CORRECTNESS_r01..r03 (50) ---
         "dependency_links": q_dependency_links,
         "dependency_links_f2_window": q_dependency_links_f2,
@@ -1831,6 +1925,7 @@ def oracle_sql() -> dict[str, str]:
     from zipkin_dependencies_spark.operators.funnel import funnel_sql as _funnel_sql
     from zipkin_dependencies_spark.operators.paths import (
         top_trace_paths_sql as _top_trace_paths_sql,
+        trace_depth_histogram_sql as _trace_depth_histogram_sql,
     )
     from zipkin_dependencies_spark.llm.retrieval import (
         bm25_search_sql as _bm25_search_sql,
@@ -1868,6 +1963,45 @@ spans_in AS (
 )
 """
         + LINKS_SQL.replace("FROM spans", "FROM spans_in")
+    )
+
+    # window-diff oracle: the F2 eligible-root filter twice, one links
+    # aggregation per half, FULL OUTER JOIN per edge
+    H1, H2 = H1_1996_US, H2_1996_US
+    _diff_links = LINKS_SQL.strip()
+    links_window_diff_oracle = (
+        "WITH "
+        + SPANS_SQL_CTE.strip()
+        + f""",
+el_a AS (
+  SELECT trace_id FROM spans
+  WHERE parent_id IS NULL AND ts IS NOT NULL AND ts <> 0
+    AND ts BETWEEN {H1[0]} AND {H1[1]}
+),
+el_b AS (
+  SELECT trace_id FROM spans
+  WHERE parent_id IS NULL AND ts IS NOT NULL AND ts <> 0
+    AND ts BETWEEN {H2[0]} AND {H2[1]}
+),
+spans_a AS (SELECT s.* FROM spans s SEMI JOIN el_a e ON s.trace_id = e.trace_id),
+spans_b AS (SELECT s.* FROM spans s SEMI JOIN el_b e ON s.trace_id = e.trace_id),
+la AS ({_diff_links.replace("FROM spans", "FROM spans_a")}),
+lb AS ({_diff_links.replace("FROM spans", "FROM spans_b")})
+SELECT coalesce(la.parent, lb.parent) AS parent,
+       coalesce(la.child, lb.child) AS child,
+       coalesce(la.call_count, 0) AS calls_a,
+       coalesce(la.error_count, 0) AS errors_a,
+       coalesce(lb.call_count, 0) AS calls_b,
+       coalesce(lb.error_count, 0) AS errors_b,
+       coalesce(lb.call_count, 0) - coalesce(la.call_count, 0) AS delta_calls,
+       CASE WHEN la.call_count IS NULL THEN 'added'
+            WHEN lb.call_count IS NULL THEN 'removed'
+            WHEN la.call_count <> lb.call_count
+                 OR la.error_count <> lb.error_count THEN 'changed'
+            ELSE 'steady' END AS status
+FROM la FULL OUTER JOIN lb
+  ON la.parent = lb.parent AND la.child = lb.child
+"""
     )
 
     # v1 links oracle from the same matrix CTEs, with MULTI-ROOT ATTACHMENT
@@ -2237,6 +2371,25 @@ GROUP BY 1, 2, 3
             token_budget=1_000_000,
         ),
         "top_trace_paths": _top_trace_paths_sql(SPANS_SQL_CTE, k=50),
+        "links_window_diff": links_window_diff_oracle,
+        "trace_depth_histogram": _trace_depth_histogram_sql(SPANS_SQL_CTE),
+        "heavy_hitter_users": """
+WITH counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT sum(n_events) AS tot FROM counts),
+top AS (
+  SELECT user_id, n_events,
+         round(CAST(n_events AS DOUBLE) / tot, 9) AS share9
+  FROM counts, tot
+  ORDER BY n_events DESC, user_id ASC LIMIT 20
+)
+SELECT user_id, n_events, share9,
+       CAST(row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS BIGINT)
+         AS rank
+FROM top
+""",
         "streaming_join_replay": """
 SELECT c.user_id, c.event_id AS left_id, p.event_id AS right_id,
        epoch_us(c.ts) AS left_ts_us, epoch_us(p.ts) AS right_ts_us

@@ -109,6 +109,7 @@ def trace_paths(
         "trace_key",
         F.col("id").alias("leaf_id"),
         F.concat_ws("->", "seg").alias("path"),
+        F.size("seg").cast("long").alias("depth"),
     )
 
 
@@ -191,4 +192,63 @@ SELECT path, n_occurrences,
 FROM counted
 ORDER BY n_occurrences DESC, path ASC
 LIMIT {k}
+"""
+
+
+def trace_depth_histogram(
+    normalized_spans: DataFrame, max_depth: int = MAX_DEPTH
+) -> DataFrame:
+    """→ (depth, n_leaves): distribution of root→leaf chain lengths — the
+    trace-shape health metric (a sudden deep tail usually means a retry
+    storm or a linking bug upstream). One aggregate over the path build's
+    (already computed) depth column; output cardinality ≤ max_depth."""
+    return (
+        trace_paths(normalized_spans, max_depth=max_depth)
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_leaves"))
+    )
+
+
+def trace_depth_histogram_sql(spans_cte: str, max_depth: int = 127) -> str:
+    """DuckDB twin: the recursive walk's terminal depth, aggregated."""
+    return f"""
+WITH RECURSIVE {spans_cte.strip()},
+nodes AS (
+  SELECT trace_id AS trace_key, id, parent_id,
+         coalesce(local_service, '(unknown)') AS svc
+  FROM spans
+),
+parents AS (
+  SELECT DISTINCT trace_key, parent_id AS pid FROM nodes
+  WHERE parent_id IS NOT NULL
+),
+leaves AS (
+  SELECT n.* FROM nodes n
+  LEFT JOIN parents p ON p.trace_key = n.trace_key AND p.pid = n.id
+  WHERE p.pid IS NULL
+),
+walk AS (
+  SELECT trace_key, id AS leaf_id, parent_id AS nxt, 1 AS depth
+  FROM leaves
+  UNION ALL
+  SELECT w.trace_key, w.leaf_id, n.parent_id, w.depth + 1
+  FROM walk w
+  JOIN nodes n ON n.trace_key = w.trace_key AND n.id = w.nxt
+  WHERE w.depth <= {max_depth}
+),
+term AS (
+  SELECT trace_key, leaf_id, nxt, depth,
+         row_number() OVER (PARTITION BY trace_key, leaf_id
+                            ORDER BY depth DESC) AS rn
+  FROM walk
+),
+resolved AS (
+  SELECT CAST(t.depth AS BIGINT) AS depth FROM term t
+  WHERE t.rn = 1 AND (t.nxt IS NULL OR NOT EXISTS (
+    SELECT 1 FROM nodes n
+    WHERE n.trace_key = t.trace_key AND n.id = t.nxt
+  ))
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_leaves
+FROM resolved GROUP BY depth
 """
