@@ -88,3 +88,39 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"parent", "child", "call_count", "error_count"}
+
+
+def test_registry_gate_window_policy():
+    """Evidence policy guard (PARITY.md "Evidence tiers"): the driver's
+    correctness gate runs the FIRST 50 registry entries, so every query
+    that has never received a driver CORRECTNESS row must sit inside that
+    window. A refactor that reorders the registry silently forfeits the
+    round's gate coverage — fail here instead."""
+    import __spark_entry__ as e
+
+    never_driver_gated = {
+        # r04 batch of previously-ungated operators + all r04 additions
+        "streaming_funnel_replay", "streaming_anomalies_replay",
+        "curation_pipeline_v2", "sessionize_events", "asof_attribution",
+        "funnel_events", "quantile_gate", "bm25_search", "hybrid_search",
+        "kmeans_clusters", "dense_daily_counts", "props_rollup",
+        "corpus_diff", "semantic_search", "unigram_surprisal",
+        "service_pagerank", "service_reachability", "span_fanout_histogram",
+        "event_value_percentiles", "events_daily_pivot",
+        "trace_size_percentiles", "event_transitions", "window_anomalies",
+        "cohort_retention", "corpus_stats", "group_topn_sample",
+        "label_centroids", "media_stats", "media_frames", "media_features",
+        "incident_range_join", "collapse_bursts", "inverted_index",
+        "ngram_containment", "link_error_rates", "mixing_plan",
+        "top_trace_paths", "streaming_bursts_replay",
+        "streaming_join_replay", "links_window_diff",
+        "trace_depth_histogram", "heavy_hitter_users",
+    }
+    window = set(list(e.queries())[:50])
+    missing = never_driver_gated - window
+    assert not missing, (
+        f"never-driver-gated queries pushed out of the first-50 gate "
+        f"window: {sorted(missing)}"
+    )
+    # and every registry entry still has an oracle twin
+    assert set(e.queries()) == set(e.oracle_sql())
