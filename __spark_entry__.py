@@ -1795,6 +1795,78 @@ def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: top-10 not-yet-shipped BUILDING-segment orders by
+    revenue as of 1996-06-15 — filtered dimension broadcast into a
+    big-big orders⋈lineitem, exact-cents revenue, TakeOrdered top-10 with
+    a deterministic orderkey tiebreak."""
+    from zipkin_dependencies_spark.testdata import load
+
+    cutoff = "1996-06-15"
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("timestamp") < cutoff
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("timestamp") > cutoff
+    )
+    revenue_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+        )
+        .agg(F.sum(revenue_cents).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: 1996 shipping revenue per (supplier nation,
+    customer nation) pair, all cross-nation pairs — two independent
+    broadcast dimension chains meeting at the lineitem probe, exact-cents
+    revenue."""
+    from zipkin_dependencies_spark.testdata import load
+
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("timestamp").between(
+            "1996-01-01", "1996-12-31"
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    revenue_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(revenue_cents).alias("revenue_cents"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -1853,6 +1925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "links_window_diff": q_links_window_diff,
         "trace_depth_histogram": q_trace_depth_histogram,
         "heavy_hitter_users": q_heavy_hitter_users,
+        "shipping_priority": q_shipping_priority,
+        "nation_volume_pairs": q_nation_volume_pairs,
         # --- driver-gated green in CORRECTNESS_r01..r03 (50) ---
         "dependency_links": q_dependency_links,
         "dependency_links_f2_window": q_dependency_links_f2,
@@ -2372,6 +2446,35 @@ GROUP BY 1, 2, 3
         ),
         "top_trace_paths": _top_trace_paths_sql(SPANS_SQL_CTE, k=50),
         "links_window_diff": links_window_diff_oracle,
+        "shipping_priority": """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-06-15'
+  AND l_shipdate > TIMESTAMP '1996-06-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue_cents DESC, l_orderkey ASC
+LIMIT 10
+""",
+        "nation_volume_pairs": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+  AND n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name
+""",
         "trace_depth_histogram": _trace_depth_histogram_sql(SPANS_SQL_CTE),
         "heavy_hitter_users": """
 WITH counts AS (

@@ -115,6 +115,7 @@ def test_registry_gate_window_policy():
         "top_trace_paths", "streaming_bursts_replay",
         "streaming_join_replay", "links_window_diff",
         "trace_depth_histogram", "heavy_hitter_users",
+        "shipping_priority", "nation_volume_pairs",
     }
     window = set(list(e.queries())[:50])
     missing = never_driver_gated - window

@@ -328,3 +328,17 @@ def test_trace_paths_joins_are_narrow_and_bounded(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q3_q7_analogs_broadcast_dimensions(spark):
+    """Q3: the filtered BUILDING customer side broadcasts; Q7: all four
+    dimension chains broadcast — lineitem is the only probe side, zero
+    sort-merge joins, and Q3's top-10 plans as TakeOrdered."""
+    import __spark_entry__ as e
+
+    q3 = formatted(e.q_shipping_priority(spark, SF))
+    assert "SortMergeJoin" not in q3
+    assert "TakeOrderedAndProject" in q3
+    q7 = formatted(e.q_nation_volume_pairs(spark, SF))
+    assert "SortMergeJoin" not in q7
+    assert len(_node_ids(q7, "BroadcastHashJoin")) >= 4
