@@ -1867,6 +1867,44 @@ def q_nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order LM filter: per-doc mean bigram surprisal under the
+    corpus's own bigram model (integer-scaled ln sums — bit-stable);
+    catches impossible word ORDER that the unigram filter passes."""
+    from zipkin_dependencies_spark.llm.text import bigram_surprisal
+    from zipkin_dependencies_spark.testdata import load
+
+    return bigram_surprisal(load(spark, sf_dir, "documents"))
+
+
+def q_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text form (lowercase, collapsed whitespace) surfaced as
+    md5 + length — the dedup-key normalization as its own gated surface."""
+    from zipkin_dependencies_spark.llm.text import normalize_text
+    from zipkin_dependencies_spark.testdata import load
+
+    n = normalize_text("text")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(n).alias("norm_hash"),
+        F.length(n).cast("long").alias("n_chars_norm"),
+    )
+
+
+def q_session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution in whole minutes (integer bucketing on
+    the sessionizer's exact µs bounds) — the engagement-shape metric on
+    top of the gated sessionize operator; |buckets|-cardinality output."""
+    from zipkin_dependencies_spark.operators.sessionize import sessionize
+    from zipkin_dependencies_spark.testdata import load_events
+
+    sess = sessionize(load_events(spark, sf_dir), gap_seconds=1800)
+    mins = F.floor((F.col("end_us") - F.col("start_us")) / 60_000_000).cast("long")
+    return sess.groupBy(mins.alias("duration_min")).agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -1978,6 +2016,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_idf": q_token_idf,
         "top_docs_per_source": q_top_docs_per_source,
         "curation_pipeline": q_curation_pipeline,
+        # --- r04 tier-L additions (beyond the 50-row driver window this
+        # round; local-gate evidence now, front-of-registry candidates for
+        # the r05 driver gate) ---
+        "bigram_surprisal": q_bigram_surprisal,
+        "normalized_text": q_normalized_text,
+        "session_duration_histogram": q_session_duration_histogram,
     }
 
 
@@ -2344,6 +2388,11 @@ GROUP BY 1, 2, 3
             min_quality=0.4, lang="en", max_dup_3gram=0.5, n=13, bench_mod=97
         ),
         "sessionize_events": _sessionize_sql(),
+        "session_duration_histogram": (
+            "SELECT CAST(floor((end_us - start_us) / 60000000) AS BIGINT) "
+            "AS duration_min, CAST(count(*) AS BIGINT) AS n_sessions "
+            "FROM (" + _sessionize_sql() + ") s GROUP BY 1"
+        ),
         "asof_attribution": _ASOF_ATTRIBUTION_SQL,
         "quantile_gate": llm_oracles.quantile_gate_sql(p=0.75, group_col="source"),
         "cohort_retention": _COHORT_RETENTION_SQL,
@@ -2440,6 +2489,8 @@ GROUP BY 1, 2, 3
         "ngram_containment": llm_oracles.ngram_containment_sql(
             k=3, threshold=0.8, id_mod=5
         ),
+        "bigram_surprisal": llm_oracles.bigram_surprisal_sql(),
+        "normalized_text": llm_oracles.normalized_text_sql(),
         "mixing_plan": llm_oracles.mixing_plan_sql(
             weights={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
             token_budget=1_000_000,

@@ -1151,6 +1151,44 @@ FROM scored GROUP BY doc_id
 """
 
 
+def bigram_surprisal_sql() -> str:
+    """Oracle for llm/text.py::bigram_surprisal: identical 1-based bigram
+    extraction (DuckDB list indexing == Spark element_at), identical
+    integer-scaled ln sums."""
+    return f"""
+WITH toked AS (SELECT doc_id, {TEXT_TOKENS} AS t FROM documents),
+occ AS (
+  SELECT doc_id, u.bg['prev'] AS prev, u.bg['cur'] AS cur
+  FROM toked,
+       unnest(list_transform(range(1, len(t)),
+              i -> {{'prev': t[i], 'cur': t[i + 1]}})) AS u(bg)
+),
+lm AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2 FROM occ GROUP BY 1, 2),
+prefix AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+scored AS (
+  SELECT o.doc_id,
+         CAST(round(ln(l.c2 / CAST(p.c1 AS DOUBLE)) * 1000000000)
+              AS BIGINT) AS q9
+  FROM occ o JOIN lm l USING (prev, cur) JOIN prefix p USING (prev)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-(CAST(sum(q9) AS DOUBLE) / count(*)) / 1e9, 6)
+         AS bigram_surprisal6
+FROM scored GROUP BY doc_id
+"""
+
+
+def normalized_text_sql() -> str:
+    """Oracle for llm/text.py::normalize_text surfaced as digests."""
+    return r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
+       CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+            AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+
 def corpus_stats_sql() -> str:
     """Oracle for llm/text.py::corpus_stats: GROUP BY ROLLUP with the same
     integer-scaled quality sum (float sums are order-dependent; the scaled

@@ -373,3 +373,68 @@ def unigram_surprisal(docs, text_col: str = "text", id_col: str = "doc_id"):
             -(F.sum("q9") / F.count(F.lit(1))) / 1e9, 6
         ).alias("surprisal6"),
     )
+
+
+def bigram_surprisal(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document mean bigram surprisal under the corpus's own bigram LM
+    → (doc_id, n_bigrams, bigram_surprisal6): −mean ln P(w_i | w_{i−1}),
+    with P = count(prev, cur) / count(prev-as-prefix). The second-order
+    companion to ``unigram_surprisal`` — word-salad that passes a unigram
+    filter (common words, impossible order) scores high here.
+
+    Same exactness recipe as the unigram operator: per-bigram ln values
+    quantize to integers (round(ln·1e9) as long) before the per-document
+    sum, so scores are bit-stable across engines and partitionings. Every
+    observed bigram has count ≥ 1 under its prefix — no smoothing needed.
+
+    Plan: ordered bigrams extract JVM-side (element_at over the token
+    array — 1-based, matching DuckDB list indexing); one bigram-keyed
+    aggregate builds the LM (bigram-vocabulary cardinality); prefix counts
+    derive FROM that table, not a second corpus pass; the scoring join
+    ships (doc_id, prev, cur) — never text."""
+    pairs_expr = F.when(
+        F.size(F.col("_toks")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(_toks) - 1), "
+            "i -> struct(element_at(_toks, i) as prev, "
+            "element_at(_toks, i + 1) as cur))"
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<prev:string,cur:string>>")
+    )
+    occ = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+        .select("doc_id", F.explode(pairs_expr).alias("bg"))
+        .select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    )
+    # bigram LM feeds prefix totals AND the scoring join — materialize once
+    lm = (
+        occ.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    prefix = lm.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    q9 = F.round(
+        F.log(F.col("c2") / F.col("c1")) * 1_000_000_000
+    ).cast("long")
+    scored = (
+        occ.join(lm, ["prev", "cur"])
+        .join(prefix, "prev")
+        .select("doc_id", q9.alias("q9"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            -(F.sum("q9") / F.count(F.lit(1))) / 1e9, 6
+        ).alias("bigram_surprisal6"),
+    )
+
+
+def normalize_text(text):
+    """Canonical text form for robust dedup keys: lowercase, every
+    whitespace run collapsed to one space, leading/trailing runs trimmed.
+    Pure Column expression — composes with document_fingerprint and the
+    digest dedup family (their normalization superset lives there; this is
+    the standalone, oracle-parity surface)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
