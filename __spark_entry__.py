@@ -1415,7 +1415,10 @@ def q_top_trace_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.operators.paths import top_trace_paths
     from zipkin_dependencies_spark.testdata import derived_spans
 
-    return top_trace_paths(normalize_spans(derived_spans(spark, sf_dir)), k=50)
+    return top_trace_paths(
+        normalize_spans(derived_spans(spark, sf_dir)), k=50,
+        memo_key=f"{sf_dir}:spans_paths",
+    )
 
 
 def _stage_event_files(
@@ -1761,7 +1764,10 @@ def q_trace_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.operators.paths import trace_depth_histogram
     from zipkin_dependencies_spark.testdata import derived_spans
 
-    return trace_depth_histogram(normalize_spans(derived_spans(spark, sf_dir)))
+    return trace_depth_histogram(
+        normalize_spans(derived_spans(spark, sf_dir)),
+        memo_key=f"{sf_dir}:spans_paths",
+    )
 
 
 def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:

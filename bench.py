@@ -161,13 +161,13 @@ def main() -> None:
     # neighbors (observed: 4 consecutive linker queries all 2-5x slow in one
     # run, all at floor in the next). Min across two passes separated by the
     # full suite length decorrelates query cost from burst timing.
-    from zipkin_dependencies_spark.llm.cluster import clear_component_memo
+    from zipkin_dependencies_spark.memo import clear_all_memos
 
     for pass_i in range(2):
         # pass boundary: drop cross-query memos so the repeat pass re-pays
         # every pipeline (within a pass, the second consumer of a shared
         # subtree is deliberately ~free — that IS the measured design)
-        clear_component_memo()
+        clear_all_memos()
         for name in headline:
             q = all_queries[name]
             g0 = gc_ms()

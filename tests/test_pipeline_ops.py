@@ -680,3 +680,28 @@ def test_trace_paths_matches_python_reference_on_random_forests(spark, seed):
             if ok:
                 expected.append((tk, leaf, "->".join(reversed(path))))
     assert got == sorted(expected)
+
+
+def test_path_memo_shared_between_topk_and_histogram(spark):
+    """The finished path table is reused across same-session consumers
+    under one memo key; cached and recomputed results agree."""
+    from zipkin_dependencies_spark.operators import paths as P
+
+    rows = [
+        ("m1", None, "r", "SERVER", "a", None, False, False, 1),
+        ("m1", "r", "c", "CLIENT", "b", None, False, False, 1),
+    ]
+    from zipkin_dependencies_spark.schemas import LINK_INPUT_SCHEMA
+
+    norm = spark.createDataFrame(rows, schema=LINK_INPUT_SCHEMA)
+    a = P.trace_paths(norm, memo_key="pm-test")
+    b = P.trace_paths(norm, memo_key="pm-test")
+    assert a is b
+    c = P.trace_paths(norm)
+    assert c is not a
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, c.collect()))
+    # registry-wide clear drops it
+    from zipkin_dependencies_spark.memo import clear_all_memos
+
+    clear_all_memos()
+    assert P.trace_paths(norm, memo_key="pm-test") is not a

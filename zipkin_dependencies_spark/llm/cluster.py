@@ -44,14 +44,14 @@ from pyspark.sql import functions as F
 #: (memo_key=None is off): the cache holds a localCheckpointed
 #: label-cardinality frame and is invalidated when the owning
 #: SparkSession changes.
-_COMPONENT_MEMO: dict[tuple, DataFrame] = {}
+from ..memo import register_memo
+
+_COMPONENT_MEMO: dict[tuple, DataFrame] = register_memo({})
 
 
 def clear_component_memo() -> None:
-    """Drop all memoized component tables. Benchmarks call this at each
-    measurement-pass boundary so a repeated pass re-pays the pipeline (the
-    memo's purpose is intra-pass sharing between the two consumers, not
-    making repeat passes measure a dict lookup)."""
+    """Drop all memoized component tables (see memo.clear_all_memos for
+    the bench-wide reset; kept for direct callers)."""
     _COMPONENT_MEMO.clear()
 
 

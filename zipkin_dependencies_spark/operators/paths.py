@@ -39,14 +39,30 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..memo import register_memo
+
 MAX_DEPTH = 127
+
+#: same-session reuse of the finished path table (top_trace_paths and
+#: trace_depth_histogram both layer one aggregate on it — the
+#: multi-consumer-subtree rule); opt-in via memo_key, exact by determinism
+_PATH_MEMO: dict[tuple, DataFrame] = register_memo({})
 
 
 def trace_paths(
-    normalized_spans: DataFrame, max_depth: int = MAX_DEPTH
+    normalized_spans: DataFrame,
+    max_depth: int = MAX_DEPTH,
+    memo_key: str | None = None,
 ) -> DataFrame:
-    """→ (trace_key, leaf_id, path): one row per acyclic leaf span, path =
-    root-first ``->``-joined service chain."""
+    """→ (trace_key, leaf_id, path, depth): one row per acyclic leaf span,
+    path = root-first ``->``-joined service chain. ``memo_key``: see
+    ``_PATH_MEMO`` — pass a stable corpus key to share the finished table
+    across same-session consumers."""
+    if memo_key is not None:
+        key = (memo_key, max_depth)
+        hit = _PATH_MEMO.get(key)
+        if hit is not None and hit.sparkSession is normalized_spans.sparkSession:
+            return hit
     nodes = normalized_spans.select(
         "trace_key",
         "id",
@@ -105,16 +121,23 @@ def trace_paths(
         "left_anti",
     )
     # ptr still set after the walk = cycle (or deeper than max_depth): drop
-    return leaves.filter(F.col("ptr").isNull()).select(
+    out = leaves.filter(F.col("ptr").isNull()).select(
         "trace_key",
         F.col("id").alias("leaf_id"),
         F.concat_ws("->", "seg").alias("path"),
         F.size("seg").cast("long").alias("depth"),
     )
+    if memo_key is not None:
+        out = out.localCheckpoint(eager=True)
+        _PATH_MEMO[key] = out
+    return out
 
 
 def top_trace_paths(
-    normalized_spans: DataFrame, k: int = 50, max_depth: int = MAX_DEPTH
+    normalized_spans: DataFrame,
+    k: int = 50,
+    max_depth: int = MAX_DEPTH,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """→ (path, n_occurrences, rank): the k most common root→leaf service
     paths (ties broken by path text — deterministic under any
@@ -123,7 +146,7 @@ def top_trace_paths(
     from pyspark.sql import Window
 
     counts = (
-        trace_paths(normalized_spans, max_depth=max_depth)
+        trace_paths(normalized_spans, max_depth=max_depth, memo_key=memo_key)
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
@@ -196,14 +219,16 @@ LIMIT {k}
 
 
 def trace_depth_histogram(
-    normalized_spans: DataFrame, max_depth: int = MAX_DEPTH
+    normalized_spans: DataFrame,
+    max_depth: int = MAX_DEPTH,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """→ (depth, n_leaves): distribution of root→leaf chain lengths — the
     trace-shape health metric (a sudden deep tail usually means a retry
     storm or a linking bug upstream). One aggregate over the path build's
     (already computed) depth column; output cardinality ≤ max_depth."""
     return (
-        trace_paths(normalized_spans, max_depth=max_depth)
+        trace_paths(normalized_spans, max_depth=max_depth, memo_key=memo_key)
         .groupBy("depth")
         .agg(F.count(F.lit(1)).alias("n_leaves"))
     )
