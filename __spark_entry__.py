@@ -1911,6 +1911,55 @@ def q_session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation AS a query: per-query recall of the LSH
+    top-5 against the exact brute-force top-5 (set intersection / k) —
+    the eval harness a production ANN deployment runs continuously,
+    expressed as a composition of the two already-gated operators."""
+    from zipkin_dependencies_spark.llm.similarity import cosine_topk, lsh_cosine_topk
+    from zipkin_dependencies_spark.testdata import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 32)
+    exact = cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    approx = lsh_cosine_topk(emb, qs, k=5, n_planes=8).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    all_q = exact.select("query_id").distinct()
+    return all_q.join(hits, "query_id", "left_outer").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(5), 9).alias("recall9"),
+    )
+
+
+def q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p05/p95 winsorization of event values (outlier clipping
+    before any mean-based metric): exact linear-interpolation percentiles
+    (DuckDB quantile_cont parity) as a tiny grouped aggregate broadcast
+    back onto the scan — zero corpus shuffle."""
+    from zipkin_dependencies_spark.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("_lo"),
+        F.percentile("value", F.lit(0.95)).alias("_hi"),
+    )
+    return ev.join(F.broadcast(pct), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 9).alias("value9"),
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi")), 9
+        ).alias("clipped9"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -2028,6 +2077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": q_bigram_surprisal,
         "normalized_text": q_normalized_text,
         "session_duration_histogram": q_session_duration_histogram,
+        "ann_recall": q_ann_recall,
+        "winsorized_values": q_winsorized_values,
     }
 
 
@@ -2496,6 +2547,34 @@ GROUP BY 1, 2, 3
             k=3, threshold=0.8, id_mod=5
         ),
         "bigram_surprisal": llm_oracles.bigram_surprisal_sql(),
+        "ann_recall": (
+            "WITH e AS (SELECT query_id, neighbor_id FROM ("
+            + llm_oracles.cosine_topk_sql(k=5, query_max_id=32)
+            + ") x), a AS (SELECT query_id, neighbor_id FROM ("
+            + llm_oracles.lsh_cosine_topk_sql(k=5, n_planes=8, query_max_id=32)
+            + """) y),
+hits AS (
+  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM e JOIN a USING (query_id, neighbor_id) GROUP BY 1
+),
+allq AS (SELECT DISTINCT query_id FROM e)
+SELECT allq.query_id, coalesce(h.n_hits, 0) AS n_hits,
+       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5, 9) AS recall9
+FROM allq LEFT JOIN hits h USING (query_id)
+"""
+        ),
+        "winsorized_values": """
+WITH pct AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1
+)
+SELECT event_id, e.event_type,
+       round(value, 9) AS value9,
+       round(least(greatest(value, lo), hi), 9) AS clipped9
+FROM events e JOIN pct USING (event_type)
+""",
         "normalized_text": llm_oracles.normalized_text_sql(),
         "mixing_plan": llm_oracles.mixing_plan_sql(
             weights={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
