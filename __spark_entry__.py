@@ -1960,6 +1960,44 @@ def q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_service_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service health rollup from the links table: fan-in/fan-out
+    degree, inbound/outbound call and error totals, and the round-9
+    inbound error rate — the service-catalog summary screen, derived in
+    one pass over the O(services²) links output (span volume never touches
+    this query after the linker)."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    links = links_from_spans(normalize_spans(derived_spans(spark, sf_dir)))
+    out = links.groupBy(F.col("parent").alias("service")).agg(
+        F.count(F.lit(1)).alias("fan_out"),
+        F.sum("call_count").alias("calls_out"),
+        F.sum("error_count").alias("errors_out"),
+    )
+    inn = links.groupBy(F.col("child").alias("service")).agg(
+        F.count(F.lit(1)).alias("fan_in"),
+        F.sum("call_count").alias("calls_in"),
+        F.sum("error_count").alias("errors_in"),
+    )
+    j = out.join(inn, "service", "full_outer")
+    calls_in = F.coalesce("calls_in", F.lit(0))
+    return j.select(
+        "service",
+        F.coalesce("fan_in", F.lit(0)).alias("fan_in"),
+        F.coalesce("fan_out", F.lit(0)).alias("fan_out"),
+        calls_in.alias("calls_in"),
+        F.coalesce("calls_out", F.lit(0)).alias("calls_out"),
+        F.coalesce("errors_in", F.lit(0)).alias("errors_in"),
+        F.coalesce("errors_out", F.lit(0)).alias("errors_out"),
+        F.when(
+            calls_in > 0,
+            F.round(F.coalesce("errors_in", F.lit(0)) / calls_in, 9),
+        ).otherwise(F.lit(0.0)).alias("err_rate_in9"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -2079,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_duration_histogram": q_session_duration_histogram,
         "ann_recall": q_ann_recall,
         "winsorized_values": q_winsorized_values,
+        "service_health": q_service_health,
     }
 
 
@@ -2561,6 +2600,34 @@ allq AS (SELECT DISTINCT query_id FROM e)
 SELECT allq.query_id, coalesce(h.n_hits, 0) AS n_hits,
        round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5, 9) AS recall9
 FROM allq LEFT JOIN hits h USING (query_id)
+"""
+        ),
+        "service_health": (
+            "WITH "
+            + SPANS_SQL_CTE.strip()
+            + """,
+links AS (""" + LINKS_SQL.strip() + """),
+o AS (
+  SELECT parent AS service, CAST(count(*) AS BIGINT) AS fan_out,
+         CAST(sum(call_count) AS BIGINT) AS calls_out,
+         CAST(sum(error_count) AS BIGINT) AS errors_out
+  FROM links GROUP BY 1
+),
+i AS (
+  SELECT child AS service, CAST(count(*) AS BIGINT) AS fan_in,
+         CAST(sum(call_count) AS BIGINT) AS calls_in,
+         CAST(sum(error_count) AS BIGINT) AS errors_in
+  FROM links GROUP BY 1
+)
+SELECT coalesce(o.service, i.service) AS service,
+       coalesce(fan_in, 0) AS fan_in, coalesce(fan_out, 0) AS fan_out,
+       coalesce(calls_in, 0) AS calls_in, coalesce(calls_out, 0) AS calls_out,
+       coalesce(errors_in, 0) AS errors_in, coalesce(errors_out, 0) AS errors_out,
+       CASE WHEN coalesce(calls_in, 0) > 0
+            THEN round(CAST(coalesce(errors_in, 0) AS DOUBLE)
+                       / coalesce(calls_in, 0), 9)
+            ELSE 0.0 END AS err_rate_in9
+FROM o FULL OUTER JOIN i ON o.service = i.service
 """
         ),
         "winsorized_values": """
