@@ -705,3 +705,36 @@ def test_path_memo_shared_between_topk_and_histogram(spark):
 
     clear_all_memos()
     assert P.trace_paths(norm, memo_key="pm-test") is not a
+
+
+@pytest.mark.parametrize("seed", [13, 77])
+def test_range_join_matches_python_reference_on_random_intervals(spark, seed):
+    """Randomized soundness for the bin-bucketed range join: arbitrary
+    points and (possibly overlapping, zero-length, bin-straddling)
+    intervals must produce exactly the naive BETWEEN matches, at several
+    bin widths including ones larger than every interval."""
+    import random
+
+    from zipkin_dependencies_spark.operators.range_join import range_join_points
+
+    rng = random.Random(seed)
+    pts = [(i, rng.randrange(0, 10_000)) for i in range(300)]
+    ivs = []
+    for j in range(60):
+        lo = rng.randrange(0, 10_000)
+        ivs.append((j, lo, lo + rng.randrange(0, 800)))
+
+    p = spark.createDataFrame(pts, "pid long, ts_us long")
+    i = spark.createDataFrame(ivs, "iid long, lo_us long, hi_us long")
+    expected = sorted(
+        (pid, iid)
+        for pid, ts in pts
+        for iid, lo, hi in ivs
+        if lo <= ts <= hi
+    )
+    for bin_width in (7, 100, 1024, 50_000):
+        got = sorted(
+            (r.pid, r.iid)
+            for r in range_join_points(p, i, bin_width=bin_width).collect()
+        )
+        assert got == expected, f"bin_width={bin_width}"
