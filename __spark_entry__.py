@@ -1998,6 +1998,107 @@ def q_service_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher (arXiv:2112.11446 §A1.1) document-quality rules: word
+    count, mean word length, symbol ratio, alpha-word fraction, stopword
+    presence — every rule's measurement plus the combined keep verdict,
+    all JVM Columns in one codegen stage over the scan."""
+    from zipkin_dependencies_spark.llm.quality import gopher_quality
+    from zipkin_dependencies_spark.testdata import load
+
+    return gopher_quality(load(spark, sf_dir, "documents"))
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (arXiv:1910.10683 §2.2) line-level cleaning: per-doc kept-line
+    counts + cleaned length + survival verdict, via array functions (the
+    line explode never materializes as rows)."""
+    from zipkin_dependencies_spark.llm.quality import c4_line_filter
+    from zipkin_dependencies_spark.testdata import load
+
+    return c4_line_filter(load(spark, sf_dir, "documents"))
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source log2-bucketed token-length histogram (integer-exact
+    bit-length bucketing; shuffle carries only (source, bucket) pairs)."""
+    from zipkin_dependencies_spark.llm.quality import doc_length_histogram
+    from zipkin_dependencies_spark.testdata import load
+
+    return doc_length_histogram(load(spark, sf_dir, "documents"))
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ln(freq)~ln(rank) least-squares fit over the corpus vocabulary —
+    the one-row corpus-pathology detector (natural text sits near slope
+    −1). Rank assignment avoids a global single-partition sort: offsets
+    come from the tiny frequency histogram, ranks from per-frequency
+    partitioned windows."""
+    from zipkin_dependencies_spark.llm.quality import zipf_fit
+    from zipkin_dependencies_spark.testdata import load
+
+    return zipf_fit(load(spark, sf_dir, "documents"))
+
+
+def q_path_latencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k slowest root→leaf service paths (leaf timestamp lag behind
+    the trace's first span) — the latency complement of top_trace_paths,
+    reusing the same memoized pointer-doubling path table. Integer µs
+    math end-to-end: hash-exact across engines."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.paths import path_latencies
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    return path_latencies(
+        normalize_spans(derived_spans(spark, sf_dir)), k=50,
+        memo_key=f"{sf_dir}:spans_paths",
+    )
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: customers ranked by revenue lost to returned
+    items in one quarter — star joins with the two small dims broadcast,
+    integer-cents revenue (hash-exact), TakeOrdered top-20."""
+    from pyspark.sql import Window
+
+    from zipkin_dependencies_spark.testdata import load
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    nation = load(spark, sf_dir, "nation")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+    agg = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1995-10-01")
+                & (F.col("o_orderdate") < "1996-01-01")
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(cents.cast("long")).alias("revenue_cents"),
+        )
+    )
+    top = agg.orderBy(
+        F.col("revenue_cents").desc(), F.col("c_custkey").asc()
+    ).limit(20)
+    w = Window.orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc())
+    return top.select(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        "n_items",
+        "revenue_cents",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -2118,6 +2219,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "winsorized_values": q_winsorized_values,
         "service_health": q_service_health,
+        "gopher_quality": q_gopher_quality,
+        "c4_line_filter": q_c4_line_filter,
+        "doc_length_histogram": q_doc_length_histogram,
+        "zipf_fit": q_zipf_fit,
+        "path_latencies": q_path_latencies,
+        "returned_item_customers": q_returned_item_customers,
     }
 
 
@@ -2138,8 +2245,15 @@ def oracle_sql() -> dict[str, str]:
     )
     from zipkin_dependencies_spark.operators.funnel import funnel_sql as _funnel_sql
     from zipkin_dependencies_spark.operators.paths import (
+        path_latencies_sql as _path_latencies_sql,
         top_trace_paths_sql as _top_trace_paths_sql,
         trace_depth_histogram_sql as _trace_depth_histogram_sql,
+    )
+    from zipkin_dependencies_spark.llm.quality import (
+        c4_line_filter_sql as _c4_line_filter_sql,
+        doc_length_histogram_sql as _doc_length_histogram_sql,
+        gopher_quality_sql as _gopher_quality_sql,
+        zipf_fit_sql as _zipf_fit_sql,
     )
     from zipkin_dependencies_spark.llm.retrieval import (
         bm25_search_sql as _bm25_search_sql,
@@ -2746,4 +2860,31 @@ WINDOW w AS (PARTITION BY parent, child ORDER BY day_num
         "media_stats": llm_oracles.media_stats_sql(frame_bytes=100),
         "media_frames": llm_oracles.media_frames_sql(frame_bytes=100),
         "media_features": llm_oracles.media_features_sql(dim=8),
+        "gopher_quality": _gopher_quality_sql(),
+        "c4_line_filter": _c4_line_filter_sql(),
+        "doc_length_histogram": _doc_length_histogram_sql(),
+        "zipf_fit": _zipf_fit_sql(),
+        "path_latencies": _path_latencies_sql(SPANS_SQL_CTE, k=50),
+        "returned_item_customers": """
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1995-10-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, n_name, n_items, revenue_cents,
+       CAST(row_number() OVER (ORDER BY revenue_cents DESC, c_custkey ASC)
+         AS BIGINT) AS rank
+FROM agg
+ORDER BY revenue_cents DESC, c_custkey ASC
+LIMIT 20
+""",
     }

@@ -1,0 +1,157 @@
+"""Semantic tests for the corpus-quality operators (Gopher rules, C4
+line filter, length histogram, Zipf fit) and the path-latency analytic —
+rule-boundary and hand-computed cases the fixture-corpus hash gate can't
+exercise (the sf corpus is single-line word soup, so e.g. every C4 line
+predicate branch needs crafted docs)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from zipkin_dependencies_spark.llm.quality import (
+    c4_line_filter,
+    doc_length_histogram,
+    gopher_quality,
+    zipf_fit,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s") for i, t in enumerate(texts)]
+    )
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs far away today "
+    * 5
+)  # 65 words, all alpha, has the/and/over... stopwords
+
+
+def test_gopher_rules_each_boundary(spark):
+    texts = [
+        GOOD,                                   # 0: passes every rule
+        "the and of short",                     # 1: too few words
+        GOOD + " " + "#tag " * 20,              # 2: symbol ratio too high
+        ("zq wv xk " * 30).strip(),             # 3: no stopwords, short words
+        GOOD.replace("the", "12345").replace("and", "67890"),  # 4: alpha frac + stopwords
+    ]
+    rows = {r.doc_id: r for r in gopher_quality(_docs(spark, texts)).collect()}
+    assert rows[0].keep
+    assert not rows[1].keep and rows[1].n_words == 4
+    assert not rows[2].keep and rows[2].symbol_ratio9 > 0.1
+    assert not rows[3].keep and rows[3].stop_hits == 0
+    assert not rows[4].keep
+    # measurements, not just verdicts: mean word length of doc 0 is exact
+    words = GOOD.split()
+    assert rows[0].mean_word_len9 == round(
+        sum(len(w) for w in words) / len(words), 9
+    )
+
+
+def test_gopher_empty_doc_keep_false_not_null(spark):
+    r = gopher_quality(_docs(spark, [""])).collect()[0]
+    assert r.keep is False and r.n_words == 0
+    assert r.mean_word_len9 is None and r.symbol_ratio9 is None
+
+
+def test_c4_line_predicates(spark):
+    line_ok = "this line has enough words to survive the filter."
+    doc = "\n".join(
+        [
+            line_ok,                       # kept
+            "too short.",                  # < 5 words
+            "no terminal punctuation here at all",   # no [.!?"] ending
+            "curly { brace means code so this dies.",  # contains {
+            "the word javascript kills this line too.",  # javascript
+            line_ok + "!",                 # kept (bang terminal)
+            'he said "quoted line with five words."',  # kept (quote terminal)
+        ]
+    )
+    r = c4_line_filter(_docs(spark, [doc])).collect()[0]
+    assert r.n_lines == 7 and r.n_kept_lines == 3 and r.keep
+    kept_text = "\n".join([line_ok, line_ok + "!",
+                           'he said "quoted line with five words."'])
+    assert r.cleaned_chars == len(kept_text)
+
+
+def test_c4_doc_level_kills(spark):
+    line_ok = "this line has enough words to survive the filter."
+    two_lines = "\n".join([line_ok, line_ok])          # below min_kept_lines=3
+    lorem = "\n".join([line_ok] * 3) + "\nLorem Ipsum dolor."
+    rows = {r.doc_id: r for r in
+            c4_line_filter(_docs(spark, [two_lines, lorem])).collect()}
+    assert not rows[0].keep and rows[0].n_kept_lines == 2
+    assert not rows[1].keep and rows[1].n_kept_lines == 3  # lorem kill
+
+
+def test_doc_length_histogram_bucket_edges(spark):
+    # bit-length bucketing must be integer-exact at powers of two
+    texts = ["", "w", "w w", "w w w", "w w w w", "w " * 7, "w " * 8]
+    out = doc_length_histogram(_docs(spark, texts)).collect()
+    got = {}
+    for r in out:
+        got[r.bucket] = (r.n_docs, got.get(r.bucket, (0, 0))[1] + r.sum_tokens)
+    by_bucket = {r.bucket: r for r in out}
+    # n_tok: 0,1,2,3,4,7,8 → buckets 1,1,2,2,3,3,4
+    assert by_bucket[1].n_docs == 2 and by_bucket[1].sum_tokens == 1
+    assert by_bucket[2].n_docs == 2 and by_bucket[2].sum_tokens == 5
+    assert by_bucket[3].n_docs == 2 and by_bucket[3].sum_tokens == 11
+    assert by_bucket[4].n_docs == 1 and by_bucket[4].sum_tokens == 8
+
+
+def test_zipf_slope_on_constructed_power_law(spark):
+    # freq(rank) = 64 >> (rank-1): exact slope -ln2 per rank-doubling is
+    # not linear in ln(rank), but the fit must be negative and steep;
+    # also n_terms counts the vocabulary exactly.
+    texts = []
+    vocab = [("alpha", 64), ("beta", 32), ("gamma", 16), ("delta", 8),
+             ("epsil", 4), ("zeta", 2), ("eta", 1)]
+    body = " ".join(w for w, n in vocab for _ in range(n))
+    r = zipf_fit(_docs(spark, [body])).collect()[0]
+    assert r.n_terms == 7
+    assert r.slope6 < -1.0
+    # closed-form check: regr_slope over the exact (ln rank, ln freq) pairs
+    pts = [(math.log(i + 1), math.log(n)) for i, (_, n) in enumerate(vocab)]
+    mx = sum(x for x, _ in pts) / len(pts)
+    my = sum(y for _, y in pts) / len(pts)
+    slope = sum((x - mx) * (y - my) for x, y in pts) / sum(
+        (x - mx) ** 2 for x, _ in pts
+    )
+    assert r.slope6 == pytest.approx(slope, abs=2e-6)
+
+
+def test_zipf_rank_assignment_partition_invariant(spark):
+    texts = [f"tok{i % 13} tok{i % 7} tok{i % 3}" for i in range(300)]
+    df = _docs(spark, texts)
+    a = zipf_fit(df.repartition(1)).collect()[0]
+    b = zipf_fit(df.repartition(17)).collect()[0]
+    assert (a.n_terms, a.slope6, a.intercept6) == (b.n_terms, b.slope6, b.intercept6)
+
+
+def test_path_latencies_hand_computed(spark):
+    from zipkin_dependencies_spark.operators.paths import path_latencies
+    from zipkin_dependencies_spark.schemas import LINK_INPUT_SCHEMA
+
+    # trace t1: root(ts 100) -> a(ts 150) -> leaf b(ts 400); also leaf
+    # c(ts 250) under root. trace t2: same shape as t1's long chain but
+    # faster, sharing the path string root->a->b.
+    rows = [
+        ("t1", None, "r", "SERVER", "root", None, False, False, 100),
+        ("t1", "r", "a", "CLIENT", "a", None, False, False, 150),
+        ("t1", "a", "b", "CLIENT", "b", None, False, False, 400),
+        ("t1", "r", "c", "CLIENT", "c", None, False, False, 250),
+        ("t2", None, "r", "SERVER", "root", None, False, False, 1000),
+        ("t2", "r", "a", "CLIENT", "a", None, False, False, 1010),
+        ("t2", "a", "b", "CLIENT", "b", None, False, False, 1200),
+    ]
+    norm = spark.createDataFrame(rows, schema=LINK_INPUT_SCHEMA)
+    got = {r.path: r for r in path_latencies(norm, k=10).collect()}
+    assert got["root->a->b"].n_leaves == 2
+    assert got["root->a->b"].max_lag_us == 300   # t1: 400-100
+    assert got["root->a->b"].sum_lag_us == 500   # 300 + (1200-1000)
+    assert got["root->c"].max_lag_us == 150
+    assert got["root->a->b"].rank == 1 and got["root->c"].rank == 2

@@ -46,6 +46,12 @@ from .similarity import (
     quantize_embeddings,
     quantized_cosine_topk,
 )
+from .quality import (
+    c4_line_filter,
+    doc_length_histogram,
+    gopher_quality,
+    zipf_fit,
+)
 from .text import (
     bpe_ish_token_count,
     corpus_stats,
@@ -66,6 +72,7 @@ __all__ = [
     "assign_shards",
     "bm25_search",
     "bpe_ish_token_count",
+    "c4_line_filter",
     "char_shingles",
     "connected_components",
     "connected_components_star",
@@ -79,10 +86,12 @@ __all__ = [
     "dedupe_exact",
     "dedupe_keep_best",
     "dedupe_near_keep_best",
+    "doc_length_histogram",
     "document_fingerprint",
     "dup_ngram_frac",
     "embedding_near_dup",
     "embedding_near_dup_lsh",
+    "gopher_quality",
     "group_hash_topn",
     "hash_sample",
     "hash_split",
@@ -113,4 +122,5 @@ __all__ = [
     "top_k_tokens",
     "unigram_surprisal",
     "word_ngrams",
+    "zipf_fit",
 ]

@@ -1,0 +1,348 @@
+"""Corpus quality filtering: Gopher-style document rules, C4-style
+line-level cleaning, and corpus-shape statistics (length histogram,
+Zipf fit).
+
+These are the standard pre-training quality gates published in the
+Gopher (Rae et al. 2021, arXiv:2112.11446 §A1.1) and C4 (Raffel et al.
+2020, arXiv:1910.10683 §2.2) papers, re-expressed as pure Column
+expressions so the 100 TB hot path stays inside whole-stage codegen —
+no Python crossing anywhere in this module. Each operator ships its
+DuckDB SQL twin for the value-hash correctness gate.
+
+Scale notes:
+- ``gopher_quality`` / ``c4_line_filter`` are embarrassingly parallel
+  scan-side projections: zero shuffles, filters push to the parquet
+  scan when composed upstream of a ``WHERE keep``.
+- ``doc_length_histogram`` shuffles only (source, bucket) pairs —
+  output cardinality |sources| × ~40 buckets.
+- ``zipf_fit`` shuffles token-cardinality data once (the same shape as
+  the gated ``top_k_tokens``); the rank assignment deliberately avoids
+  a global single-partition window (see the function docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+#: Gopher's "stop word presence" rule set (the paper requires ≥2 hits
+#: from a small common-English list).
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the",
+    "be",
+    "to",
+    "of",
+    "and",
+    "that",
+    "have",
+    "with",
+)
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+
+def _col(text: Column | str) -> Column:
+    return F.col(text) if isinstance(text, str) else text
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules → one row per doc with every rule's
+    measured value plus the combined ``keep`` verdict.
+
+    Emitting the raw measurements (not just the boolean) is deliberate:
+    threshold tuning on a new corpus is a ``WHERE`` clause over this
+    output, not a re-scan. All expressions are JVM Columns; composed
+    before a filter the whole thing runs inside one codegen stage over
+    the scan.
+    """
+    c = _col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    mean_wl = F.when(n_words > 0, sum_len / n_words)
+    sym_ratio = F.when(n_words > 0, (n_hash + n_ell) / n_words)
+    alpha_frac = F.when(n_words > 0, n_alpha_words / n_words)
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio < max_symbol_ratio)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return docs.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 9).alias("mean_word_len9"),
+        F.round(sym_ratio, 9).alias("symbol_ratio9"),
+        F.round(alpha_frac, 9).alias("alpha_word_frac9"),
+        stop_hits.cast("long").alias("stop_hits"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
+def gopher_quality_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> str:
+    """DuckDB twin of :func:`gopher_quality` (documents table)."""
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS toks,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+           AS sum_len,
+         n_hash, n_ell,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+           AS n_alpha_words,
+         CAST(len(list_intersect(list_distinct(toks), {_STOP_SQL}))
+           AS BIGINT) AS stop_hits
+  FROM base
+)
+SELECT doc_id, n_words,
+       round(CASE WHEN n_words > 0 THEN sum_len / n_words END, 9)
+         AS mean_word_len9,
+       round(CASE WHEN n_words > 0 THEN (n_hash + n_ell) / n_words END, 9)
+         AS symbol_ratio9,
+       round(CASE WHEN n_words > 0 THEN n_alpha_words / n_words END, 9)
+         AS alpha_word_frac9,
+       stop_hits,
+       coalesce(
+         n_words >= {min_words} AND n_words <= {max_words}
+         AND sum_len / n_words >= {min_mean_word_len}
+         AND sum_len / n_words <= {max_mean_word_len}
+         AND (n_hash + n_ell) / n_words < {max_symbol_ratio}
+         AND n_alpha_words / n_words >= {min_alpha_word_frac}
+         AND stop_hits >= {min_stop_hits},
+         false) AS keep
+FROM m
+"""
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning: a line survives iff it has ≥
+    ``min_line_words`` whitespace words, ends in terminal punctuation
+    (``.!?"``), and contains neither ``{`` nor the word ``javascript``;
+    the document survives iff ≥ ``min_kept_lines`` lines remain and the
+    text contains no ``lorem ipsum`` placeholder.
+
+    Output keeps the per-doc line counts and the cleaned text's length
+    (the cleaned text itself is reconstructable as
+    ``array_join(kept_lines, '\\n')`` — not emitted so the gate hashes
+    stay small). Pure Column pipeline over array functions — the
+    line-explode never materializes as rows.
+    """
+    c = _col(text_col)
+    lines = F.split(c, "\n")
+
+    def _line_ok(ln: Column) -> Column:
+        t = F.trim(ln)
+        wc = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+        return (
+            (wc >= min_line_words)
+            & t.rlike('[.!?"]$')
+            & ~ln.contains("{")
+            & ~F.lower(ln).contains("javascript")
+        )
+
+    kept = F.filter(lines, _line_ok)
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    keep = (n_kept >= min_kept_lines) & ~F.lower(c).contains("lorem ipsum")
+    return docs.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        F.length(F.array_join(kept, "\n")).cast("long").alias("cleaned_chars"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
+def c4_line_filter_sql(min_line_words: int = 5, min_kept_lines: int = 3) -> str:
+    """DuckDB twin of :func:`c4_line_filter` (documents table)."""
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+  FROM documents
+),
+k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, ln ->
+           len(list_filter(string_split_regex(trim(ln), '\s+'),
+                           w -> w <> '')) >= {min_line_words}
+           AND regexp_matches(trim(ln), '[.!?"]$')
+           AND NOT contains(ln, '{{')
+           AND NOT contains(lower(ln), 'javascript')) AS kept
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       CAST(coalesce(length(array_to_string(kept, chr(10))), 0) AS BIGINT)
+         AS cleaned_chars,
+       coalesce(len(kept) >= {min_kept_lines}
+                AND NOT contains(lower(text), 'lorem ipsum'),
+                false) AS keep
+FROM k
+"""
+
+
+def doc_length_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source log₂-bucketed token-length histogram → (source, bucket,
+    n_docs, sum_tokens). ``bucket`` is the bit length of the token count
+    (0 tokens → bucket 1, 1 → 1, 2-3 → 2, 4-7 → 3, …), computed as the
+    binary-string length so it is INTEGER-exact on both engines — a
+    float ``log2`` rounds differently at exact powers of two.
+
+    The shuffle carries only (source, bucket) pairs; output cardinality
+    is |sources| × ≤ 40 buckets regardless of corpus size.
+    """
+    n_tok = F.size(tokens(_col(text_col)))
+    bucket = F.length(F.conv(n_tok.cast("string"), 10, 2)).cast("long")
+    return (
+        docs.select(F.col(group_col).alias("source"),
+                    n_tok.cast("long").alias("n_tok"),
+                    bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+    )
+
+
+def doc_length_histogram_sql() -> str:
+    """DuckDB twin of :func:`doc_length_histogram` (documents table)."""
+    return r"""
+WITH t AS (
+  SELECT source,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              w -> w <> '')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT source, CAST(length(bin(n_tok)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+FROM t GROUP BY 1, 2
+"""
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Least-squares fit of ln(freq) against ln(rank) over the corpus
+    vocabulary → one row (n_terms, slope6, intercept6). A healthy
+    natural-language corpus sits near slope −1 (Zipf's law); templated
+    or synthetic text shows up immediately as a flat or stepped curve —
+    this is the cheapest corpus-level pathology detector there is.
+
+    Rank assignment avoids the naive global row_number (a
+    single-partition sort of the whole vocabulary): frequencies are
+    histogrammed first (|distinct freq| rows — O(√corpus_tokens)-ish,
+    tiny), a running offset is computed on THAT table, then broadcast
+    back so each term's rank = offset(freq) + row_number within its own
+    frequency class (partitioned window, parallel). Ties are ordered by
+    token text — fully deterministic on both engines.
+
+    The fit itself is ``regr_slope``/``regr_intercept`` — numerically a
+    sum whose accumulation order differs between engines, hence the
+    6-dp rounding (vs the house 9-dp for single-division ratios).
+    """
+    from pyspark.sql import Window
+
+    freq = (
+        docs.select(F.explode(tokens(_col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    fhist = freq.groupBy("freq").agg(F.count(F.lit(1)).alias("n_terms"))
+    w_off = (
+        Window.orderBy(F.col("freq").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = fhist.select(
+        "freq", F.coalesce(F.sum("n_terms").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("freq").orderBy("token")
+    ranked = (
+        freq.join(F.broadcast(offsets), "freq")
+        .select(
+            "freq", (F.col("off") + F.row_number().over(w_in)).alias("rank")
+        )
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(F.log("freq"), F.log("rank")), 6).alias("slope6"),
+        F.round(
+            F.regr_intercept(F.log("freq"), F.log("rank")), 6
+        ).alias("intercept6"),
+    )
+
+
+def zipf_fit_sql() -> str:
+    """DuckDB twin of :func:`zipf_fit` (documents table)."""
+    return r"""
+WITH freq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+                                                     '\s+'),
+                                  w -> w <> '')) AS token
+        FROM documents)
+  GROUP BY token
+),
+ranked AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+  FROM freq
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(ln(freq), ln(rank)), 6) AS slope6,
+       round(regr_intercept(ln(freq), ln(rank)), 6) AS intercept6
+FROM ranked
+"""

@@ -277,3 +277,125 @@ resolved AS (
 SELECT depth, CAST(count(*) AS BIGINT) AS n_leaves
 FROM resolved GROUP BY depth
 """
+
+
+def path_latencies(
+    normalized_spans: DataFrame,
+    k: int = 50,
+    max_depth: int = MAX_DEPTH,
+    memo_key: str | None = None,
+) -> DataFrame:
+    """→ (path, n_leaves, max_lag_us, sum_lag_us, rank): the k slowest
+    root→leaf service paths, "slow" = a leaf's timestamp lag behind its
+    trace's first span — which call chains sit at the END of their
+    traces, and by how much. The latency complement of
+    ``top_trace_paths`` (which only counts occurrences); together they
+    answer "what chains dominate" and "what chains drag".
+
+    Lags are epoch-µs integer differences — hash-exact on both engines,
+    no float rounding anywhere. Join shape: the leaf table (leaf-span
+    cardinality) joins the per-trace min-timestamp aggregate on
+    trace_key — both sides already shuffle on trace_key in the path
+    build, so AQE coalesces this into the existing exchange. Final
+    orderBy+limit plans as TakeOrdered (per-partition heaps), never a
+    global sort.
+    """
+    from pyspark.sql import Window
+
+    leaves = trace_paths(
+        normalized_spans, max_depth=max_depth, memo_key=memo_key
+    )
+    ts = normalized_spans.select("trace_key", "id", "timestamp")
+    t0 = ts.groupBy("trace_key").agg(F.min("timestamp").alias("t0"))
+    lag = (F.col("timestamp") - F.col("t0")).alias("lag")
+    per_path = (
+        leaves.join(
+            ts.withColumnRenamed("id", "leaf_id"), ["trace_key", "leaf_id"]
+        )
+        .join(t0, "trace_key")
+        .select("path", lag)
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_leaves"),
+            F.max("lag").alias("max_lag_us"),
+            F.sum("lag").alias("sum_lag_us"),
+        )
+    )
+    top = per_path.orderBy(
+        F.col("max_lag_us").desc(), F.col("path").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("max_lag_us").desc(), F.col("path").asc())
+    return top.select(
+        "path",
+        "n_leaves",
+        "max_lag_us",
+        "sum_lag_us",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def path_latencies_sql(spans_cte: str, k: int = 50, max_depth: int = 127) -> str:
+    """DuckDB twin of :func:`path_latencies`. ``spans_cte`` must define a
+    ``spans`` relation with (trace_id, id, parent_id, local_service, ts)
+    where ``ts`` is epoch µs."""
+    return f"""
+WITH RECURSIVE {spans_cte.strip()},
+nodes AS (
+  SELECT trace_id AS trace_key, id, parent_id,
+         coalesce(local_service, '(unknown)') AS svc
+  FROM spans
+),
+parents AS (
+  SELECT DISTINCT trace_key, parent_id AS pid FROM nodes
+  WHERE parent_id IS NOT NULL
+),
+leaves AS (
+  SELECT n.* FROM nodes n
+  LEFT JOIN parents p ON p.trace_key = n.trace_key AND p.pid = n.id
+  WHERE p.pid IS NULL
+),
+walk AS (
+  SELECT trace_key, id AS leaf_id, parent_id AS nxt, svc AS path, 1 AS depth
+  FROM leaves
+  UNION ALL
+  SELECT w.trace_key, w.leaf_id, n.parent_id, n.svc || '->' || w.path,
+         w.depth + 1
+  FROM walk w
+  JOIN nodes n ON n.trace_key = w.trace_key AND n.id = w.nxt
+  WHERE w.depth <= {max_depth}
+),
+term AS (
+  SELECT trace_key, leaf_id, nxt, path,
+         row_number() OVER (PARTITION BY trace_key, leaf_id
+                            ORDER BY depth DESC) AS rn
+  FROM walk
+),
+resolved AS (
+  SELECT t.trace_key, t.leaf_id, t.path FROM term t
+  WHERE t.rn = 1 AND (t.nxt IS NULL OR NOT EXISTS (
+    SELECT 1 FROM nodes n
+    WHERE n.trace_key = t.trace_key AND n.id = t.nxt
+  ))
+),
+t0 AS (
+  SELECT trace_id AS trace_key, min(ts) AS t0 FROM spans GROUP BY 1
+),
+lagged AS (
+  SELECT r.path, s.ts - t0.t0 AS lag
+  FROM resolved r
+  JOIN spans s ON s.trace_id = r.trace_key AND s.id = r.leaf_id
+  JOIN t0 ON t0.trace_key = r.trace_key
+),
+per_path AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_leaves,
+         CAST(max(lag) AS BIGINT) AS max_lag_us,
+         CAST(sum(lag) AS BIGINT) AS sum_lag_us
+  FROM lagged GROUP BY path
+)
+SELECT path, n_leaves, max_lag_us, sum_lag_us,
+       CAST(row_number() OVER (ORDER BY max_lag_us DESC, path ASC) AS BIGINT)
+         AS rank
+FROM per_path
+ORDER BY max_lag_us DESC, path ASC
+LIMIT {k}
+"""
