@@ -342,3 +342,57 @@ def test_q3_q7_analogs_broadcast_dimensions(spark):
     q7 = formatted(e.q_nation_volume_pairs(spark, SF))
     assert "SortMergeJoin" not in q7
     assert len(_node_ids(q7, "BroadcastHashJoin")) >= 4
+
+
+def test_quality_gates_are_scan_side_projections(spark):
+    """Gopher rules and the C4 line filter are pure per-row projections:
+    zero exchanges, zero joins — a Scan + Project plan. (The array-lambda
+    expressions evaluate JVM-side but outside whole-stage codegen —
+    Spark's higher-order functions don't codegen; what matters is that
+    nothing crosses to Python and nothing shuffles.) ReadSchema must
+    prune to (doc_id, text)."""
+    import __spark_entry__ as e
+
+    for q in (e.q_gopher_quality, e.q_c4_line_filter):
+        plan = formatted(q(spark, SF))
+        assert len(_node_ids(plan, "Exchange")) == 0, plan
+        assert len(_node_ids(plan, r"\S*Join\S*")) == 0
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_doc_length_histogram_partial_agg_one_exchange(spark):
+    """The histogram shuffles only (source, bucket) pairs: one exchange
+    with a partial HashAggregate below it."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_doc_length_histogram(spark, SF))
+    assert len(_node_ids(plan, "Exchange")) == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_zipf_fit_no_global_rank_sort(spark):
+    """Rank assignment must come from the broadcast frequency-histogram
+    offsets + per-frequency partitioned windows — never a single-partition
+    window over the whole vocabulary (Exchange SinglePartition feeding a
+    vocabulary-scale Window)."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_zipf_fit(spark, SF))
+    # the only SinglePartition exchanges allowed are the tiny frequency
+    # histogram's offset window and the final one-row aggregate; the
+    # vocabulary-side window must be hash-partitioned on freq
+    assert "partitioning=[freq" in plan.replace(" ", "") or (
+        "hashpartitioning(freq" in plan
+    ), plan
+    assert "BroadcastExchange" in plan  # offsets broadcast back
+
+
+def test_returned_item_customers_broadcasts_nation_takeordered(spark):
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_returned_item_customers(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert len(_node_ids(plan, "BroadcastHashJoin")) >= 1
+    assert "CartesianProduct" not in plan

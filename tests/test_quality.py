@@ -155,3 +155,67 @@ def test_path_latencies_hand_computed(spark):
     assert got["root->a->b"].sum_lag_us == 500   # 300 + (1200-1000)
     assert got["root->c"].max_lag_us == 150
     assert got["root->a->b"].rank == 1 and got["root->c"].rank == 2
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_path_latencies_matches_python_reference_on_random_forests(spark, seed):
+    """Randomized soundness: path_latencies must equal a plain-Python
+    walk + per-path aggregate on arbitrary forests with random integer
+    timestamps (cycles dropped, dangling chains truncated — the
+    trace_paths semantics — then lag = leaf_ts − min trace ts)."""
+    import random
+
+    from zipkin_dependencies_spark.operators.paths import path_latencies
+    from zipkin_dependencies_spark.schemas import LINK_INPUT_SCHEMA
+
+    rng = random.Random(seed)
+    rows = []
+    for t in range(50):
+        tk = f"pl{seed}-{t}"
+        n = rng.randint(1, 10)
+        ids = [f"s{i}" for i in range(n)]
+        for sid in ids:
+            parent = rng.choice([None, "dangling", *ids])
+            if parent == sid:
+                parent = None
+            rows.append(
+                (tk, parent, sid, "SERVER",
+                 rng.choice([None, "a", "b", "c"]), None, False, False,
+                 rng.randint(0, 10_000))
+            )
+
+    norm = spark.createDataFrame(rows, schema=LINK_INPUT_SCHEMA)
+    got = {
+        r.path: (r.n_leaves, r.max_lag_us, r.sum_lag_us)
+        for r in path_latencies(norm, k=10_000).collect()
+    }
+
+    bytrace: dict = {}
+    tmin: dict = {}
+    for tk, parent, sid, _k, svc, _r, _s, _e, ts in rows:
+        bytrace.setdefault(tk, {})[sid] = (parent, svc or "(unknown)", ts)
+        tmin[tk] = min(tmin.get(tk, ts), ts)
+    agg: dict = {}
+    for tk, nodes in bytrace.items():
+        parent_vals = {p for p, _, _ in nodes.values() if p is not None}
+        for leaf in nodes:
+            if leaf in parent_vals:
+                continue
+            path, seen, cur, ok = [], set(), leaf, True
+            while True:
+                if cur in seen:
+                    ok = False
+                    break
+                seen.add(cur)
+                p, svc, _ = nodes[cur]
+                path.append(svc)
+                if p is None or p not in nodes:
+                    break
+                cur = p
+            if ok:
+                key = "->".join(reversed(path))
+                lag = nodes[leaf][2] - tmin[tk]
+                n, mx, sm = agg.get(key, (0, None, 0))
+                agg[key] = (n + 1, lag if mx is None else max(mx, lag),
+                            sm + lag)
+    assert got == agg
