@@ -2099,6 +2099,31 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_error_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error attribution by call chain: root→leaf paths ranked by failing
+    leaf count (with round-9 leaf error rate) — which chains FAIL, next
+    to top_trace_paths' which dominate and path_latencies' which drag.
+    Shares the memoized path table with both."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.paths import error_paths
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    return error_paths(
+        normalize_spans(derived_spans(spark, sf_dir)), k=50,
+        memo_key=f"{sf_dir}:spans_paths",
+    )
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (BPE-ish/whitespace token ratio)
+    — the per-language token-budget planning number; integer sums at
+    language cardinality, one post-aggregate division."""
+    from zipkin_dependencies_spark.llm.text import token_fertility
+    from zipkin_dependencies_spark.testdata import load
+
+    return token_fertility(load(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -2225,6 +2250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "path_latencies": q_path_latencies,
         "returned_item_customers": q_returned_item_customers,
+        "error_paths": q_error_paths,
+        "token_fertility": q_token_fertility,
     }
 
 
@@ -2245,6 +2272,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from zipkin_dependencies_spark.operators.funnel import funnel_sql as _funnel_sql
     from zipkin_dependencies_spark.operators.paths import (
+        error_paths_sql as _error_paths_sql,
         path_latencies_sql as _path_latencies_sql,
         top_trace_paths_sql as _top_trace_paths_sql,
         trace_depth_histogram_sql as _trace_depth_histogram_sql,
@@ -2865,6 +2893,8 @@ WINDOW w AS (PARTITION BY parent, child ORDER BY day_num
         "doc_length_histogram": _doc_length_histogram_sql(),
         "zipf_fit": _zipf_fit_sql(),
         "path_latencies": _path_latencies_sql(SPANS_SQL_CTE, k=50),
+        "error_paths": _error_paths_sql(SPANS_SQL_CTE, k=50),
+        "token_fertility": llm_oracles.token_fertility_sql(),
         "returned_item_customers": """
 WITH agg AS (
   SELECT c_custkey, c_name, n_name,

@@ -219,3 +219,39 @@ def test_path_latencies_matches_python_reference_on_random_forests(spark, seed):
                 agg[key] = (n + 1, lag if mx is None else max(mx, lag),
                             sm + lag)
     assert got == agg
+
+
+def test_error_paths_attribution_and_zero_rate_rows(spark):
+    from zipkin_dependencies_spark.operators.paths import error_paths
+    from zipkin_dependencies_spark.schemas import LINK_INPUT_SCHEMA
+
+    rows = [
+        ("t1", None, "r", "SERVER", "root", None, False, False, 1),
+        ("t1", "r", "a", "CLIENT", "a", None, False, True, 2),   # error leaf
+        ("t1", "r", "b", "CLIENT", "b", None, False, False, 3),  # clean leaf
+        ("t2", None, "r", "SERVER", "root", None, False, False, 1),
+        ("t2", "r", "a", "CLIENT", "a", None, False, None, 2),   # null error
+    ]
+    norm = spark.createDataFrame(rows, schema=LINK_INPUT_SCHEMA)
+    got = {r.path: r for r in error_paths(norm, k=10).collect()}
+    assert got["root->a"].n_leaves == 2 and got["root->a"].n_error_leaves == 1
+    assert got["root->a"].err_rate9 == 0.5
+    # zero-error chains still appear (the contrast row), ranked after
+    assert got["root->b"].n_error_leaves == 0 and got["root->b"].rank == 2
+
+
+def test_token_fertility_grouped_ratio(spark):
+    from zipkin_dependencies_spark.llm.text import token_fertility
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="hello world", lang="en", source="s"),
+            Row(doc_id=1, text="don't stop", lang="en", source="s"),
+            Row(doc_id=2, text="", lang="xx", source="s"),
+        ]
+    )
+    got = {r.lang: r for r in token_fertility(df).collect()}
+    # en: ws 2+2=4; bpe "hello world"=2, "don ' t stop"=4 → 6/4 = 1.5
+    assert got["en"].ws_tokens == 4 and got["en"].bpe_tokens == 6
+    assert got["en"].fertility9 == 1.5
+    assert got["xx"].ws_tokens == 0 and got["xx"].fertility9 is None

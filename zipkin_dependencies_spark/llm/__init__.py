@@ -62,6 +62,7 @@ from .text import (
     repetition_score,
     scrub_pii,
     token_count,
+    token_fertility,
     token_idf,
     top_docs_per_group,
     top_k_tokens,
@@ -117,6 +118,7 @@ __all__ = [
     "simhash",
     "stratified_hash_sample",
     "token_count",
+    "token_fertility",
     "token_idf",
     "top_docs_per_group",
     "top_k_tokens",

@@ -1330,3 +1330,28 @@ SELECT component, id AS keep_id, CAST(n_members AS BIGINT) AS n_members,
        q AS quality
 FROM r WHERE rn = 1
 """
+
+
+def token_fertility_sql() -> str:
+    """DuckDB twin of text.token_fertility (documents table, lang group)."""
+    return rf"""
+WITH t AS (
+  SELECT lang,
+         CAST(len({TEXT_TOKENS}) AS BIGINT) AS ws,
+         CAST(len(list_filter(string_split_regex(
+           regexp_replace(text, '([0-9]+|[^\sA-Za-z0-9])', ' \1 ', 'g'),
+           '\s+'), x -> x <> '')) AS BIGINT) AS bpe
+  FROM documents
+),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         CAST(sum(bpe) AS BIGINT) AS bpe_tokens
+  FROM t GROUP BY 1
+)
+SELECT lang, n_docs, ws_tokens, bpe_tokens,
+       CASE WHEN ws_tokens > 0
+            THEN round(CAST(bpe_tokens AS DOUBLE) / ws_tokens, 9) END
+         AS fertility9
+FROM agg
+"""

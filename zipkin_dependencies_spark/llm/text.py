@@ -438,3 +438,37 @@ def normalize_text(text):
     the standalone, oracle-parity surface)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def token_fertility(
+    docs, text_col: str = "text", group_col: str = "lang"
+):
+    """Per-group tokenizer fertility → (lang, n_docs, ws_tokens,
+    bpe_tokens, fertility9): the BPE-ish/whitespace token ratio, the
+    budget-planning number ("how many model tokens per word does this
+    language cost"). Integer sums shuffled at group cardinality; the one
+    division happens after aggregation (round-9 hash-stable)."""
+    c = F.col(text_col)
+    agg = (
+        docs.select(
+            F.col(group_col).alias("lang"),
+            token_count(c).cast("long").alias("ws"),
+            bpe_ish_token_count(c).cast("long").alias("bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        F.when(
+            F.col("ws_tokens") > 0,
+            F.round(F.col("bpe_tokens") / F.col("ws_tokens"), 9),
+        ).alias("fertility9"),
+    )

@@ -399,3 +399,117 @@ FROM per_path
 ORDER BY max_lag_us DESC, path ASC
 LIMIT {k}
 """
+
+
+def error_paths(
+    normalized_spans: DataFrame,
+    k: int = 50,
+    max_depth: int = MAX_DEPTH,
+    memo_key: str | None = None,
+) -> DataFrame:
+    """→ (path, n_leaves, n_error_leaves, err_rate9, rank): root→leaf
+    service paths ranked by how many of their leaf spans carry the error
+    tag — WHICH call chains fail, the error-attribution complement of
+    ``top_trace_paths`` (volume) and ``path_latencies`` (latency). Rank
+    orders by error count then path text; paths with zero failing leaves
+    still appear (a 0-rate chain next to a failing sibling is the
+    interesting contrast).
+
+    Same shape discipline as the siblings: the leaf table joins span
+    error flags on the (trace_key, id) key it already shuffled on, the
+    aggregate is |distinct paths| cardinality, and top-k plans as
+    TakeOrdered. err_rate9 is a single division rounded to 9 dp — the
+    house hash-stable form.
+    """
+    from pyspark.sql import Window
+
+    leaves = trace_paths(
+        normalized_spans, max_depth=max_depth, memo_key=memo_key
+    )
+    flags = normalized_spans.select(
+        "trace_key", F.col("id").alias("leaf_id"), "is_error"
+    )
+    per_path = (
+        leaves.join(flags, ["trace_key", "leaf_id"])
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_leaves"),
+            F.sum(
+                F.when(F.coalesce("is_error", F.lit(False)), 1).otherwise(0)
+            ).alias("n_error_leaves"),
+        )
+    )
+    top = per_path.orderBy(
+        F.col("n_error_leaves").desc(), F.col("path").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("n_error_leaves").desc(), F.col("path").asc())
+    return top.select(
+        "path",
+        "n_leaves",
+        "n_error_leaves",
+        F.round(F.col("n_error_leaves") / F.col("n_leaves"), 9).alias(
+            "err_rate9"
+        ),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def error_paths_sql(spans_cte: str, k: int = 50, max_depth: int = 127) -> str:
+    """DuckDB twin of :func:`error_paths`. ``spans_cte`` must define a
+    ``spans`` relation with (trace_id, id, parent_id, local_service,
+    is_error)."""
+    return f"""
+WITH RECURSIVE {spans_cte.strip()},
+nodes AS (
+  SELECT trace_id AS trace_key, id, parent_id,
+         coalesce(local_service, '(unknown)') AS svc
+  FROM spans
+),
+parents AS (
+  SELECT DISTINCT trace_key, parent_id AS pid FROM nodes
+  WHERE parent_id IS NOT NULL
+),
+leaves AS (
+  SELECT n.* FROM nodes n
+  LEFT JOIN parents p ON p.trace_key = n.trace_key AND p.pid = n.id
+  WHERE p.pid IS NULL
+),
+walk AS (
+  SELECT trace_key, id AS leaf_id, parent_id AS nxt, svc AS path, 1 AS depth
+  FROM leaves
+  UNION ALL
+  SELECT w.trace_key, w.leaf_id, n.parent_id, n.svc || '->' || w.path,
+         w.depth + 1
+  FROM walk w
+  JOIN nodes n ON n.trace_key = w.trace_key AND n.id = w.nxt
+  WHERE w.depth <= {max_depth}
+),
+term AS (
+  SELECT trace_key, leaf_id, nxt, path,
+         row_number() OVER (PARTITION BY trace_key, leaf_id
+                            ORDER BY depth DESC) AS rn
+  FROM walk
+),
+resolved AS (
+  SELECT t.trace_key, t.leaf_id, t.path FROM term t
+  WHERE t.rn = 1 AND (t.nxt IS NULL OR NOT EXISTS (
+    SELECT 1 FROM nodes n
+    WHERE n.trace_key = t.trace_key AND n.id = t.nxt
+  ))
+),
+per_path AS (
+  SELECT r.path, CAST(count(*) AS BIGINT) AS n_leaves,
+         CAST(sum(CASE WHEN coalesce(s.is_error, false) THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_error_leaves
+  FROM resolved r
+  JOIN spans s ON s.trace_id = r.trace_key AND s.id = r.leaf_id
+  GROUP BY r.path
+)
+SELECT path, n_leaves, n_error_leaves,
+       round(CAST(n_error_leaves AS DOUBLE) / n_leaves, 9) AS err_rate9,
+       CAST(row_number() OVER (ORDER BY n_error_leaves DESC, path ASC)
+         AS BIGINT) AS rank
+FROM per_path
+ORDER BY n_error_leaves DESC, path ASC
+LIMIT {k}
+"""
