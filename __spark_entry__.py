@@ -2124,6 +2124,16 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_fertility(load(spark, sf_dir, "documents"))
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card rollup (volume, language diversity, Gopher
+    keep rate, exact-dup rate, mean quality): one scan, one grouped
+    aggregate, every ratio a single division over exact integers."""
+    from zipkin_dependencies_spark.llm.quality import dataset_card
+    from zipkin_dependencies_spark.testdata import load
+
+    return dataset_card(load(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -2137,6 +2147,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # come FIRST so CORRECTNESS_r04 covers them; the previously-gated block
     # follows (still covered by tests/test_entry_oracle.py's local replica
     # gate at sf0.01, which runs ALL entries every time).
+    #
+    # ROTATION PLAN FOR r05: the tier-L tail (bigram_surprisal onward —
+    # every entry past position 100) will not receive an r04 driver row;
+    # next round, move that block to the FRONT of the registry (the r04-
+    # gated first 50 then rotate to local-gate coverage), keeping every
+    # query driver-gated at least once across consecutive rounds.
     return {
         # --- never driver-gated before r04 (28) + new batch-replay twins ---
         "streaming_funnel_replay": q_streaming_funnel_replay,
@@ -2252,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_customers": q_returned_item_customers,
         "error_paths": q_error_paths,
         "token_fertility": q_token_fertility,
+        "dataset_card": q_dataset_card,
     }
 
 
@@ -2279,6 +2296,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from zipkin_dependencies_spark.llm.quality import (
         c4_line_filter_sql as _c4_line_filter_sql,
+        dataset_card_sql as _dataset_card_sql,
         doc_length_histogram_sql as _doc_length_histogram_sql,
         gopher_quality_sql as _gopher_quality_sql,
         zipf_fit_sql as _zipf_fit_sql,
@@ -2895,6 +2913,7 @@ WINDOW w AS (PARTITION BY parent, child ORDER BY day_num
         "path_latencies": _path_latencies_sql(SPANS_SQL_CTE, k=50),
         "error_paths": _error_paths_sql(SPANS_SQL_CTE, k=50),
         "token_fertility": llm_oracles.token_fertility_sql(),
+        "dataset_card": _dataset_card_sql(),
         "returned_item_customers": """
 WITH agg AS (
   SELECT c_custkey, c_name, n_name,

@@ -255,3 +255,22 @@ def test_token_fertility_grouped_ratio(spark):
     assert got["en"].ws_tokens == 4 and got["en"].bpe_tokens == 6
     assert got["en"].fertility9 == 1.5
     assert got["xx"].ws_tokens == 0 and got["xx"].fertility9 is None
+
+
+def test_dataset_card_exact_dup_and_keep_rates(spark):
+    from zipkin_dependencies_spark.llm.quality import dataset_card
+
+    rows = [
+        Row(doc_id=0, text=GOOD, lang="en", source="a"),        # keeps
+        Row(doc_id=1, text=GOOD, lang="en", source="a"),        # exact dup
+        Row(doc_id=2, text="tiny doc.", lang="de", source="a"), # fails gate
+        Row(doc_id=3, text="other corpus.", lang="fr", source="b"),
+    ]
+    got = {r.source: r for r in
+           dataset_card(spark.createDataFrame(rows)).collect()}
+    a = got["a"]
+    assert a.n_docs == 3 and a.n_langs == 2
+    assert a.gopher_keep_rate9 == round(2 / 3, 9)
+    assert a.dup_rate9 == round(1 - 2 / 3, 9)   # 2 unique fingerprints of 3
+    b = got["b"]
+    assert b.n_docs == 1 and b.dup_rate9 == 0.0 and b.gopher_keep_rate9 == 0.0

@@ -47,28 +47,19 @@ def _col(text: Column | str) -> Column:
     return F.col(text) if isinstance(text, str) else text
 
 
-def gopher_quality(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    min_words: int = 50,
-    max_words: int = 100_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    max_symbol_ratio: float = 0.1,
-    min_alpha_word_frac: float = 0.8,
-    min_stop_hits: int = 2,
-) -> DataFrame:
-    """Gopher document-quality rules → one row per doc with every rule's
-    measured value plus the combined ``keep`` verdict.
-
-    Emitting the raw measurements (not just the boolean) is deliberate:
-    threshold tuning on a new corpus is a ``WHERE`` clause over this
-    output, not a re-scan. All expressions are JVM Columns; composed
-    before a filter the whole thing runs inside one codegen stage over
-    the scan.
-    """
-    c = _col(text_col)
+def _gopher_measures(
+    c: Column,
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_ratio: float,
+    min_alpha_word_frac: float,
+    min_stop_hits: int,
+) -> dict[str, Column]:
+    """The Gopher rule measurements + keep verdict as raw Columns —
+    shared by :func:`gopher_quality` (per-doc emission) and
+    :func:`dataset_card` (per-source keep-rate aggregation)."""
     toks = tokens(c)
     n_words = F.size(toks)
     sum_len = F.aggregate(
@@ -95,6 +86,53 @@ def gopher_quality(
         & (alpha_frac >= min_alpha_word_frac)
         & (stop_hits >= min_stop_hits)
     )
+    return {
+        "n_words": n_words,
+        "mean_wl": mean_wl,
+        "sym_ratio": sym_ratio,
+        "alpha_frac": alpha_frac,
+        "stop_hits": stop_hits,
+        "keep": keep,
+    }
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules → one row per doc with every rule's
+    measured value plus the combined ``keep`` verdict.
+
+    Emitting the raw measurements (not just the boolean) is deliberate:
+    threshold tuning on a new corpus is a ``WHERE`` clause over this
+    output, not a re-scan. All expressions are JVM Columns; composed
+    before a filter the whole thing runs inside one codegen stage over
+    the scan.
+    """
+    m = _gopher_measures(
+        _col(text_col),
+        min_words,
+        max_words,
+        min_mean_word_len,
+        max_mean_word_len,
+        max_symbol_ratio,
+        min_alpha_word_frac,
+        min_stop_hits,
+    )
+    n_words = m["n_words"]
+    mean_wl = m["mean_wl"]
+    sym_ratio = m["sym_ratio"]
+    alpha_frac = m["alpha_frac"]
+    stop_hits = m["stop_hits"]
+    keep = m["keep"]
     return docs.select(
         id_col,
         n_words.cast("long").alias("n_words"),
@@ -345,4 +383,111 @@ SELECT CAST(count(*) AS BIGINT) AS n_terms,
        round(regr_slope(ln(freq), ln(rank)), 6) AS slope6,
        round(regr_intercept(ln(freq), ln(rank)), 6) AS intercept6
 FROM ranked
+"""
+
+
+def dataset_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source dataset-card rollup → (source, n_docs, n_langs,
+    total_tokens, total_chars, gopher_keep_rate9, dup_rate9,
+    mean_quality9): the one-screen summary a dataset release ships —
+    volume, language diversity, quality-gate pass rate, exact-duplicate
+    rate, mean heuristic quality.
+
+    One scan computes every per-doc measure (Gopher keep verdict, token
+    and char counts, the dedup fingerprint, the scaled quality score);
+    one grouped aggregate reduces to |sources| rows. Float discipline:
+    every ratio is a single post-aggregation division over exact
+    integers (quality is summed as its round-9 value × 1e9 cast to
+    long), so value hashes are engine- and partitioning-stable. The
+    exact-duplicate rate uses count(distinct fingerprint) — the only
+    part of this plan whose shuffle carries doc-cardinality keys (16-byte
+    digests; text never moves).
+    """
+    from .text import document_fingerprint, quality_score
+
+    c = _col(text_col)
+    keep = _gopher_measures(c, 50, 100_000, 3.0, 10.0, 0.1, 0.8, 2)["keep"]
+    per_doc = docs.select(
+        F.col(group_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.size(tokens(c)).cast("long").alias("n_tok"),
+        F.length(c).cast("long").alias("n_chars"),
+        F.coalesce(keep, F.lit(False)).cast("int").alias("keep_i"),
+        document_fingerprint(c).alias("fp"),
+        F.round(quality_score(c) * 1e9).cast("long").alias("q_scaled"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("keep_i").alias("n_keep"),
+        F.count_distinct(F.col("fp")).alias("n_unique"),
+        F.sum("q_scaled").alias("q_sum"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "total_tokens",
+        "total_chars",
+        F.round(F.col("n_keep") / F.col("n_docs"), 9).alias(
+            "gopher_keep_rate9"
+        ),
+        F.round(1 - F.col("n_unique") / F.col("n_docs"), 9).alias("dup_rate9"),
+        F.round(F.col("q_sum") / F.col("n_docs") / 1e9, 9).alias(
+            "mean_quality9"
+        ),
+    )
+
+
+def dataset_card_sql() -> str:
+    """DuckDB twin of :func:`dataset_card` (documents table)."""
+    gopher = gopher_quality_sql()
+    return rf"""
+WITH g AS ({gopher}),
+per_doc AS (
+  SELECT d.source, d.lang,
+         CAST(len(list_filter(string_split_regex(lower(trim(d.text)), '\s+'),
+                              w -> w <> '')) AS BIGINT) AS n_tok,
+         CAST(length(d.text) AS BIGINT) AS n_chars,
+         CASE WHEN g.keep THEN 1 ELSE 0 END AS keep_i,
+         md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS fp,
+         CAST(round((
+           (CASE WHEN length(d.text) > 0
+                 THEN length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))
+                      / length(d.text) ELSE 0.0 END)
+           + least(length(d.text) / 1000.0, 1.0)
+           + (CASE WHEN (CASE WHEN n_tok > 0
+                              THEN length(d.text) / n_tok ELSE 0.0 END) >= 3
+                    AND (CASE WHEN n_tok > 0
+                              THEN length(d.text) / n_tok ELSE 0.0 END) <= 12
+                   THEN 1.0 ELSE 0.5 END)) / 3.0, 9) * 1e9 AS BIGINT)
+           AS q_scaled
+  FROM (SELECT *,
+          CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               w -> w <> '')) AS BIGINT) AS n_tok
+        FROM documents) d
+  JOIN g ON g.doc_id = d.doc_id
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         sum(keep_i) AS n_keep,
+         count(DISTINCT fp) AS n_unique,
+         sum(q_scaled) AS q_sum
+  FROM per_doc GROUP BY 1
+)
+SELECT source, n_docs, n_langs, total_tokens, total_chars,
+       round(CAST(n_keep AS DOUBLE) / n_docs, 9) AS gopher_keep_rate9,
+       round(1 - CAST(n_unique AS DOUBLE) / n_docs, 9) AS dup_rate9,
+       round(CAST(q_sum AS DOUBLE) / n_docs / 1e9, 9) AS mean_quality9
+FROM agg
 """
