@@ -274,3 +274,77 @@ def test_dataset_card_exact_dup_and_keep_rates(spark):
     assert a.dup_rate9 == round(1 - 2 / 3, 9)   # 2 unique fingerprints of 3
     b = got["b"]
     assert b.n_docs == 1 and b.dup_rate9 == 0.0 and b.gopher_keep_rate9 == 0.0
+
+
+@pytest.mark.parametrize("seed", [3, 91])
+def test_gopher_matches_python_reference_on_random_docs(spark, seed):
+    """Randomized soundness: the Column-expression Gopher rules must
+    equal a plain-Python implementation on random ascii docs mixing
+    words, numbers, symbols, stopwords, and whitespace runs."""
+    import random
+    import re as _re
+
+    from zipkin_dependencies_spark.llm.quality import GOPHER_STOPWORDS
+
+    rng = random.Random(seed)
+    pieces = ["the", "and", "with", "word", "a", "#", "...", "12345",
+              "longish-token", "zq", "  ", "\t", "Mixed", "CASE"]
+    texts = [
+        " ".join(rng.choice(pieces) for _ in range(rng.randint(0, 120)))
+        for _ in range(150)
+    ]
+    got = {r.doc_id: r for r in
+           gopher_quality(_docs(spark, texts)).collect()}
+    for i, t in enumerate(texts):
+        toks = [w for w in _re.split(r"\s+", t.lower().strip()) if w]
+        n = len(toks)
+        r = got[i]
+        assert r.n_words == n
+        if n == 0:
+            assert r.keep is False
+            continue
+        mean_wl = sum(len(w) for w in toks) / n
+        n_hash = t.count("#")
+        n_ell = (len(t) - len(t.replace("...", ""))) / 3
+        sym = (n_hash + n_ell) / n
+        alpha = sum(1 for w in toks if _re.search("[a-z]", w)) / n
+        stop = len(set(toks) & set(GOPHER_STOPWORDS))
+        assert r.mean_word_len9 == round(mean_wl, 9)
+        assert r.symbol_ratio9 == round(sym, 9)
+        assert r.alpha_word_frac9 == round(alpha, 9)
+        assert r.stop_hits == stop
+        expect = (50 <= n <= 100_000 and 3 <= mean_wl <= 10 and sym < 0.1
+                  and alpha >= 0.8 and stop >= 2)
+        assert r.keep == expect, (i, t[:80])
+
+
+@pytest.mark.parametrize("seed", [7, 58])
+def test_c4_matches_python_reference_on_random_docs(spark, seed):
+    import random
+    import re as _re
+
+    rng = random.Random(seed)
+    line_pieces = ["five words are here now", "short one", "ends well.",
+                   "question marks work fine huh?", "has a { brace",
+                   "JavaScript mention inside line.", 'a "quote"',
+                   "lorem ipsum", "plenty of words without terminal punct"]
+    texts = [
+        "\n".join(rng.choice(line_pieces)
+                  for _ in range(rng.randint(0, 8)))
+        for _ in range(120)
+    ]
+    got = {r.doc_id: r for r in
+           c4_line_filter(_docs(spark, texts)).collect()}
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        kept = [
+            ln for ln in lines
+            if len([w for w in _re.split(r"\s+", ln.strip()) if w]) >= 5
+            and _re.search(r'[.!?"]$', ln.strip())
+            and "{" not in ln
+            and "javascript" not in ln.lower()
+        ]
+        r = got[i]
+        assert r.n_lines == len(lines) and r.n_kept_lines == len(kept)
+        assert r.cleaned_chars == len("\n".join(kept))
+        assert r.keep == (len(kept) >= 3 and "lorem ipsum" not in t.lower())
