@@ -2134,6 +2134,25 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_card(load(spark, sf_dir, "documents"))
 
 
+def q_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation AS a query: confusion matrix of the labeled
+    lang column vs the marker-word language_id prediction — the
+    classifier-drift monitor a curation pipeline runs per crawl.
+    |langs|² output cardinality, one map-side-combined aggregate."""
+    from zipkin_dependencies_spark.llm.text import language_id
+    from zipkin_dependencies_spark.testdata import load
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.col("lang").alias("lang_label"),
+            language_id("text").alias("lang_pred"),
+        )
+        .groupBy("lang_label", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -2269,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_paths": q_error_paths,
         "token_fertility": q_token_fertility,
         "dataset_card": q_dataset_card,
+        "language_confusion": q_language_confusion,
     }
 
 
@@ -2914,6 +2934,7 @@ WINDOW w AS (PARTITION BY parent, child ORDER BY day_num
         "error_paths": _error_paths_sql(SPANS_SQL_CTE, k=50),
         "token_fertility": llm_oracles.token_fertility_sql(),
         "dataset_card": _dataset_card_sql(),
+        "language_confusion": llm_oracles.language_confusion_sql(),
         "returned_item_customers": """
 WITH agg AS (
   SELECT c_custkey, c_name, n_name,

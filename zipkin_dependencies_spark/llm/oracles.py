@@ -1355,3 +1355,41 @@ SELECT lang, n_docs, ws_tokens, bpe_tokens,
          AS fertility9
 FROM agg
 """
+
+
+def language_confusion_sql() -> str:
+    """DuckDB twin of the language-ID confusion matrix (labeled ``lang``
+    column vs the marker-word ``language_id`` prediction). The predictor
+    SQL is the same construction text_stats_sql uses — kept in lockstep
+    with text.LANG_MARKERS."""
+    from .text import LANG_MARKERS
+
+    score = {
+        lang: "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in ms)
+        + "], t)))"
+        for lang, ms in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+    lang_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'"
+            for lang in LANG_MARKERS
+        )
+        + " ELSE 'und' END"
+    )
+    return rf"""
+WITH base AS (
+  SELECT lang AS lang_label, {TEXT_TOKENS} AS toks FROM documents
+),
+scored AS (
+  SELECT lang_label,
+         {", ".join(f"{sql} AS s_{lang}" for lang, sql in score.items())}
+  FROM base
+),
+best AS (SELECT *, {best} AS best FROM scored)
+SELECT lang_label, {lang_case} AS lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM best GROUP BY 1, 2
+"""
