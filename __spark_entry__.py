@@ -2057,8 +2057,10 @@ def q_path_latencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 analog: customers ranked by revenue lost to returned
-    items in one quarter — star joins with the two small dims broadcast,
-    integer-cents revenue (hash-exact), TakeOrdered top-20."""
+    items in one quarter — the nation dim broadcast-joined, customer (a
+    fact-scale table at real SF) a key-partitioned hash join against the
+    quarter-filtered orders probe, integer-cents revenue (hash-exact),
+    TakeOrdered top-20."""
     from pyspark.sql import Window
 
     from zipkin_dependencies_spark.testdata import load

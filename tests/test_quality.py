@@ -92,9 +92,6 @@ def test_doc_length_histogram_bucket_edges(spark):
     # bit-length bucketing must be integer-exact at powers of two
     texts = ["", "w", "w w", "w w w", "w w w w", "w " * 7, "w " * 8]
     out = doc_length_histogram(_docs(spark, texts)).collect()
-    got = {}
-    for r in out:
-        got[r.bucket] = (r.n_docs, got.get(r.bucket, (0, 0))[1] + r.sum_tokens)
     by_bucket = {r.bucket: r for r in out}
     # n_tok: 0,1,2,3,4,7,8 → buckets 1,1,2,2,3,3,4
     assert by_bucket[1].n_docs == 2 and by_bucket[1].sum_tokens == 1
@@ -348,3 +345,18 @@ def test_c4_matches_python_reference_on_random_docs(spark, seed):
         assert r.n_lines == len(lines) and r.n_kept_lines == len(kept)
         assert r.cleaned_chars == len("\n".join(kept))
         assert r.keep == (len(kept) >= 3 and "lorem ipsum" not in t.lower())
+
+
+def test_c4_crlf_equals_lf(spark):
+    """CRLF documents must behave exactly like their LF twins (the
+    \\r?\\n split — Java and RE2 disagree on `$` before a trailing \\r,
+    so the \\r must never reach the line predicate or cleaned_chars)."""
+    line_ok = "this line has enough words to survive the filter."
+    lf = "\n".join([line_ok] * 3)
+    crlf = "\r\n".join([line_ok] * 3)
+    rows = {r.doc_id: r for r in
+            c4_line_filter(_docs(spark, [lf, crlf])).collect()}
+    a, b = rows[0], rows[1]
+    assert (a.n_lines, a.n_kept_lines, a.cleaned_chars, a.keep) == \
+           (b.n_lines, b.n_kept_lines, b.cleaned_chars, b.keep)
+    assert a.keep and a.cleaned_chars == len(lf)

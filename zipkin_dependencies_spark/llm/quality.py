@@ -42,6 +42,17 @@ GOPHER_STOPWORDS: tuple[str, ...] = (
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
 
+#: Gopher rule thresholds (the paper's values) — single source for
+#: gopher_quality, its SQL twin, and dataset_card's keep-rate so the
+#: three can never drift apart.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
 
 def _col(text: Column | str) -> Column:
     return F.col(text) if isinstance(text, str) else text
@@ -100,13 +111,13 @@ def gopher_quality(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    min_words: int = 50,
-    max_words: int = 100_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    max_symbol_ratio: float = 0.1,
-    min_alpha_word_frac: float = 0.8,
-    min_stop_hits: int = 2,
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+    min_mean_word_len: float = GOPHER_MIN_MEAN_WORD_LEN,
+    max_mean_word_len: float = GOPHER_MAX_MEAN_WORD_LEN,
+    max_symbol_ratio: float = GOPHER_MAX_SYMBOL_RATIO,
+    min_alpha_word_frac: float = GOPHER_MIN_ALPHA_WORD_FRAC,
+    min_stop_hits: int = GOPHER_MIN_STOP_HITS,
 ) -> DataFrame:
     """Gopher document-quality rules → one row per doc with every rule's
     measured value plus the combined ``keep`` verdict.
@@ -145,13 +156,13 @@ def gopher_quality(
 
 
 def gopher_quality_sql(
-    min_words: int = 50,
-    max_words: int = 100_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    max_symbol_ratio: float = 0.1,
-    min_alpha_word_frac: float = 0.8,
-    min_stop_hits: int = 2,
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+    min_mean_word_len: float = GOPHER_MIN_MEAN_WORD_LEN,
+    max_mean_word_len: float = GOPHER_MAX_MEAN_WORD_LEN,
+    max_symbol_ratio: float = GOPHER_MAX_SYMBOL_RATIO,
+    min_alpha_word_frac: float = GOPHER_MIN_ALPHA_WORD_FRAC,
+    min_stop_hits: int = GOPHER_MIN_STOP_HITS,
 ) -> str:
     """DuckDB twin of :func:`gopher_quality` (documents table)."""
     return rf"""
@@ -213,9 +224,15 @@ def c4_line_filter(
     ``array_join(kept_lines, '\\n')`` — not emitted so the gate hashes
     stay small). Pure Column pipeline over array functions — the
     line-explode never materializes as rows.
+
+    Lines split on ``\\r?\\n`` so CRLF corpora behave identically to LF
+    ones on both engines (Java's ``$`` matches before a trailing ``\\r``
+    while RE2's does not, and neither engine's trim strips it — splitting
+    the ``\\r`` away pins one behavior and keeps ``cleaned_chars`` free
+    of carriage returns).
     """
     c = _col(text_col)
-    lines = F.split(c, "\n")
+    lines = F.split(c, r"\r?\n")
 
     def _line_ok(ln: Column) -> Column:
         t = F.trim(ln)
@@ -244,7 +261,7 @@ def c4_line_filter_sql(min_line_words: int = 5, min_kept_lines: int = 3) -> str:
     """DuckDB twin of :func:`c4_line_filter` (documents table)."""
     return rf"""
 WITH base AS (
-  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+  SELECT doc_id, text, string_split_regex(text, '\r?\n') AS lines
   FROM documents
 ),
 k AS (
@@ -411,7 +428,16 @@ def dataset_card(
     from .text import document_fingerprint, quality_score
 
     c = _col(text_col)
-    keep = _gopher_measures(c, 50, 100_000, 3.0, 10.0, 0.1, 0.8, 2)["keep"]
+    keep = _gopher_measures(
+        c,
+        GOPHER_MIN_WORDS,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MIN_ALPHA_WORD_FRAC,
+        GOPHER_MIN_STOP_HITS,
+    )["keep"]
     per_doc = docs.select(
         F.col(group_col).alias("source"),
         F.col(lang_col).alias("lang"),
