@@ -1707,6 +1707,114 @@ def q_streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-replay twin of the STREAMING session_window sessionizer
+    (streaming/sessions.py): events replay as two time-split files plus a
+    far-future flush that drives the watermark past every real session's
+    close horizon, so append emits each session exactly once. The oracle
+    is the batch sessionize SQL with the split rewritten to the streaming
+    definition (new session when the gap is REACHED, ``>=`` — the
+    documented half-open difference between the two engines' session
+    operators); the flush user's still-open session never emits and is
+    absent from the oracle by construction."""
+    import datetime as dt
+    import hashlib
+
+    from zipkin_dependencies_spark.streaming.sessions import (
+        streaming_sessionize,
+    )
+    from zipkin_dependencies_spark.testdata import load_events
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/zds_sessions_replay/{tag}"
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    split = F.lit("2024-01-16").cast("timestamp")
+    flush = spark.createDataFrame(
+        [(-1, dt.datetime(2024, 6, 1), "__flush__")], ev.schema
+    )
+    src, _ = _stage_event_files(
+        spark,
+        [ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split), flush],
+        root,
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # watermark 1h: small enough that the flush closes every real session,
+    # large enough that no batch-2 event is late (batch 1 tops out just
+    # under the split; gap 30 min < 1 h so no session straddles the
+    # watermark-vs-split margin unseen)
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", f"{root}/sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{root}/sink").select(
+        "user_id", "start_us", "end_us", "n_events", "n_errors"
+    )
+
+
+def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-replay twin of the STREAMING exact dedup
+    (streaming/dedup.py, watermarked dropDuplicatesWithinWatermark): the
+    documents table gets a deterministic synthetic arrival time
+    (doc_id-ordered) and replays as batch 1; batch 2 is a REPLAYED
+    replica of every fifth document (re-keyed, later arrival) — the
+    drained sink must hold EXACTLY ONE row per distinct content digest,
+    proving the digest state carried across micro-batches suppressed the
+    100%-duplicate late arrivals. Only the digest is emitted (which replica of a
+    same-batch duplicate survives is processing-order-dependent by
+    design; the digest set is not), so the oracle is SELECT DISTINCT
+    md5(text)."""
+    import hashlib
+
+    from zipkin_dependencies_spark.streaming.dedup import (
+        streaming_dedupe_exact,
+    )
+    from zipkin_dependencies_spark.testdata import load
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/zds_dedup_replay/{tag}"
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ).alias("ts"),
+    )
+    replicas = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "text",
+        F.timestamp_micros(
+            F.lit(1_700_100_000_000_000) + F.col("doc_id") * 1_000_000
+        ).alias("ts"),
+    )
+    src, _ = _stage_event_files(spark, [docs, replicas], root)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_dedupe_exact(stream, watermark="365 days")
+        .writeStream.format("parquet")
+        .option("path", f"{root}/sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{root}/sink").select("text_hash")
+
+
 H1_1996_US = (820_454_400_000_000, 836_179_200_000_000 - 1)  # [Jan 1, Jul 1)
 H2_1996_US = (836_179_200_000_000, 852_076_800_000_000 - 1)  # [Jul 1, Jan 1 97)
 
@@ -2291,6 +2399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_fertility": q_token_fertility,
         "dataset_card": q_dataset_card,
         "language_confusion": q_language_confusion,
+        "streaming_sessions_replay": q_streaming_sessions_replay,
+        "streaming_dedup_replay": q_streaming_dedup_replay,
     }
 
 
@@ -2334,7 +2444,10 @@ def oracle_sql() -> dict[str, str]:
         reachability_sql as _reachability_sql,
         trace_size_percentiles_sql as _trace_size_percentiles_sql,
     )
-    from zipkin_dependencies_spark.operators.sessionize import sessionize_sql as _sessionize_sql
+    from zipkin_dependencies_spark.operators.sessionize import (
+        SESSIONIZE_SQL as _SESSIONIZE_SQL_RAW,
+        sessionize_sql as _sessionize_sql,
+    )
     from zipkin_dependencies_spark.testdata import (
         LINKS_SQL,
         SPANS_SQL_CTE,
@@ -2937,6 +3050,18 @@ WINDOW w AS (PARTITION BY parent, child ORDER BY day_num
         "token_fertility": llm_oracles.token_fertility_sql(),
         "dataset_card": _dataset_card_sql(),
         "language_confusion": llm_oracles.language_confusion_sql(),
+        # streaming sessionizer splits on gap REACHED (>=), the documented
+        # half-open difference from the batch operator's gap EXCEEDED (>)
+        "streaming_sessions_replay": (
+            "SELECT user_id, start_us, end_us, n_events, n_errors FROM ("
+            + _SESSIONIZE_SQL_RAW.replace(
+                "> {gap_us}", ">= {gap_us}"
+            ).format(gap_us=1_800_000_000)
+            + ") s"
+        ),
+        "streaming_dedup_replay": (
+            "SELECT DISTINCT md5(text) AS text_hash FROM documents"
+        ),
         "returned_item_customers": """
 WITH agg AS (
   SELECT c_custkey, c_name, n_name,

@@ -97,6 +97,8 @@ def main() -> None:
             "streaming_anomalies_replay",
             "streaming_bursts_replay",
             "streaming_join_replay",
+            "streaming_sessions_replay",
+            "streaming_dedup_replay",
         )
     ]
     # optional subset (scaling-tier runs measure the expensive scale-path
