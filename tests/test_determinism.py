@@ -33,6 +33,14 @@ FLOAT_SENSITIVE = [
     "collapse_bursts",
     "top_trace_paths",
     "mixing_plan",
+    # r04 continuation: mean/ratio divisions over integer sums, regression
+    # aggregates over logs, path-latency top-k tie ordering
+    "dataset_card",
+    "token_fertility",
+    "zipf_fit",
+    "path_latencies",
+    "error_paths",
+    "gopher_quality",
 ]
 
 
