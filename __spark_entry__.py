@@ -2263,6 +2263,24 @@ def q_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation composition with the GOPHER RULE GATE (scrub → Gopher
+    keep + language → decontamination → keep-best dedup → hash split).
+    Thresholds tuned to the fixture corpus (its stopword-set hit count
+    tops out at 1, so the paper's ≥2 would gate everything out): the gate
+    must pass SOME docs and fail others for the composed oracle to mean
+    anything."""
+    from zipkin_dependencies_spark.llm.pipeline import curate_v3
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return curate_v3(
+        docs, bench, lang="en", decontaminate_n=13, oracle_parity=True,
+        min_words=30, min_stop_hits=1,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -2401,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_confusion": q_language_confusion,
         "streaming_sessions_replay": q_streaming_sessions_replay,
         "streaming_dedup_replay": q_streaming_dedup_replay,
+        "curation_pipeline_v3": q_curation_pipeline_v3,
     }
 
 
@@ -3061,6 +3080,9 @@ WINDOW w AS (PARTITION BY parent, child ORDER BY day_num
         ),
         "streaming_dedup_replay": (
             "SELECT DISTINCT md5(text) AS text_hash FROM documents"
+        ),
+        "curation_pipeline_v3": llm_oracles.curate_v3_sql(
+            lang="en", n=13, bench_mod=97, min_words=30, min_stop_hits=1
         ),
         "returned_item_customers": """
 WITH agg AS (

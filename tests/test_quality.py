@@ -10,6 +10,7 @@ import math
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from zipkin_dependencies_spark.llm.quality import (
     c4_line_filter,
@@ -360,3 +361,27 @@ def test_c4_crlf_equals_lf(spark):
     assert (a.n_lines, a.n_kept_lines, a.cleaned_chars, a.keep) == \
            (b.n_lines, b.n_kept_lines, b.cleaned_chars, b.keep)
     assert a.keep and a.cleaned_chars == len(lf)
+
+
+def test_curate_v3_gate_composition(spark):
+    from zipkin_dependencies_spark.llm.pipeline import curate_v3
+
+    good = GOOD  # 65 words, English, all alpha — passes relaxed Gopher
+    rows = [
+        Row(doc_id=0, text=good, lang="en", source="s"),
+        Row(doc_id=1, text=good, lang="en", source="s"),      # dup of 0
+        Row(doc_id=2, text="zq wv " * 40, lang="en", source="s"),  # no stopwords
+        Row(doc_id=3, text="der die das und ist nicht mit ein " * 8,
+            lang="de", source="s"),                           # German: lang gate
+    ]
+    docs = spark.createDataFrame(rows)
+    bench = docs.filter(F.col("doc_id") < 0)  # empty benchmark
+    out = curate_v3(
+        docs, bench, lang="en", min_words=30, min_stop_hits=1,
+        oracle_parity=True,
+    ).collect()
+    assert len(out) == 1                      # dup folded, 2 and 3 gated out
+    assert out[0].keep_id == 0 and out[0].n_copies == 2
+
+    with pytest.raises(ValueError, match="unknown gopher thresholds"):
+        curate_v3(docs, bench, bogus_threshold=1)

@@ -1393,3 +1393,152 @@ SELECT lang_label, {lang_case} AS lang_pred,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM best GROUP BY 1, 2
 """
+
+
+def curate_v3_sql(
+    lang: str = "en",
+    n: int = 13,
+    bench_mod: int = 97,
+    weights: dict[str, float] | None = None,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> str:
+    """Composed oracle for llm/pipeline.py::curate_v3 — curate_v2_sql's
+    structure with the heuristic gate swapped for the Gopher rule set
+    (kept in lockstep with quality.gopher_quality_sql)."""
+    from .quality import GOPHER_STOPWORDS
+    from .text import SCRUB_PATTERNS
+
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    email, e_tok = SCRUB_PATTERNS["email"]
+    url, u_tok = SCRUB_PATTERNS["url"]
+    ipv4, i_tok = SCRUB_PATTERNS["ipv4"]
+    clean = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{email}', '{e_tok}', 'g'), "
+        f"'{url}', '{u_tok}', 'g'), "
+        f"'{ipv4}', '{i_tok}', 'g')"
+    )
+    from .text import LANG_MARKERS
+
+    score = {
+        lg: "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in ms)
+        + "], t)))"
+        for lg, ms in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in LANG_MARKERS) + ")"
+    lang_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN best > 0 AND s_{lg} = best THEN '{lg}'"
+            for lg in LANG_MARKERS
+        )
+        + " ELSE 'und' END"
+    )
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+    gn = (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(1, len(toks) - {n} + 2),"
+        f" i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + {n - 1} AS INT)), ' '))"
+        f" ELSE [] END"
+    )
+    split_bucket = SAMPLE_BUCKET.format(key="keep_id", salt="split")
+    total = sum(weights.values())
+    names = sorted(weights)
+    cases, upper = [], 0.0
+    for name in names[:-1]:
+        upper += weights[name] / total
+        cases.append(f"WHEN {split_bucket} < {int(upper * (1 << 32))} THEN '{name}'")
+    split_case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return rf"""
+WITH dc AS (
+  SELECT doc_id, {clean} AS text FROM documents
+),
+base AS (
+  SELECT doc_id, text, {TEXT_TOKENS} AS toks,
+         length(text) AS n_chars,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
+  FROM dc
+),
+m AS (
+  SELECT doc_id, text, toks, n_chars,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS sum_len,
+         n_hash, n_ell,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha_words,
+         CAST(len(list_intersect(list_distinct(toks), {stop_sql})) AS BIGINT)
+           AS stop_hits,
+         {", ".join(f"{sql} AS s_{lg}" for lg, sql in score.items())}
+  FROM base
+),
+bested AS (SELECT *, {best} AS best FROM m),
+gated AS (
+  SELECT doc_id, text, toks
+  FROM bested
+  WHERE coalesce(
+          n_words >= {min_words} AND n_words <= {max_words}
+          AND sum_len / n_words >= {min_mean_word_len}
+          AND sum_len / n_words <= {max_mean_word_len}
+          AND (n_hash + n_ell) / n_words < {max_symbol_ratio}
+          AND n_alpha_words / n_words >= {min_alpha_word_frac}
+          AND stop_hits >= {min_stop_hits},
+          false)
+    AND {lang_case} = '{lang}'
+),
+bench_grams AS (
+  SELECT DISTINCT ('0x' || substring(md5(g.g), 1, 8))::BIGINT AS g
+  FROM (SELECT {gn} AS gs
+        FROM (SELECT {TEXT_TOKENS} AS toks FROM dc
+              WHERE doc_id % {bench_mod} = 0)) b,
+       unnest(b.gs) AS g(g)
+),
+dirty AS (
+  SELECT DISTINCT gt.doc_id
+  FROM (SELECT doc_id, list_distinct({gn}) AS gs FROM gated) gt,
+       unnest(gt.gs) AS g(g)
+  WHERE ('0x' || substring(md5(g.g), 1, 8))::BIGINT IN (SELECT g FROM bench_grams)
+),
+kept AS (
+  SELECT g.doc_id, g.text,
+         length(g.text) AS n_chars,
+         length(regexp_replace(g.text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         CAST(len(g.toks) AS INT) AS n_tokens
+  FROM gated g LEFT JOIN dirty d ON d.doc_id = g.doc_id
+  WHERE d.doc_id IS NULL
+),
+scored AS (
+  SELECT doc_id, text,
+         round(((CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+              + least(n_chars / 1000.0, 1.0)
+              + (CASE WHEN (CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END) >= 3
+                       AND (CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END) <= 12
+                      THEN 1.0 ELSE 0.5 END)) / 3.0, 9) AS quality
+  FROM kept
+),
+ranked AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+         quality,
+         row_number() OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           ORDER BY quality DESC, doc_id ASC) AS rank,
+         count(*) OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+         ) AS n_copies
+  FROM scored
+),
+bestrows AS (
+  SELECT doc_id AS keep_id, fingerprint, quality,
+         CAST(n_copies AS BIGINT) AS n_copies
+  FROM ranked WHERE rank = 1
+)
+SELECT keep_id, fingerprint, quality, n_copies, {split_case} AS split
+FROM bestrows
+"""

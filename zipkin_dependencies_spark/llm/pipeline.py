@@ -96,3 +96,89 @@ def curate_v2(
         split_weights or {"train": 0.8, "val": 0.1, "test": 0.1},
         key_col="keep_id",
     )
+
+
+def curate_v3(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    lang: str = "en",
+    decontaminate_n: int = 13,
+    split_weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oracle_parity: bool = False,
+    **gopher_thresholds,
+) -> DataFrame:
+    """v2's composition with the heuristic quality gate replaced by the
+    GOPHER RULE SET (llm/quality.py) — the paper-faithful pre-training
+    gate, still one logical pipeline:
+
+    scrub → Gopher keep + language gate → benchmark decontamination →
+    keep-best dedup (quality-score election, as in v2) → hash split.
+
+    ``gopher_thresholds`` forwards to :func:`quality._gopher_measures`
+    (min_words, max_words, min_mean_word_len, max_mean_word_len,
+    max_symbol_ratio, min_alpha_word_frac, min_stop_hits) — corpora and
+    thresholds vary, the composition doesn't. Same plan discipline as
+    v2: the scrub is the one materialized barrier, the Gopher Columns
+    inline into the scan above it, decontamination broadcasts only the
+    contaminated id set, and the keep-best window is the single
+    text-free shuffle. → (keep_id, fingerprint, quality, n_copies,
+    split)."""
+    from .contamination import overlap_hits
+    from .quality import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORD_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        _gopher_measures,
+    )
+    from .sampling import hash_split
+    from .text import scrub_mapped
+
+    th = {
+        "min_words": GOPHER_MIN_WORDS,
+        "max_words": GOPHER_MAX_WORDS,
+        "min_mean_word_len": GOPHER_MIN_MEAN_WORD_LEN,
+        "max_mean_word_len": GOPHER_MAX_MEAN_WORD_LEN,
+        "max_symbol_ratio": GOPHER_MAX_SYMBOL_RATIO,
+        "min_alpha_word_frac": GOPHER_MIN_ALPHA_WORD_FRAC,
+        "min_stop_hits": GOPHER_MIN_STOP_HITS,
+    }
+    unknown = set(gopher_thresholds) - set(th)
+    if unknown:
+        raise ValueError(f"curate_v3: unknown gopher thresholds {sorted(unknown)}")
+    th.update(gopher_thresholds)
+
+    cleaned = scrub_mapped(docs, text_col=text_col, id_col=id_col, out_col="_clean")
+    keep = _gopher_measures(
+        F.col("_clean"),
+        th["min_words"],
+        th["max_words"],
+        th["min_mean_word_len"],
+        th["max_mean_word_len"],
+        th["max_symbol_ratio"],
+        th["min_alpha_word_frac"],
+        th["min_stop_hits"],
+    )["keep"]
+    gated = cleaned.filter(
+        F.coalesce(keep, F.lit(False)) & (language_id("_clean") == lang)
+    )
+    bench_clean = scrub_mapped(
+        benchmark, text_col=text_col, id_col=id_col, out_col="_clean"
+    )
+    dirty = overlap_hits(
+        gated, bench_clean, n=decontaminate_n,
+        text_col="_clean", id_col=id_col,
+        bench_text_col="_clean", oracle_parity=oracle_parity,
+    ).select(id_col)
+    kept = gated.join(F.broadcast(dirty), id_col, "left_anti")
+    best = dedupe_keep_best(kept, text_col="_clean", id_col=id_col)
+    return hash_split(
+        best,
+        split_weights or {"train": 0.8, "val": 0.1, "test": 0.1},
+        key_col="keep_id",
+    )
