@@ -107,3 +107,30 @@ def test_curate_cli_incremental_appends_only_new_content(spark, tmp_path):
         ["--input", delta_in, "--output", out, "--existing", out, *common]
     ) == 0
     assert spark.read.parquet(out).count() == n_incr
+
+
+def test_curate_cli_gopher_gate(spark, tmp_path):
+    """--gate gopher routes through curate_v3 with --gopher threshold
+    overrides; unknown keys die with an argparse error, not a stack."""
+    import pytest
+
+    from zipkin_dependencies_spark import curate as cli
+
+    out = str(tmp_path / "curated_gopher")
+    assert cli.main(
+        ["--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out, "--gate", "gopher",
+         "--gopher", "min_words=30", "--gopher", "min_stop_hits=1",
+         "--split", "train=0.8,val=0.2"]
+    ) == 0
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert set(got.columns) >= {"keep_id", "fingerprint", "quality",
+                                "n_copies", "split"}
+
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["--input", "/root/testdata/sf0.001/documents.parquet",
+             "--output", out, "--gate", "gopher",
+             "--gopher", "bogus=1"]
+        )

@@ -44,6 +44,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-dup-3gram", type=float, default=0.5)
     p.add_argument("--decontaminate-n", type=int, default=13)
     p.add_argument(
+        "--gate",
+        choices=("heuristic", "gopher"),
+        default="heuristic",
+        help="quality gate: 'heuristic' = the v2 score/language/repetition "
+        "gate (--min-quality, --max-dup-3gram); 'gopher' = the Gopher "
+        "rule set (tune via --gopher)",
+    )
+    p.add_argument(
+        "--gopher",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="Gopher threshold override (repeatable), e.g. "
+        "--gopher min_words=30 --gopher min_stop_hits=1; keys are "
+        "llm.quality._gopher_measures parameters",
+    )
+    p.add_argument(
         "--split",
         type=_parse_weights,
         default={"train": 0.9, "val": 0.05, "test": 0.05},
@@ -61,7 +78,7 @@ def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO)
     log = logging.getLogger("zipkin_dependencies_spark.curate")
 
-    from .llm.pipeline import curate_v2
+    from .llm.pipeline import curate_v2, curate_v3
     from .session import get_spark
 
     spark = get_spark(app_name="curate", master=args.master)
@@ -73,15 +90,36 @@ def main(argv: list[str] | None = None) -> int:
         # broadcast anti-join is against zero digests)
         else spark.createDataFrame([], "doc_id bigint, text string")
     )
-    survivors = curate_v2(
-        docs,
-        benchmark,
-        min_quality=args.min_quality,
-        lang=args.lang,
-        max_dup_3gram=args.max_dup_3gram,
-        decontaminate_n=args.decontaminate_n,
-        split_weights=args.split,
-    )
+    if args.gate == "gopher":
+        thresholds: dict[str, float] = {}
+        for spec in args.gopher:
+            key, _, val = spec.partition("=")
+            if not val:
+                p.error(f"bad --gopher spec {spec!r} (want key=value)")
+            thresholds[key.strip()] = (
+                int(val) if val.strip().lstrip("-").isdigit() else float(val)
+            )
+        try:
+            survivors = curate_v3(
+                docs,
+                benchmark,
+                lang=args.lang,
+                decontaminate_n=args.decontaminate_n,
+                split_weights=args.split,
+                **thresholds,
+            )
+        except ValueError as ex:  # unknown threshold key: argparse-grade error
+            p.error(str(ex))
+    else:
+        survivors = curate_v2(
+            docs,
+            benchmark,
+            min_quality=args.min_quality,
+            lang=args.lang,
+            max_dup_3gram=args.max_dup_3gram,
+            decontaminate_n=args.decontaminate_n,
+            split_weights=args.split,
+        )
     if args.existing:
         # incremental: the existing store contributes ONLY its fingerprint
         # column (column-pruned scan — the accumulated corpus text is never
