@@ -1707,6 +1707,25 @@ def q_streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_sessions_oracle(raw_sessionize_sql: str) -> str:
+    """Batch sessionize SQL rewritten to the streaming gap-REACHED (>=)
+    split. The rewrite is a string substitution against the batch
+    template; the assert makes the coupling fail LOUDLY if the template
+    is ever reformatted (a silent no-op would revert the oracle to batch
+    '>' semantics and the fixture — with no event pair exactly one gap
+    apart — would keep passing vacuously)."""
+    rewritten = raw_sessionize_sql.replace("> {gap_us}", ">= {gap_us}")
+    assert rewritten != raw_sessionize_sql, (
+        "SESSIONIZE_SQL no longer contains '> {gap_us}' — update the "
+        "streaming_sessions_replay oracle rewrite to match"
+    )
+    return (
+        "SELECT user_id, start_us, end_us, n_events, n_errors FROM ("
+        + rewritten.format(gap_us=1_800_000_000)
+        + ") s"
+    )
+
+
 def q_streaming_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-replay twin of the STREAMING session_window sessionizer
     (streaming/sessions.py): events replay as two time-split files plus a
@@ -3071,12 +3090,8 @@ WINDOW w AS (PARTITION BY parent, child ORDER BY day_num
         "language_confusion": llm_oracles.language_confusion_sql(),
         # streaming sessionizer splits on gap REACHED (>=), the documented
         # half-open difference from the batch operator's gap EXCEEDED (>)
-        "streaming_sessions_replay": (
-            "SELECT user_id, start_us, end_us, n_events, n_errors FROM ("
-            + _SESSIONIZE_SQL_RAW.replace(
-                "> {gap_us}", ">= {gap_us}"
-            ).format(gap_us=1_800_000_000)
-            + ") s"
+        "streaming_sessions_replay": _streaming_sessions_oracle(
+            _SESSIONIZE_SQL_RAW
         ),
         "streaming_dedup_replay": (
             "SELECT DISTINCT md5(text) AS text_hash FROM documents"

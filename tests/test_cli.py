@@ -134,3 +134,16 @@ def test_curate_cli_gopher_gate(spark, tmp_path):
              "--output", out, "--gate", "gopher",
              "--gopher", "bogus=1"]
         )
+
+
+def test_curate_cli_gopher_bad_value_is_argparse_error(tmp_path):
+    import pytest
+
+    from zipkin_dependencies_spark import curate as cli
+
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["--input", "/root/testdata/sf0.001/documents.parquet",
+             "--output", str(tmp_path / "x"), "--gate", "gopher",
+             "--gopher", "min_words=abc"]
+        )

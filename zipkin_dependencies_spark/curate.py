@@ -96,9 +96,11 @@ def main(argv: list[str] | None = None) -> int:
             key, _, val = spec.partition("=")
             if not val:
                 p.error(f"bad --gopher spec {spec!r} (want key=value)")
-            thresholds[key.strip()] = (
-                int(val) if val.strip().lstrip("-").isdigit() else float(val)
-            )
+            try:
+                num = float(val)
+            except ValueError:
+                p.error(f"bad --gopher value in {spec!r} (want a number)")
+            thresholds[key.strip()] = int(num) if num.is_integer() else num
         try:
             survivors = curate_v3(
                 docs,

@@ -1411,7 +1411,7 @@ def curate_v3_sql(
     """Composed oracle for llm/pipeline.py::curate_v3 — curate_v2_sql's
     structure with the heuristic gate swapped for the Gopher rule set
     (kept in lockstep with quality.gopher_quality_sql)."""
-    from .quality import GOPHER_STOPWORDS
+    from .quality import _STOP_SQL as stop_sql
     from .text import SCRUB_PATTERNS
 
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -1441,7 +1441,12 @@ def curate_v3_sql(
         )
         + " ELSE 'und' END"
     )
-    stop_sql = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+    # NOTE lockstep hazard (three curate oracles share this skeleton):
+    # the scrub chain, n-gram digest ('0x'||substring(md5...)), fingerprint
+    # expression, and split-bucket CASE below also appear in
+    # curation_pipeline_sql and curate_v2_sql — a fix to any shared piece
+    # must land in all three (each is pinned by its own gated query, so a
+    # drift fails the replica gate, but fix them together).
     gn = (
         f"CASE WHEN len(toks) >= {n} THEN "
         f"list_transform(range(1, len(toks) - {n} + 2),"
