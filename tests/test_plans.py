@@ -396,3 +396,20 @@ def test_returned_item_customers_broadcasts_nation_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert len(_node_ids(plan, "BroadcastHashJoin")) >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_plan_snapshot_regenerates(spark, tmp_path):
+    """PLANS.md stays regenerable: the snapshot writer produces a section
+    per query with a non-trivial formatted plan (plan construction only —
+    nothing executes)."""
+    from zipkin_dependencies_spark.plans.snapshot import (
+        SNAPSHOT_QUERIES,
+        write_plan_snapshot,
+    )
+
+    out = str(tmp_path / "PLANS.md")
+    write_plan_snapshot(out, sf_dir=SF)
+    text = open(out).read()
+    for name in SNAPSHOT_QUERIES:
+        assert f"## `{name}`" in text
+    assert text.count("== Physical Plan ==") == len(SNAPSHOT_QUERIES)

@@ -385,3 +385,20 @@ def test_curate_v3_gate_composition(spark):
 
     with pytest.raises(ValueError, match="unknown gopher thresholds"):
         curate_v3(docs, bench, bogus_threshold=1)
+
+
+def test_dataset_card_approx_distinct_close_to_exact(spark):
+    from zipkin_dependencies_spark.llm.quality import dataset_card
+
+    rows = [
+        Row(doc_id=i, text=f"document number {i % 40} body", lang="en",
+            source="s")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    exact = dataset_card(df).collect()[0]
+    approx = dataset_card(df, approx_distinct=True).collect()[0]
+    assert exact.n_docs == approx.n_docs == 200
+    # HLL++ at rsd 1% on 40 distinct digests: allow a small band
+    assert abs(approx.dup_rate9 - exact.dup_rate9) < 0.05
+    assert approx.n_langs >= 1

@@ -408,6 +408,7 @@ def dataset_card(
     text_col: str = "text",
     group_col: str = "source",
     lang_col: str = "lang",
+    approx_distinct: bool = False,
 ) -> DataFrame:
     """Per-source dataset-card rollup → (source, n_docs, n_langs,
     total_tokens, total_chars, gopher_keep_rate9, dup_rate9,
@@ -424,6 +425,13 @@ def dataset_card(
     exact-duplicate rate uses count(distinct fingerprint) — the only
     part of this plan whose shuffle carries doc-cardinality keys (16-byte
     digests; text never moves).
+
+    ``approx_distinct=True`` is the 100 TB path: HyperLogLog++
+    (``approx_count_distinct``, rsd 1%) for the fingerprint and language
+    cardinalities — a fixed-size sketch per group instead of the exact
+    aggregate's per-key state, at the cost of the oracle-exact dup rate
+    (the gated query keeps the exact default; a billion-doc card run
+    flips this on).
     """
     from .text import document_fingerprint, quality_score
 
@@ -447,13 +455,19 @@ def dataset_card(
         document_fingerprint(c).alias("fp"),
         F.round(quality_score(c) * 1e9).cast("long").alias("q_scaled"),
     )
+    if approx_distinct:
+        n_langs = F.approx_count_distinct("lang", 0.01)
+        n_unique = F.approx_count_distinct("fp", 0.01)
+    else:
+        n_langs = F.count_distinct(F.col("lang"))
+        n_unique = F.count_distinct(F.col("fp"))
     agg = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.count_distinct(F.col("lang")).alias("n_langs"),
+        n_langs.alias("n_langs"),
         F.sum("n_tok").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
         F.sum("keep_i").alias("n_keep"),
-        F.count_distinct(F.col("fp")).alias("n_unique"),
+        n_unique.alias("n_unique"),
         F.sum("q_scaled").alias("q_sum"),
     )
     return agg.select(
