@@ -67,3 +67,59 @@ def test_flagship_at_10x_replicated_sf01(spark):
     # generous floor: the recorded point is ~1M spans/s; flag anything
     # an order of magnitude off (a plan regression, not machine noise)
     assert n / wall > 100_000, f"throughput collapsed: {n/wall:,.0f} spans/s"
+
+
+def test_path_build_at_10x_replicated_sf01(spark):
+    """The pointer-doubling path table at 7.5M spans (the sf1 tier's
+    worst wall ratio): replicas preserve service names, so every path's
+    occurrence count must be exactly 10× the base — and the build must
+    sustain a throughput floor (conservative: >150k spans/s end-to-end
+    including the leaf anti-join and count aggregation)."""
+    import time
+
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.paths import top_trace_paths
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    base = derived_spans(spark, "/root/testdata/sf0.1")
+    replicas = []
+    for i in range(10):
+        p = str(i)
+        replicas.append(
+            base.withColumn(
+                "trace_id", F.concat(F.lit(p), F.substring("trace_id", 2, 15))
+            )
+            .withColumn(
+                "id",
+                F.when(
+                    F.col("parent_id").isNull(),
+                    F.concat(F.lit(p), F.substring("id", 2, 15)),
+                ).otherwise(F.col("id")),
+            )
+            .withColumn(
+                "parent_id",
+                F.when(
+                    F.col("parent_id").isNotNull(),
+                    F.concat(F.lit(p), F.substring("parent_id", 2, 15)),
+                ),
+            )
+        )
+    big = replicas[0]
+    for r in replicas[1:]:
+        big = big.unionByName(r)
+    big = big.localCheckpoint(eager=True)
+    n = big.count()
+    assert n == 7_500_000
+
+    base_paths = {
+        r["path"]: r["n_occurrences"]
+        for r in top_trace_paths(normalize_spans(base), k=100).collect()
+    }
+    t0 = time.monotonic()
+    big_paths = {
+        r["path"]: r["n_occurrences"]
+        for r in top_trace_paths(normalize_spans(big), k=100).collect()
+    }
+    el = time.monotonic() - t0
+    assert big_paths == {p: c * 10 for p, c in base_paths.items()}
+    assert n / el > 150_000, f"path build too slow: {n/el:.0f} spans/s"
