@@ -2300,6 +2300,27 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over (event_type, day): all four grouping-set
+    combinations in ONE pass (native Expand + hash aggregate — no
+    four-scan union), with grouping_id disambiguating the null rows.
+    Values integer-scaled to cents before summing (hash-exact)."""
+    from zipkin_dependencies_spark.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    day = F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select(F.col("event_type"), day, cents.alias("cents"))
+        .cube("event_type", "day")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -2439,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions_replay": q_streaming_sessions_replay,
         "streaming_dedup_replay": q_streaming_dedup_replay,
         "curation_pipeline_v3": q_curation_pipeline_v3,
+        "events_cube": q_events_cube,
     }
 
 
@@ -3099,6 +3121,15 @@ WINDOW w AS (PARTITION BY parent, child ORDER BY day_num
         "curation_pipeline_v3": llm_oracles.curate_v3_sql(
             lang="en", n=13, bench_mod=97, min_words=30, min_stop_hits=1
         ),
+        "events_cube": """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS BIGINT)
+         AS gid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY CUBE (event_type, CAST(ts AS DATE))
+""",
         "returned_item_customers": """
 WITH agg AS (
   SELECT c_custkey, c_name, n_name,
