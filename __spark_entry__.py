@@ -2303,8 +2303,10 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation over (event_type, day): all four grouping-set
     combinations in ONE pass (native Expand + hash aggregate — no
-    four-scan union), with grouping_id disambiguating the null rows.
-    Values integer-scaled to cents before summing (hash-exact)."""
+    four-scan union), grouping_id disambiguating the rollup rows and the
+    house '(all)' sentinel standing in for grouping-set nulls (the
+    corpus_stats ROLLUP convention). Values integer-scaled to cents
+    before summing (hash-exact)."""
     from zipkin_dependencies_spark.testdata import load_events
 
     ev = load_events(spark, sf_dir)
@@ -2317,6 +2319,15 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_events"),
             F.sum("cents").alias("value_cents"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("day").cast("string"), F.lit("(all)")).alias(
+                "day"
+            ),
+            "gid",
+            "n_events",
+            "value_cents",
         )
     )
 
@@ -3122,7 +3133,8 @@ WINDOW w AS (PARTITION BY parent, child ORDER BY day_num
             lang="en", n=13, bench_mod=97, min_words=30, min_stop_hits=1
         ),
         "events_cube": """
-SELECT event_type, CAST(ts AS DATE) AS day,
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '(all)') AS day,
        CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS BIGINT)
          AS gid,
        CAST(count(*) AS BIGINT) AS n_events,
