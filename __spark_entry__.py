@@ -2332,6 +2332,48 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: customers behind the largest-volume orders — the
+    HAVING-on-aggregate shape. The per-order quantity aggregate (map-side
+    combined, order-key cardinality) filters BEFORE the customer/orders
+    joins, so only the rare big orders reach the join; quantities
+    integer-scaled (×100) for hash-exact sums; TakeOrdered top-100."""
+    from pyspark.sql import Window
+
+    from zipkin_dependencies_spark.testdata import load
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("qty_100"))
+        .filter(F.col("qty_100") > 250 * 100)
+    )
+    j = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "total_cents"
+            ),
+            "qty_100",
+        )
+    )
+    top = j.orderBy(F.col("qty_100").desc(), F.col("o_orderkey").asc()).limit(
+        100
+    )
+    w = Window.orderBy(F.col("qty_100").desc(), F.col("o_orderkey").asc())
+    return top.select(
+        "*", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -2472,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_replay": q_streaming_dedup_replay,
         "curation_pipeline_v3": q_curation_pipeline_v3,
         "events_cube": q_events_cube,
+        "large_volume_customers": q_large_volume_customers,
     }
 
 
@@ -3141,6 +3184,29 @@ SELECT coalesce(event_type, '(all)') AS event_type,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY CUBE (event_type, CAST(ts AS DATE))
+""",
+        "large_volume_customers": """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS qty_100
+  FROM lineitem GROUP BY 1
+  HAVING qty_100 > 25000
+),
+j AS (
+  SELECT c_custkey, c_name, o_orderkey,
+         CAST(o_orderdate AS DATE) AS o_date,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+         qty_100
+  FROM big
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+)
+SELECT *, CAST(row_number() OVER (ORDER BY qty_100 DESC, o_orderkey ASC)
+         AS BIGINT) AS rank
+FROM j
+ORDER BY qty_100 DESC, o_orderkey ASC
+LIMIT 100
 """,
         "returned_item_customers": """
 WITH agg AS (
