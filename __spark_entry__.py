@@ -2374,6 +2374,29 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_return_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog (EXISTS shape): per order-priority, how many 1996
+    orders had at least one returned lineitem — a LEFT SEMI join (the
+    probe stops at first match, no fan-out, no dedup needed) feeding a
+    tiny priority-cardinality aggregate."""
+    from zipkin_dependencies_spark.testdata import load
+
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    returned = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -2515,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_v3": q_curation_pipeline_v3,
         "events_cube": q_events_cube,
         "large_volume_customers": q_large_volume_customers,
+        "priority_return_orders": q_priority_return_orders,
     }
 
 
@@ -3207,6 +3231,15 @@ SELECT *, CAST(row_number() OVER (ORDER BY qty_100 DESC, o_orderkey ASC)
 FROM j
 ORDER BY qty_100 DESC, o_orderkey ASC
 LIMIT 100
+""",
+        "priority_return_orders": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
 """,
         "returned_item_customers": """
 WITH agg AS (
