@@ -17,9 +17,12 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_flagship_at_10x_replicated_sf01(spark):
-    from zipkin_dependencies_spark.functions import normalize_spans
-    from zipkin_dependencies_spark.operators.link import links_from_spans
+def _replicate_10x(spark):
+    """Ten sf0.1 replicas under fresh trace ids: roots' trace_id/id and
+    children's parent_id get a replica-digit prefix. NOTE: the rewrite is
+    only correct for the current DEPTH-2 derived_spans forest (children
+    point only at roots) — a deeper fixture would dangle grandchildren,
+    so the count assert and the 10x-result asserts both guard it."""
     from zipkin_dependencies_spark.testdata import derived_spans
 
     base = derived_spans(spark, "/root/testdata/sf0.1")
@@ -49,8 +52,16 @@ def test_flagship_at_10x_replicated_sf01(spark):
     for r in replicas[1:]:
         big = big.unionByName(r)
     big = big.localCheckpoint(eager=True)
-    n = big.count()
-    assert n == 7_500_000
+    assert big.count() == 7_500_000
+    return base, big
+
+
+def test_flagship_at_10x_replicated_sf01(spark):
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+
+    base, big = _replicate_10x(spark)
+    n = 7_500_000
 
     # replicas preserve service names, so links must equal 10x the base
     base_links = {
@@ -79,37 +90,9 @@ def test_path_build_at_10x_replicated_sf01(spark):
 
     from zipkin_dependencies_spark.functions import normalize_spans
     from zipkin_dependencies_spark.operators.paths import top_trace_paths
-    from zipkin_dependencies_spark.testdata import derived_spans
 
-    base = derived_spans(spark, "/root/testdata/sf0.1")
-    replicas = []
-    for i in range(10):
-        p = str(i)
-        replicas.append(
-            base.withColumn(
-                "trace_id", F.concat(F.lit(p), F.substring("trace_id", 2, 15))
-            )
-            .withColumn(
-                "id",
-                F.when(
-                    F.col("parent_id").isNull(),
-                    F.concat(F.lit(p), F.substring("id", 2, 15)),
-                ).otherwise(F.col("id")),
-            )
-            .withColumn(
-                "parent_id",
-                F.when(
-                    F.col("parent_id").isNotNull(),
-                    F.concat(F.lit(p), F.substring("parent_id", 2, 15)),
-                ),
-            )
-        )
-    big = replicas[0]
-    for r in replicas[1:]:
-        big = big.unionByName(r)
-    big = big.localCheckpoint(eager=True)
-    n = big.count()
-    assert n == 7_500_000
+    base, big = _replicate_10x(spark)
+    n = 7_500_000
 
     base_paths = {
         r["path"]: r["n_occurrences"]

@@ -457,7 +457,10 @@ def dataset_card(
     )
     if approx_distinct:
         n_langs = F.approx_count_distinct("lang", 0.01)
-        n_unique = F.approx_count_distinct("fp", 0.01)
+        # HLL++ can OVERestimate: cap at n_docs so dup_rate9 stays in [0,1]
+        n_unique = F.least(
+            F.approx_count_distinct("fp", 0.01), F.count(F.lit(1))
+        )
     else:
         n_langs = F.count_distinct(F.col("lang"))
         n_unique = F.count_distinct(F.col("fp"))
