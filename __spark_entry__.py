@@ -2397,6 +2397,59 @@ def q_priority_return_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_service_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the undirected service graph (the
+    clustering-coefficient building block): edges canonicalized to
+    a<b, then the standard ordered three-way self-join a<b<c — every
+    join is links-cardinality (services²), the span corpus is never
+    touched after the linker."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    links = links_from_spans(normalize_spans(derived_spans(spark, sf_dir)))
+    edges = (
+        links.select(
+            F.least("parent", "child").alias("a"),
+            F.greatest("parent", "child").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    return (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(
+            e3,
+            (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")),
+        )
+        .select(
+            F.col("x").alias("s1"),
+            F.col("y").alias("s2"),
+            F.col("z").alias("s3"),
+        )
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-ish NOT EXISTS shape: per market segment, how many
+    customers placed no 1996+ order — a LEFT ANTI join (null-safe, no
+    fan-out) into a segment-cardinality aggregate."""
+    from zipkin_dependencies_spark.testdata import load
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1996-01-01"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -2539,6 +2592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": q_events_cube,
         "large_volume_customers": q_large_volume_customers,
         "priority_return_orders": q_priority_return_orders,
+        "service_triangles": q_service_triangles,
+        "customers_without_orders": q_customers_without_orders,
     }
 
 
@@ -3239,6 +3294,30 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+""",
+        "service_triangles": (
+            "WITH "
+            + SPANS_SQL_CTE.strip()
+            + """,
+links AS (""" + LINKS_SQL.strip() + """),
+edges AS (
+  SELECT DISTINCT least(parent, child) AS a, greatest(parent, child) AS b
+  FROM links WHERE least(parent, child) <> greatest(parent, child)
+)
+SELECT e1.a AS s1, e1.b AS s2, e2.b AS s3
+FROM edges e1
+JOIN edges e2 ON e2.a = e1.b
+JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+        ),
+        "customers_without_orders": """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1996-01-01'
+)
 GROUP BY 1
 """,
         "returned_item_customers": """
