@@ -2450,6 +2450,62 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_service_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service local clustering coefficient (how interconnected each
+    service's neighborhood is — a mesh-vs-hub topology metric): triangle
+    counts per vertex over the canonicalized undirected edge set, divided
+    by deg·(deg−1)/2. All joins at links cardinality; round-9 single
+    division."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    links = links_from_spans(normalize_spans(derived_spans(spark, sf_dir)))
+    edges = (
+        links.select(
+            F.least("parent", "child").alias("a"),
+            F.greatest("parent", "child").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("svc"))
+        .unionAll(edges.select(F.col("b").alias("svc")))
+        .groupBy("svc")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    per_vertex = (
+        tri.select(F.col("x").alias("svc"))
+        .unionAll(tri.select(F.col("y").alias("svc")))
+        .unionAll(tri.select(F.col("z").alias("svc")))
+        .groupBy("svc")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return deg.join(per_vertex, "svc", "left_outer").select(
+        "svc",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                F.coalesce("n_triangles", F.lit(0))
+                * 2
+                / (F.col("degree") * (F.col("degree") - 1)),
+                9,
+            ),
+        ).otherwise(F.lit(0.0)).alias("clustering9"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -2594,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_return_orders": q_priority_return_orders,
         "service_triangles": q_service_triangles,
         "customers_without_orders": q_customers_without_orders,
+        "service_clustering": q_service_clustering,
     }
 
 
@@ -3320,6 +3377,40 @@ WHERE NOT EXISTS (
 )
 GROUP BY 1
 """,
+        "service_clustering": (
+            "WITH "
+            + SPANS_SQL_CTE.strip()
+            + """,
+links AS (""" + LINKS_SQL.strip() + """),
+edges AS (
+  SELECT DISTINCT least(parent, child) AS a, greatest(parent, child) AS b
+  FROM links WHERE least(parent, child) <> greatest(parent, child)
+),
+deg AS (
+  SELECT svc, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS svc FROM edges UNION ALL SELECT b FROM edges
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pv AS (
+  SELECT svc, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT x AS svc FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY 1
+)
+SELECT d.svc, d.degree, coalesce(pv.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(CAST(coalesce(pv.n_triangles, 0) * 2 AS DOUBLE)
+                       / (d.degree * (d.degree - 1)), 9)
+            ELSE 0.0 END AS clustering9
+FROM deg d LEFT JOIN pv ON pv.svc = d.svc
+"""
+        ),
         "returned_item_customers": """
 WITH agg AS (
   SELECT c_custkey, c_name, n_name,
