@@ -413,3 +413,27 @@ def test_plan_snapshot_regenerates(spark, tmp_path):
     for name in SNAPSHOT_QUERIES:
         assert f"## `{name}`" in text
     assert text.count("== Physical Plan ==") == len(SNAPSHOT_QUERIES)
+
+
+def test_graph_and_having_analogs_plan_shapes(spark):
+    """Triangles/clustering: links-cardinality self-joins, never a
+    cartesian product. Q18 analog: the HAVING aggregate filters BELOW
+    the customer/orders joins (the aggregate's Exchange id is smaller —
+    deeper — than every join's), so only rare big orders reach them."""
+    import __spark_entry__ as e
+
+    for q in (e.q_service_triangles, e.q_service_clustering):
+        plan = formatted(q(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = formatted(e.q_large_volume_customers(spark, SF))
+    agg_ids = _node_ids(plan, "HashAggregate")
+    join_ids = _node_ids(plan, r"\S*Join\S*")
+    assert agg_ids and join_ids and min(agg_ids) < min(join_ids), plan
+    assert "TakeOrderedAndProject" in plan
+
+    semi = formatted(e.q_priority_return_orders(spark, SF))
+    assert "LeftSemi" in semi
+    anti = formatted(e.q_customers_without_orders(spark, SF))
+    assert "LeftAnti" in anti
