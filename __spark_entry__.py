@@ -2506,6 +2506,24 @@ def q_service_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedupe_near_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR dedup (the nightly-delta question): per new doc
+    (1-in-7 split), does it near-duplicate the accumulated corpus —
+    new×corpus LSH banding (the store is never self-joined), digest-array
+    Jaccard verify on candidates only. The LSH counterpart of the exact
+    dedupe_against."""
+    from zipkin_dependencies_spark.llm.dedup import dedupe_near_against
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 == 2)
+    corpus = docs.filter(F.col("doc_id") % 7 != 2)
+    return dedupe_near_against(
+        new, corpus, k=3, threshold=0.5, num_hashes=16, bands=4,
+        hash_fn="affine",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -2651,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_triangles": q_service_triangles,
         "customers_without_orders": q_customers_without_orders,
         "service_clustering": q_service_clustering,
+        "dedupe_near_against": q_dedupe_near_against,
     }
 
 
@@ -3300,6 +3319,9 @@ WINDOW w AS (PARTITION BY parent, child ORDER BY day_num
         "token_fertility": llm_oracles.token_fertility_sql(),
         "dataset_card": _dataset_card_sql(),
         "language_confusion": llm_oracles.language_confusion_sql(),
+        "dedupe_near_against": llm_oracles.dedupe_near_against_sql(
+            num_hashes=16, bands=4, k=3, threshold=0.5, new_mod=7, new_rem=2
+        ),
         # streaming sessionizer splits on gap REACHED (>=), the documented
         # half-open difference from the batch operator's gap EXCEEDED (>)
         "streaming_sessions_replay": _streaming_sessions_oracle(

@@ -664,3 +664,31 @@ def test_near_dup_component_memo_reuses_table(spark):
     assert d is not a  # different params -> different cache slot
     # cached and recomputed agree exactly
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, c.collect()))
+
+
+def test_dedupe_near_against_cross_only_and_keep(spark):
+    """Cross-corpus near dedup: a new doc near-duplicating a corpus doc
+    is flagged; a new doc whose only near-dup is ANOTHER NEW doc keeps
+    (the store is never self-joined, and neither is the delta)."""
+    from pyspark.sql import Row
+
+    from zipkin_dependencies_spark.llm.dedup import dedupe_near_against
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [Row(doc_id=100, text=base), Row(doc_id=101, text="totally different words here")]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base + "!"),          # near-dup of corpus 100
+            Row(doc_id=2, text="unique delta content never seen"),
+            Row(doc_id=3, text="unique delta content never seen?"),  # near-dup of NEW 2 only
+        ]
+    )
+    got = {r.doc_id: r for r in
+           dedupe_near_against(new, corpus, threshold=0.5,
+                               hash_fn="affine").collect()}
+    assert not got[1].keep and got[1].n_matches >= 1
+    assert got[1].max_jaccard9 > 0.5
+    assert got[2].keep and got[2].n_matches == 0   # delta-internal dup ignored
+    assert got[3].keep and got[3].n_matches == 0

@@ -700,3 +700,145 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "n_inter", "n_a", "n_b", "containment")
     )
+
+
+def band_bucket_rows(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """→ (id, band, bucket): the LSH banding table of a corpus — the
+    shared first half of every MinHash-LSH composition (same bucket
+    arithmetic as minhash_lsh_candidates; md5 buckets for the
+    oracle-reproducible hash functions)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col, hash_fn)
+
+    def band_bucket(b: int) -> Column:
+        slice_ = [
+            F.col("signature")[b * rows_per_band + r]
+            for r in range(rows_per_band)
+        ]
+        if hash_fn in ("md5", "affine"):
+            return F.md5(F.concat_ws("|", *(s.cast("string") for s in slice_)))
+        return F.xxhash64(*slice_).cast("string")
+
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+                for b in range(bands)
+            ]
+        )
+    )
+    return sigs.select("id", band_cols.alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _shingle_digests(
+    docs: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """→ (id, xs): per-doc distinct 32-bit shingle-digest arrays — the
+    verify-side table of the LSH compositions (same digest the affine
+    MinHash derives, so the DuckDB oracle reuses its CTE)."""
+    from ..scaling import ensure_min_parallelism
+
+    xs = F.array_distinct(
+        F.transform(
+            char_shingles("_text", k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+        )
+    )
+    return (
+        ensure_min_parallelism(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+        )
+        .select("id", xs.alias("xs"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def dedupe_near_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Incremental NEAR dedup: per NEW document, does it near-duplicate
+    anything in the accumulated corpus — the nightly-delta counterpart of
+    ``dedupe_against`` (which is exact-only) and the cross-corpus
+    counterpart of ``lsh_verified_pairs`` (which pairs one corpus with
+    itself). → (doc_id, n_matches, max_jaccard9, keep) for every new doc.
+
+    Scale: both corpora contribute only (band, bucket, id) rows to the
+    candidate join (the accumulated corpus is never paired with itself —
+    the join is new×corpus only, so a 10⁹-doc store costs its banding
+    scan, not its self-join); verification intersects 32-bit digest
+    arrays on the candidate set only, whose cardinality is O(near-dup
+    links), not O(|new|·|corpus|). Bucket skew → AQE.
+    """
+    nb = band_bucket_rows(
+        new_docs, num_hashes, bands, k, text_col, id_col, hash_fn
+    )
+    cb = band_bucket_rows(
+        corpus, num_hashes, bands, k, text_col, id_col, hash_fn
+    )
+    cand = (
+        nb.alias("n")
+        .join(
+            cb.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id")
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    dn = _shingle_digests(new_docs, k, text_col, id_col)
+    dc = _shingle_digests(corpus, k, text_col, id_col)
+    inter = F.size(F.array_intersect("xs_n", "xs_c"))
+    verified = (
+        cand.join(
+            dn.select(F.col("id").alias("new_id"), F.col("xs").alias("xs_n")),
+            "new_id",
+        )
+        .join(
+            dc.select(
+                F.col("id").alias("corpus_id"), F.col("xs").alias("xs_c")
+            ),
+            "corpus_id",
+        )
+        .select(
+            "new_id",
+            (
+                inter / (F.size("xs_n") + F.size("xs_c") - inter)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("new_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.max("jaccard"), 9).alias("max_jaccard9"),
+        )
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .join(verified.withColumnRenamed("new_id", "doc_id"), "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            "max_jaccard9",
+            (F.coalesce("n_matches", F.lit(0)) == 0).alias("keep"),
+        )
+    )

@@ -1547,3 +1547,53 @@ bestrows AS (
 SELECT keep_id, fingerprint, quality, n_copies, {split_case} AS split
 FROM bestrows
 """
+
+
+def dedupe_near_against_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    new_mod: int = 7,
+    new_rem: int = 2,
+) -> str:
+    """Oracle for dedup.dedupe_near_against: affine-MinHash banding over
+    BOTH corpora, candidates restricted to new×corpus (never corpus×
+    corpus), digest-array Jaccard verify, per-new-doc match aggregate."""
+    rpb = num_hashes // bands
+    bucket = " || '|' || ".join(
+        f"CAST(sig[b * {rpb} + {r + 1}] AS VARCHAR)" for r in range(rpb)
+    )
+    return f"""
+WITH {_sig_cte(num_hashes, k, "")},
+buckets AS (
+  SELECT id, CAST(u.b AS INT) AS band, md5({bucket}) AS bucket
+  FROM sigt, (SELECT unnest(range(0, {bands})) AS b) u
+),
+cand AS (
+  SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+  FROM buckets n JOIN buckets c
+    ON n.band = c.band AND n.bucket = c.bucket
+  WHERE n.id % {new_mod} = {new_rem} AND c.id % {new_mod} <> {new_rem}
+),
+dig AS (SELECT id, list_distinct(xs) AS xs FROM shx),
+verified AS (
+  SELECT c.new_id,
+         len(list_intersect(dn.xs, dc.xs))
+         / (len(dn.xs) + len(dc.xs) - len(list_intersect(dn.xs, dc.xs)))
+           AS jaccard
+  FROM cand c
+  JOIN dig dn ON dn.id = c.new_id
+  JOIN dig dc ON dc.id = c.corpus_id
+),
+agg AS (
+  SELECT new_id, CAST(count(*) AS BIGINT) AS n_matches,
+         round(max(jaccard), 9) AS max_jaccard9
+  FROM verified WHERE jaccard >= {threshold}
+  GROUP BY 1
+)
+SELECT d.doc_id, coalesce(a.n_matches, 0) AS n_matches, a.max_jaccard9,
+       coalesce(a.n_matches, 0) = 0 AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id % {new_mod} = {new_rem}) d
+LEFT JOIN agg a ON a.new_id = d.doc_id
+"""
