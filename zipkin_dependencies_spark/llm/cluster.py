@@ -230,7 +230,7 @@ def lsh_verified_pairs(
     Emits the same columns as ``ngram_jaccard_pairs`` so the two are
     drop-in interchangeable as cluster edge sources."""
     from ..scaling import ensure_min_parallelism
-    from .dedup import char_shingles, minhash_lsh_candidates
+    from .dedup import minhash_lsh_candidates
 
     # AQE sizes post-shuffle partitions by BYTES: the deduped pair list is a
     # few MB of (id, id) longs, which AQE coalesces to ~1 partition — and the
@@ -244,24 +244,14 @@ def lsh_verified_pairs(
         )
     )
 
-    xs = F.array_distinct(
-        F.transform(
-            char_shingles("_text", k),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
-        )
-    )
-    # materialize the digest table ONCE (the classic signature-table step of
-    # a dedup pipeline): it feeds both sides of the verify join, and the
-    # per-shingle md5 transform is the expensive part — repartition the RAW
-    # text first so the hashing runs wide (a single parquet file would
-    # otherwise digest on one core), then pin the result
-    sh = (
-        ensure_min_parallelism(
-            docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
-        )
-        .select("id", xs.alias("xs"))
-        .localCheckpoint(eager=True)
-    )
+    # materialize the digest table ONCE (the classic signature-table step
+    # of a dedup pipeline): it feeds both sides of the verify join — the
+    # parity-critical digest arithmetic lives in dedup._shingle_digests
+    # (shared with dedupe_near_against; one source of truth for the value
+    # the DuckDB oracle's CTE reproduces)
+    from .dedup import _shingle_digests
+
+    sh = _shingle_digests(docs, k, text_col, id_col)
     verified = (
         candidates
         .join(sh.select(F.col("id").alias("id_a"), F.col("xs").alias("xs_a")), "id_a")

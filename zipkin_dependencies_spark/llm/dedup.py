@@ -305,7 +305,25 @@ def minhash_lsh_candidates(
             ]
         )
     )
-    carry = ["id", "signature"] if include_est else ["id"]
+    if not include_est:
+        # signature-free path: the shared banding table (band_bucket_rows)
+        # IS this computation — one source of truth for the bucket key
+        buckets0 = band_bucket_rows(
+            docs, num_hashes, bands, k, text_col, id_col, hash_fn
+        )
+        a0 = buckets0.alias("a")
+        b0 = buckets0.alias("b")
+        return (
+            a0.join(
+                b0,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    carry = ["id", "signature"]
     buckets = sigs.select(*carry, band_cols.alias("bb")).select(
         *carry, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
@@ -316,12 +334,6 @@ def minhash_lsh_candidates(
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.id") < F.col("b.id"))
     )
-    if not include_est:
-        return (
-            a.join(b, join_cond)
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-        )
     pairs = (
         a.join(b, join_cond)
         .select(
@@ -793,6 +805,11 @@ def dedupe_near_against(
     cb = band_bucket_rows(
         corpus, num_hashes, bands, k, text_col, id_col, hash_fn
     )
+    # materialize the candidate list so the corpus-side digest pass can be
+    # RESTRICTED to candidate-touched store docs: the store pays its
+    # banding scan + a semi-joined digest pass over O(candidates) docs,
+    # never a full-corpus digest materialization (the delta side is small
+    # by construction and digests in full)
     cand = (
         nb.alias("n")
         .join(
@@ -804,9 +821,13 @@ def dedupe_near_against(
             F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id")
         )
         .dropDuplicates(["new_id", "corpus_id"])
+        .localCheckpoint(eager=True)
     )
+    touched = cand.select(F.col("corpus_id").alias(id_col)).distinct()
     dn = _shingle_digests(new_docs, k, text_col, id_col)
-    dc = _shingle_digests(corpus, k, text_col, id_col)
+    dc = _shingle_digests(
+        corpus.join(touched, id_col, "left_semi"), k, text_col, id_col
+    )
     inter = F.size(F.array_intersect("xs_n", "xs_c"))
     verified = (
         cand.join(
@@ -833,10 +854,12 @@ def dedupe_near_against(
         )
     )
     return (
-        new_docs.select(F.col(id_col).alias("doc_id"))
-        .join(verified.withColumnRenamed("new_id", "doc_id"), "doc_id", "left_outer")
+        new_docs.select(F.col(id_col).alias(id_col))
+        .join(
+            verified.withColumnRenamed("new_id", id_col), id_col, "left_outer"
+        )
         .select(
-            "doc_id",
+            id_col,
             F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
             "max_jaccard9",
             (F.coalesce("n_matches", F.lit(0)) == 0).alias("keep"),
