@@ -288,23 +288,6 @@ def minhash_lsh_candidates(
     callers that re-verify exactly anyway (lsh_verified_pairs) ship only
     (band, bucket, id) rows end to end.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col, hash_fn)
-
-    def band_bucket(b: int) -> Column:
-        slice_ = [F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
-        if hash_fn in ("md5", "affine"):  # oracle-reproducible bucket key
-            return F.md5(F.concat_ws("|", *(s.cast("string") for s in slice_)))
-        return F.xxhash64(*slice_).cast("string")
-
-    band_cols = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
-                for b in range(bands)
-            ]
-        )
-    )
     if not include_est:
         # signature-free path: the shared banding table (band_bucket_rows)
         # IS this computation — one source of truth for the bucket key
@@ -323,6 +306,23 @@ def minhash_lsh_candidates(
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col, hash_fn)
+
+    def band_bucket(b: int) -> Column:
+        slice_ = [F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_fn in ("md5", "affine"):  # oracle-reproducible bucket key
+            return F.md5(F.concat_ws("|", *(s.cast("string") for s in slice_)))
+        return F.xxhash64(*slice_).cast("string")
+
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+                for b in range(bands)
+            ]
+        )
+    )
     carry = ["id", "signature"]
     buckets = sigs.select(*carry, band_cols.alias("bb")).select(
         *carry, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
