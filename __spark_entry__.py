@@ -2524,6 +2524,56 @@ def q_dedupe_near_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift between two corpus snapshots (vec_id
+    parity split): cosine distance between each label's two half
+    centroids — the retrain-trigger monitor. The centroid means are the
+    gated integer-scaled label_centroids; the drift re-scales the round-9
+    components to exact ints so every cross-dimension sum (dot, norms) is
+    order-free, with one IEEE division+sqrt at the end — hash-exact."""
+    from zipkin_dependencies_spark.llm.similarity import label_centroids
+    from zipkin_dependencies_spark.testdata import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    ca = label_centroids(emb.filter(F.col("vec_id") % 2 == 0)).select(
+        "label", "i", F.round(F.col("c") * 1e6).cast("long").alias("qa")
+    )
+    cb = label_centroids(emb.filter(F.col("vec_id") % 2 == 1)).select(
+        "label", "i", F.round(F.col("c") * 1e6).cast("long").alias("qb")
+    )
+    agg = (
+        ca.join(cb, ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum(F.col("qa") * F.col("qb")).alias("dot"),
+            F.sum(F.col("qa") * F.col("qa")).alias("na"),
+            F.sum(F.col("qb") * F.col("qb")).alias("nb"),
+        )
+    )
+    return agg.select(
+        "label",
+        "n_dims",
+        F.round(
+            1 - F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 9
+        ).alias("drift9"),
+    )
+
+
+def q_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release check on the Gopher-gated curation output: per-split doc
+    counts and round-9 fractions (the sanity screen every dataset ship
+    runs before handing splits to a trainer)."""
+    from pyspark.sql import Window
+
+    v3 = q_curation_pipeline_v3(spark, sf_dir)
+    counts = v3.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return counts.select(
+        "split", "n_docs", F.round(F.col("n_docs") / total, 9).alias("frac9")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -2670,6 +2720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "service_clustering": q_service_clustering,
         "dedupe_near_against": q_dedupe_near_against,
+        "embedding_drift": q_embedding_drift,
+        "split_audit": q_split_audit,
     }
 
 
@@ -3321,6 +3373,43 @@ WINDOW w AS (PARTITION BY parent, child ORDER BY day_num
         "language_confusion": llm_oracles.language_confusion_sql(),
         "dedupe_near_against": llm_oracles.dedupe_near_against_sql(
             num_hashes=16, bands=4, k=3, threshold=0.5, new_mod=7, new_rem=2
+        ),
+        "embedding_drift": """
+WITH flat AS (
+  SELECT label, vec_id, CAST(u.i AS INT) AS i,
+         CAST(round(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) * 1048576)
+           AS BIGINT) AS qx
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u
+),
+ca AS (
+  SELECT label, i,
+         CAST(round(round((sum(qx) / count(*)) / 1048576, 9) * 1e6)
+           AS BIGINT) AS qa
+  FROM flat WHERE vec_id % 2 = 0 GROUP BY 1, 2
+),
+cb AS (
+  SELECT label, i,
+         CAST(round(round((sum(qx) / count(*)) / 1048576, 9) * 1e6)
+           AS BIGINT) AS qb
+  FROM flat WHERE vec_id % 2 = 1 GROUP BY 1, 2
+),
+agg AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_dims,
+         sum(qa * qb) AS dot, sum(qa * qa) AS na, sum(qb * qb) AS nb
+  FROM ca JOIN cb USING (label, i) GROUP BY 1
+)
+SELECT label, n_dims,
+       round(1 - dot / (sqrt(na) * sqrt(nb)), 9) AS drift9
+FROM agg
+""",
+        "split_audit": (
+            "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, "
+            "round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 9) "
+            "AS frac9 FROM ("
+            + llm_oracles.curate_v3_sql(
+                lang="en", n=13, bench_mod=97, min_words=30, min_stop_hits=1
+            )
+            + ") v3 GROUP BY split"
         ),
         # streaming sessionizer splits on gap REACHED (>=), the documented
         # half-open difference from the batch operator's gap EXCEEDED (>)
