@@ -1715,10 +1715,14 @@ def _streaming_sessions_oracle(raw_sessionize_sql: str) -> str:
     '>' semantics and the fixture — with no event pair exactly one gap
     apart — would keep passing vacuously)."""
     rewritten = raw_sessionize_sql.replace("> {gap_us}", ">= {gap_us}")
-    assert rewritten != raw_sessionize_sql, (
-        "SESSIONIZE_SQL no longer contains '> {gap_us}' — update the "
-        "streaming_sessions_replay oracle rewrite to match"
-    )
+    if rewritten == raw_sessionize_sql:
+        # RuntimeError, not assert: assert is stripped under python -O and
+        # the no-op rewrite would silently revert the oracle to batch '>'
+        # semantics — exactly the vacuous pass this guard exists to stop.
+        raise RuntimeError(
+            "SESSIONIZE_SQL no longer contains '> {gap_us}' — update the "
+            "streaming_sessions_replay oracle rewrite to match"
+        )
     return (
         "SELECT user_id, start_us, end_us, n_events, n_errors FROM ("
         + rewritten.format(gap_us=1_800_000_000)
@@ -2435,13 +2439,18 @@ def q_service_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-ish NOT EXISTS shape: per market segment, how many
-    customers placed no 1996+ order — a LEFT ANTI join (null-safe, no
-    fan-out) into a segment-cardinality aggregate."""
+    customers placed no recent (2001+) order — a LEFT ANTI join
+    (null-safe, no fan-out) into a segment-cardinality aggregate.
+
+    Cutoff chosen so the fixture yields a NON-EMPTY anti-join at every
+    SF (65 customers at sf0.001, 615 at sf0.01) while most customers
+    still have a qualifying order — the gate must pass some rows and
+    fail others, never compare empty-to-empty (ADVICE r04)."""
     from zipkin_dependencies_spark.testdata import load
 
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= "1996-01-01"
+        F.col("o_orderdate") >= "2001-01-01"
     )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
@@ -2581,119 +2590,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER IS EVIDENCE POLICY: the driver's correctness gate runs
-    # the first 50 entries (CORRECTNESS_r03 == first 50 of the r03 registry,
-    # exactly). Rounds 1-3 gated the zipkin core + the first LLM block; the
-    # 28 operators added later never received a driver row. This round they
-    # come FIRST so CORRECTNESS_r04 covers them; the previously-gated block
-    # follows (still covered by tests/test_entry_oracle.py's local replica
-    # gate at sf0.01, which runs ALL entries every time).
+    # the first 50 entries (verified: CORRECTNESS_rNN == first 50 of that
+    # round's registry, exactly). Every entry past 50 is still value-hash
+    # gated locally every round by tests/test_entry_oracle.py (all entries,
+    # sf0.01 DuckDB replica of the driver compare).
     #
-    # ROTATION PLAN FOR r05: the tier-L tail (bigram_surprisal onward —
-    # every entry past position 100) will not receive an r04 driver row;
-    # next round, move that block to the FRONT of the registry (the r04-
-    # gated first 50 then rotate to local-gate coverage), keeping every
-    # query driver-gated at least once across consecutive rounds.
+    # r05 ROTATION (executes the plan written in r04): Block A holds the 28
+    # queries that through r04 had only local-gate evidence — after this
+    # round, every registered query has at least one driver-verified
+    # rows+schema+hash row (see PARITY.md tier ledger). Block B slots new
+    # r05 queries so additions gate the round they appear. Block C re-gates
+    # the queries whose implementation this round touches. Standing policy
+    # for future rounds: never-gated first, new queries second, touched
+    # code third, then rotate the oldest driver evidence forward.
     return {
-        # --- never driver-gated before r04 (28) + new batch-replay twins ---
-        "streaming_funnel_replay": q_streaming_funnel_replay,
-        "streaming_anomalies_replay": q_streaming_anomalies_replay,
-        "curation_pipeline_v2": q_curation_pipeline_v2,
-        "sessionize_events": q_sessionize_events,
-        "asof_attribution": q_asof_attribution,
-        "funnel_events": q_funnel_events,
-        "quantile_gate": q_quantile_gate,
-        "bm25_search": q_bm25_search,
-        "hybrid_search": q_hybrid_search,
-        "kmeans_clusters": q_kmeans_clusters,
-        "dense_daily_counts": q_dense_daily_counts,
-        "props_rollup": q_props_rollup,
-        "corpus_diff": q_corpus_diff,
-        "semantic_search": q_semantic_search,
-        "unigram_surprisal": q_unigram_surprisal,
-        "service_pagerank": q_service_pagerank,
-        "service_reachability": q_service_reachability,
-        "span_fanout_histogram": q_span_fanout_histogram,
-        "event_value_percentiles": q_event_value_percentiles,
-        "events_daily_pivot": q_events_daily_pivot,
-        "trace_size_percentiles": q_trace_size_percentiles,
-        "event_transitions": q_event_transitions,
-        "window_anomalies": q_window_anomalies,
-        "cohort_retention": q_cohort_retention,
-        "corpus_stats": q_corpus_stats,
-        "group_topn_sample": q_group_topn_sample,
-        "label_centroids": q_label_centroids,
-        "media_stats": q_media_stats,
-        "media_frames": q_media_frames,
-        "media_features": q_media_features,
-        # --- new in r04 (never gated; still within the first-50 window) ---
-        "incident_range_join": q_incident_range_join,
-        "collapse_bursts": q_collapse_bursts,
-        "inverted_index": q_inverted_index,
-        "ngram_containment": q_ngram_containment,
-        "link_error_rates": q_link_error_rates,
-        "mixing_plan": q_mixing_plan,
-        "top_trace_paths": q_top_trace_paths,
-        "streaming_bursts_replay": q_streaming_bursts_replay,
-        "streaming_join_replay": q_streaming_join_replay,
-        "links_window_diff": q_links_window_diff,
-        "trace_depth_histogram": q_trace_depth_histogram,
-        "heavy_hitter_users": q_heavy_hitter_users,
-        "shipping_priority": q_shipping_priority,
-        "nation_volume_pairs": q_nation_volume_pairs,
-        # --- driver-gated green in CORRECTNESS_r01..r03 (50) ---
-        "dependency_links": q_dependency_links,
-        "dependency_links_f2_window": q_dependency_links_f2,
-        "v1_reconstruct": q_v1_reconstruct,
-        "v1_links": q_v1_links,
-        "links_strict128": q_links_strict128,
-        "f3_day_partition_links": q_f3_day_partition_links,
-        "dedupe_replayed_links": q_dedupe_replayed_links,
-        "links_heavy_isolated": q_links_heavy_isolated,
-        "links_two_phase": q_links_two_phase,
-        "links_relational": q_links_relational,
-        "links_bucketed": q_links_bucketed,
-        "multi_day_links": q_multi_day_links,
-        "streaming_daily_links": q_streaming_daily_links,
-        "json_spans_decode": q_json_spans_decode,
-        "trace_normalize": q_trace_normalize,
-        "s3_join_distinct": q_s3_join_distinct,
-        "a2_agg_lineitem": q_a2_agg_lineitem,
-        "local_supplier_volume": q_local_supplier_volume,
-        "f1_window_events": q_f1_window_events,
-        "sliding_window_events": q_sliding_window_events,
-        "day_rollup_events": q_day_rollup_events,
-        "dedupe_exact": q_dedupe_exact,
-        "text_stats": q_text_stats,
-        "simhash": q_simhash,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh": q_minhash_lsh,
-        "ngram_jaccard": q_ngram_jaccard,
-        "near_dup_clusters": q_near_dup_clusters,
-        "near_dup_clusters_exact": q_near_dup_clusters_exact,
-        "cosine_topk": q_cosine_topk,
-        "quantized_cosine_topk": q_quantized_cosine_topk,
-        "lsh_cosine_topk": q_lsh_cosine_topk,
-        "ivf_cosine_topk": q_ivf_cosine_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "decontaminate": q_decontaminate,
-        "repetition_score": q_repetition_score,
-        "scrub_pii": q_scrub_pii,
-        "dedupe_against": q_dedupe_against,
-        "dup_ngram_coverage": q_dup_ngram_coverage,
-        "assign_shards": q_assign_shards,
-        "dedupe_near": q_dedupe_near,
-        "hash_sample": q_hash_sample,
-        "stratified_sample": q_stratified_sample,
-        "hash_split": q_hash_split,
-        "dedupe_keep_best": q_dedupe_keep_best,
-        "top_k_tokens": q_top_k_tokens,
-        "token_idf": q_token_idf,
-        "top_docs_per_source": q_top_docs_per_source,
-        "curation_pipeline": q_curation_pipeline,
-        # --- r04 tier-L additions (beyond the 50-row driver window this
-        # round; local-gate evidence now, front-of-registry candidates for
-        # the r05 driver gate) ---
+        # --- BLOCK A: tier-L rotation (r04 plan executed): the 28 queries
+        # that had never received a driver row before r05 gate FIRST ---
         "bigram_surprisal": q_bigram_surprisal,
         "normalized_text": q_normalized_text,
         "session_duration_histogram": q_session_duration_histogram,
@@ -2722,6 +2634,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_near_against": q_dedupe_near_against,
         "embedding_drift": q_embedding_drift,
         "split_audit": q_split_audit,
+        # --- BLOCK B: new-in-r05 queries slot here (never driver-gated,
+        # so they land inside the 50-row window the round they appear) ---
+        # --- BLOCK C: high-churn re-gates — queries whose code this round
+        # touches (embedding-LSH auto-sizing, trace-path checkpoint policy,
+        # linker flagship) re-verify under the driver oracle ---
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "top_trace_paths": q_top_trace_paths,
+        "trace_depth_histogram": q_trace_depth_histogram,
+        "dependency_links": q_dependency_links,
+        "v1_links": q_v1_links,
+        "near_dup_clusters": q_near_dup_clusters,
+        "dedupe_near": q_dedupe_near,
+        "links_relational": q_links_relational,
+        "cosine_topk": q_cosine_topk,
+        "curation_pipeline": q_curation_pipeline,
+        "sessionize_events": q_sessionize_events,
+        "mixing_plan": q_mixing_plan,
+        "dedupe_exact": q_dedupe_exact,
+        # --- BLOCK D: driver-gated green in r01-r04; covered every round
+        # by the local sf0.01 replica gate (tests/test_entry_oracle.py) ---
+        "streaming_funnel_replay": q_streaming_funnel_replay,
+        "streaming_anomalies_replay": q_streaming_anomalies_replay,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
+        "asof_attribution": q_asof_attribution,
+        "funnel_events": q_funnel_events,
+        "quantile_gate": q_quantile_gate,
+        "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
+        "kmeans_clusters": q_kmeans_clusters,
+        "dense_daily_counts": q_dense_daily_counts,
+        "props_rollup": q_props_rollup,
+        "corpus_diff": q_corpus_diff,
+        "semantic_search": q_semantic_search,
+        "unigram_surprisal": q_unigram_surprisal,
+        "service_pagerank": q_service_pagerank,
+        "service_reachability": q_service_reachability,
+        "span_fanout_histogram": q_span_fanout_histogram,
+        "event_value_percentiles": q_event_value_percentiles,
+        "events_daily_pivot": q_events_daily_pivot,
+        "trace_size_percentiles": q_trace_size_percentiles,
+        "event_transitions": q_event_transitions,
+        "window_anomalies": q_window_anomalies,
+        "cohort_retention": q_cohort_retention,
+        "corpus_stats": q_corpus_stats,
+        "group_topn_sample": q_group_topn_sample,
+        "label_centroids": q_label_centroids,
+        "media_stats": q_media_stats,
+        "media_frames": q_media_frames,
+        "media_features": q_media_features,
+        "incident_range_join": q_incident_range_join,
+        "collapse_bursts": q_collapse_bursts,
+        "inverted_index": q_inverted_index,
+        "ngram_containment": q_ngram_containment,
+        "link_error_rates": q_link_error_rates,
+        "streaming_bursts_replay": q_streaming_bursts_replay,
+        "streaming_join_replay": q_streaming_join_replay,
+        "links_window_diff": q_links_window_diff,
+        "heavy_hitter_users": q_heavy_hitter_users,
+        "shipping_priority": q_shipping_priority,
+        "nation_volume_pairs": q_nation_volume_pairs,
+        "dependency_links_f2_window": q_dependency_links_f2,
+        "v1_reconstruct": q_v1_reconstruct,
+        "links_strict128": q_links_strict128,
+        "f3_day_partition_links": q_f3_day_partition_links,
+        "dedupe_replayed_links": q_dedupe_replayed_links,
+        "links_heavy_isolated": q_links_heavy_isolated,
+        "links_two_phase": q_links_two_phase,
+        "links_bucketed": q_links_bucketed,
+        "multi_day_links": q_multi_day_links,
+        "streaming_daily_links": q_streaming_daily_links,
+        "json_spans_decode": q_json_spans_decode,
+        "trace_normalize": q_trace_normalize,
+        "s3_join_distinct": q_s3_join_distinct,
+        "a2_agg_lineitem": q_a2_agg_lineitem,
+        "local_supplier_volume": q_local_supplier_volume,
+        "f1_window_events": q_f1_window_events,
+        "sliding_window_events": q_sliding_window_events,
+        "day_rollup_events": q_day_rollup_events,
+        "text_stats": q_text_stats,
+        "simhash": q_simhash,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_clusters_exact": q_near_dup_clusters_exact,
+        "quantized_cosine_topk": q_quantized_cosine_topk,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
+        "decontaminate": q_decontaminate,
+        "repetition_score": q_repetition_score,
+        "scrub_pii": q_scrub_pii,
+        "dedupe_against": q_dedupe_against,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
+        "assign_shards": q_assign_shards,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
+        "dedupe_keep_best": q_dedupe_keep_best,
+        "top_k_tokens": q_top_k_tokens,
+        "token_idf": q_token_idf,
+        "top_docs_per_source": q_top_docs_per_source,
     }
 
 
@@ -3484,7 +3497,7 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer
 WHERE NOT EXISTS (
   SELECT 1 FROM orders
-  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1996-01-01'
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01'
 )
 GROUP BY 1
 """,

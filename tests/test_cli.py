@@ -147,3 +147,29 @@ def test_curate_cli_gopher_bad_value_is_argparse_error(tmp_path):
              "--output", str(tmp_path / "x"), "--gate", "gopher",
              "--gopher", "min_words=abc"]
         )
+
+
+def test_curate_cli_rejects_cross_gate_flags(tmp_path):
+    """--gate gopher + --min-quality (and the inverse mix) must error, not
+    silently drop the flag — a misconfigured run would otherwise proceed
+    with a different gate than the operator believes (ADVICE r04)."""
+    import pytest
+
+    from zipkin_dependencies_spark import curate as cli
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["--input", docs, "--output", str(tmp_path / "a"),
+             "--gate", "gopher", "--min-quality", "0.9"]
+        )
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["--input", docs, "--output", str(tmp_path / "b"),
+             "--gate", "gopher", "--max-dup-3gram", "0.2"]
+        )
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["--input", docs, "--output", str(tmp_path / "c"),
+             "--gopher", "min_words=30"]
+        )

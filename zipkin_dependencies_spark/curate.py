@@ -39,9 +39,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True, help="documents parquet path")
     p.add_argument("--output", required=True, help="output directory (parquet)")
     p.add_argument("--benchmark", help="benchmark/eval parquet for decontamination")
-    p.add_argument("--min-quality", type=float, default=0.4)
+    # Heuristic-gate knobs default to None sentinels so an EXPLICIT flag is
+    # distinguishable from the default — a --gate gopher run that also passes
+    # --min-quality is a misconfiguration that must error, not silently drop
+    # the flag (ADVICE r04). Effective defaults are applied after validation.
+    p.add_argument(
+        "--min-quality",
+        type=float,
+        default=None,
+        help="heuristic gate only (default 0.4)",
+    )
     p.add_argument("--lang", default="en")
-    p.add_argument("--max-dup-3gram", type=float, default=0.5)
+    p.add_argument(
+        "--max-dup-3gram",
+        type=float,
+        default=None,
+        help="heuristic gate only (default 0.5)",
+    )
     p.add_argument("--decontaminate-n", type=int, default=13)
     p.add_argument(
         "--gate",
@@ -90,6 +104,18 @@ def main(argv: list[str] | None = None) -> int:
         # broadcast anti-join is against zero digests)
         else spark.createDataFrame([], "doc_id bigint, text string")
     )
+    if args.gate == "gopher" and (
+        args.min_quality is not None or args.max_dup_3gram is not None
+    ):
+        p.error(
+            "--min-quality/--max-dup-3gram configure the heuristic gate and "
+            "have no effect with --gate gopher (use --gopher KEY=VALUE)"
+        )
+    if args.gate != "gopher" and args.gopher:
+        p.error(
+            "--gopher overrides configure the gopher gate and have no "
+            "effect with --gate heuristic (pass --gate gopher)"
+        )
     if args.gate == "gopher":
         thresholds: dict[str, float] = {}
         for spec in args.gopher:
@@ -116,9 +142,11 @@ def main(argv: list[str] | None = None) -> int:
         survivors = curate_v2(
             docs,
             benchmark,
-            min_quality=args.min_quality,
+            min_quality=0.4 if args.min_quality is None else args.min_quality,
             lang=args.lang,
-            max_dup_3gram=args.max_dup_3gram,
+            max_dup_3gram=(
+                0.5 if args.max_dup_3gram is None else args.max_dup_3gram
+            ),
             decontaminate_n=args.decontaminate_n,
             split_weights=args.split,
         )

@@ -34,7 +34,7 @@ SNAPSHOT_QUERIES: tuple[str, ...] = (
 HEADER = """# PLANS — captured physical plans (generated)
 
 Formatted `.explain` output for {n} representative queries at
-/root/testdata/sf0.001 (plan shape is SF-independent; AQE runtime
+{sf_dir} (plan shape is SF-independent; AQE runtime
 re-planning not shown — the load-bearing properties are PINNED by
 tests/test_plans.py, this file is the human-auditable record).
 Regenerate: `python -m zipkin_dependencies_spark.plans.snapshot`.
@@ -52,7 +52,7 @@ def write_plan_snapshot(
 
     spark = get_spark(master="local[4]", shuffle_partitions=4)
     qs = entry.queries()
-    parts = [HEADER.format(n=len(names))]
+    parts = [HEADER.format(n=len(names), sf_dir=sf_dir)]
     for name in names:
         df = qs[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
