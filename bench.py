@@ -22,6 +22,18 @@ import sys
 import time
 
 
+def clean_window(elapsed_s: float, steal_core_s: float) -> bool:
+    """True when a timing window saw no significant CPU theft.
+
+    ``steal_core_s`` is machine-wide stolen core-seconds during the window
+    (/proc/stat field 8 delta / USER_HZ). Sustained theft of >= a quarter
+    of one core — floored at 0.5 core-s so sub-second queries aren't
+    flagged by scheduler jitter — marks the measurement degraded; the
+    bench then re-runs it (bounded) instead of shipping a spliced local
+    artifact (VERDICT r04 #2)."""
+    return steal_core_s <= max(0.5, 0.25 * elapsed_s)
+
+
 def _calibrate() -> dict[str, float]:
     """Single-core machine-speed probes, measured BEFORE Spark starts.
 
@@ -154,7 +166,33 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     gc_per_query: dict[str, int] = {}
+    steal_per_query: dict[str, float] = {}
+    has_clean: dict[str, bool] = {}
     steal0 = steal_ticks()
+
+    def run_once(tag: str, name: str) -> None:
+        g0 = gc_ms()
+        s0 = steal_ticks()
+        t0 = time.monotonic()
+        n = all_queries[name](spark, sf_dir).count()  # forces the full plan
+        el = round(time.monotonic() - t0, 3)
+        st = round((steal_ticks() - s0) / 100.0, 2)
+        gc = gc_ms() - g0
+        prev = timings.get(name)
+        if prev is None or el < prev:
+            timings[name] = el
+            gc_per_query[name] = gc
+            steal_per_query[name] = st
+        # ANY clean run certifies the kept min: either the min is itself
+        # clean, or it is FASTER than a clean-window run (steal did not
+        # inflate it) — both are trustworthy floors.
+        if clean_window(el, st):
+            has_clean[name] = True
+        print(
+            f"# {tag} {name}: {el:.2f}s ({n} rows, gc {gc}ms, steal {st}cs)",
+            file=sys.stderr,
+        )
+
     # best-of-2 as two SEPARATED full passes, not back-to-back repeats: the
     # first execution of each distinct plan pays one-time codegen cost
     # (measured: 7.6s -> 2.5s steady state), so a repeat is needed — but this
@@ -171,20 +209,30 @@ def main() -> None:
         # subtree is deliberately ~free — that IS the measured design)
         clear_all_memos()
         for name in headline:
-            q = all_queries[name]
-            g0 = gc_ms()
-            t0 = time.monotonic()
-            n = q(spark, sf_dir).count()  # forces the full plan
-            el = round(time.monotonic() - t0, 3)
-            prev = timings.get(name)
-            if prev is None or el < prev:
-                timings[name] = el
-                gc_per_query[name] = gc_ms() - g0
-            print(
-                f"# pass{pass_i} {name}: {el:.2f}s ({n} rows, gc {gc_ms() - g0}ms)",
-                file=sys.stderr,
-            )
+            run_once(f"pass{pass_i}", name)
 
+    # Steal-aware bounded re-runs (the r04 ask): when a query's kept
+    # measurement comes only from degraded windows, re-run it — up to two
+    # extra rounds — so ONE driver invocation yields a clean artifact
+    # without local splicing. Each retry round is a mini-pass over the
+    # still-degraded set in registry order with memos cleared at the round
+    # boundary, preserving the pass semantics (memo builders pay, same-round
+    # consumers get the in-pass discount, exactly as in a full pass).
+    retried: list[str] = []
+    for retry_i in range(2):
+        degraded = [n for n in headline if not has_clean.get(n, False)]
+        if not degraded:
+            break
+        print(
+            f"# retry{retry_i}: {len(degraded)} degraded-window queries",
+            file=sys.stderr,
+        )
+        retried = sorted(set(retried) | set(degraded))
+        clear_all_memos()
+        for name in degraded:
+            run_once(f"retry{retry_i}", name)
+
+    still_degraded = [n for n in headline if not has_clean.get(n, False)]
     calibration["steal_s"] = round((steal_ticks() - steal0) / 100.0, 1)
     total = round(sum(timings.values()), 3)
     detail_path = os.environ.get(
@@ -199,6 +247,13 @@ def main() -> None:
         "sf": sf,
         "calibration": calibration,
         "gc_ms": gc_per_query,
+        # per-query stolen core-seconds during the KEPT run's window, the
+        # queries the steal-aware retry loop re-ran, and any whose every
+        # run (2 passes + 2 retries) was still degraded — a reader can
+        # judge each floor without cross-referencing other artifacts
+        "steal_cs": steal_per_query,
+        "retried": retried,
+        "still_degraded": still_degraded,
     }
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
@@ -220,6 +275,8 @@ def main() -> None:
                 "queries": slowest,
                 "sf": sf,
                 "calibration": calibration,
+                "n_retried": len(retried),
+                "n_still_degraded": len(still_degraded),
                 "detail": os.path.basename(detail_path),
             }
         )

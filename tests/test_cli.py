@@ -173,3 +173,15 @@ def test_curate_cli_rejects_cross_gate_flags(tmp_path):
             ["--input", docs, "--output", str(tmp_path / "c"),
              "--gopher", "min_words=30"]
         )
+
+
+def test_bench_clean_window_predicate():
+    """The steal-aware retry trigger: sub-second jitter is tolerated, a
+    sustained quarter-core of theft is not."""
+    import bench
+
+    assert bench.clean_window(0.2, 0.4)      # jitter under the floor
+    assert not bench.clean_window(0.2, 0.6)  # floor exceeded
+    assert bench.clean_window(10.0, 2.4)     # < 25% of elapsed
+    assert not bench.clean_window(10.0, 2.6)
+    assert not bench.clean_window(154.0, 322.4)  # the r04 driver window
