@@ -627,12 +627,20 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup (the 100 TB path): hyperplane
     signatures bucket the corpus, cosine verified on Hamming≤1 candidate
     pairs only — no all-pairs matmul. Oracle replays the identical
-    hyperplane/fold arithmetic in DuckDB."""
+    hyperplane/fold arithmetic in DuckDB.
+
+    n_planes is AUTO-SIZED from a count-star (auto_planes: occupancy held
+    ~constant as the corpus grows — the r05 fix for the occupancy² verify
+    blow-up). At every gated fixture (500 vectors at sf0.001/sf0.01, 2000
+    at sf0.1) auto resolves to exactly 8, which is what the static DuckDB
+    oracle pins; tests/test_llm.py asserts that resolution so a fixture
+    change that silently shifts the plane count fails loudly instead of
+    hash-mismatching here."""
     from zipkin_dependencies_spark.llm.dedup import embedding_near_dup_lsh
     from zipkin_dependencies_spark.testdata import load
 
     return embedding_near_dup_lsh(
-        load(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=8, dim=64
+        load(spark, sf_dir, "embeddings"), threshold=0.3, dim=64
     )
 
 
@@ -3079,6 +3087,8 @@ GROUP BY 1, 2, 3
             k=5, centroid_stride=97, n_probe=4, dim=64, query_max_id=32
         ),
         "embedding_near_dup": llm_oracles.embedding_near_dup_sql(threshold=0.3, dim=64),
+        # n_planes=8 == auto_planes(n) at every gated SF (500-2000 vectors);
+        # the resolution is pinned by tests/test_llm.py
         "embedding_near_dup_lsh": llm_oracles.embedding_near_dup_lsh_sql(
             threshold=0.3, n_planes=8, dim=64
         ),

@@ -405,13 +405,33 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 # --- embedding near-dup ---------------------------------------------------------
 
+def auto_planes(corpus_rows: int, target_occupancy: float = 8.0) -> int:
+    """Hyperplane count that holds expected bucket occupancy ~constant:
+    ``max(8, ceil(log2(corpus / target_occupancy)))``.
+
+    The r04 scaling ledger measured the failure mode this prevents: with
+    planes PINNED, in-bucket verify pairs grow occupancy² — 4.9× wall at
+    10× vectors. Holding occupancy fixed makes verify work grow linearly
+    with the corpus (buckets scale, pairs-per-bucket don't). The default
+    target (8) is the measured occupancy of the sf0.1 fixture at the
+    historical n_planes=8, so every driver-gated SF (500–2000 vectors)
+    resolves to exactly 8 and the static DuckDB oracles stay valid; the
+    derived-sf1 tier (20k vectors) resolves to 12. Each +1 plane trades a
+    little per-pair recall (one more bit must agree within Hamming<=1
+    probing) — raise ``target_occupancy`` if a recall gate demands it."""
+    import math
+
+    return max(8, math.ceil(math.log2(max(corpus_rows, 2) / target_occupancy)))
+
+
 def embedding_near_dup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_occupancy: float = 8.0,
 ) -> DataFrame:
     """LSH-bucketed embedding near-dup — the 100 TB composition of the two
     existing pieces: hyperplane-LSH signatures (similarity.py) bucket the
@@ -432,15 +452,21 @@ def embedding_near_dup_lsh(
     than the blocked numpy matmul: candidates are O(dups), not O(N²), so
     fold cost is bounded and the value-hash gate confirms end to end.
 
-    SIZING RULE (measured on the derived-sf1 tier, BASELINE.md r4 ledger:
-    4.9× wall at 10× vectors with n_planes pinned): bucket count is
-    2^n_planes and in-bucket verify pairs grow with occupancy², so scale
-    ``n_planes ≈ log2(corpus / target_occupancy)`` to hold occupancy
-    constant — e.g. target ~1k/bucket puts 10⁸ vectors at n_planes=17.
-    Each +1 plane doubles buckets at the price of slightly lower per-pair
-    recall; add one probe bit (Hamming ≤ 2) to compensate if the recall
+    SIZING (the r04 "manual knob" closed): ``n_planes=None`` (the default)
+    derives the plane count from a cheap count-star —
+    ``auto_planes(count, target_occupancy)`` — so bucket occupancy, and
+    with it the occupancy²-growing in-bucket verify cost, stays ~constant
+    as the corpus scales instead of being a constant the 100 TB operator
+    has to remember to retune. The count is a column-pruned parquet
+    count-star (metadata-cheap at any scale) paid once per call. Pass an
+    explicit ``n_planes`` to override (e.g. to pin a plan across runs);
+    each +1 plane doubles buckets at the price of slightly lower per-pair
+    recall — add one probe bit (Hamming ≤ 2) to compensate if the recall
     gate demands it."""
     from .similarity import _dot, _with_norm, hyperplane_signature
+
+    if n_planes is None:
+        n_planes = auto_planes(embeddings.count(), target_occupancy)
 
     e = _with_norm(embeddings, id_col, vec_col).withColumn(
         "sig", hyperplane_signature("vec", n_planes, dim)
