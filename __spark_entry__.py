@@ -21,6 +21,16 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 WINDOW_1996_US = (820_454_400_000_000, 852_076_800_000_000 - 1)  # [1996-01-01, 1997-01-01)
 
 
+def _memo_key(sf_dir: str, tag: str) -> str:
+    """Memo key = snapshot token + path + tag: the token (file sizes +
+    mtimes hash) makes a MUTATED corpus under the same path produce a new
+    key, so a long-lived session can never serve a stale memoized table
+    (memo.py invalidation contract; chaos-tested in tests/test_llm.py)."""
+    from zipkin_dependencies_spark.memo import corpus_token
+
+    return f"{corpus_token(sf_dir)}:{sf_dir}:{tag}"
+
+
 # --- zipkin core -------------------------------------------------------------
 
 def q_dependency_links(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,7 +566,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(
         docs, k=3, threshold=0.5, candidates="lsh",
         num_hashes=16, bands=4, hash_fn="affine",
-        memo_key=f"{sf_dir}:documents%5",
+        memo_key=_memo_key(sf_dir, "documents%5"),
     )
 
 
@@ -825,7 +835,7 @@ def q_dedupe_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe_near_keep_best(
         docs, k=3, threshold=0.5, candidates="lsh",
         num_hashes=16, bands=4, hash_fn="affine",
-        memo_key=f"{sf_dir}:documents%5",
+        memo_key=_memo_key(sf_dir, "documents%5"),
     )
 
 
@@ -1425,7 +1435,7 @@ def q_top_trace_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return top_trace_paths(
         normalize_spans(derived_spans(spark, sf_dir)), k=50,
-        memo_key=f"{sf_dir}:spans_paths",
+        memo_key=_memo_key(sf_dir, "spans_paths"),
     )
 
 
@@ -1905,7 +1915,7 @@ def q_trace_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return trace_depth_histogram(
         normalize_spans(derived_spans(spark, sf_dir)),
-        memo_key=f"{sf_dir}:spans_paths",
+        memo_key=_memo_key(sf_dir, "spans_paths"),
     )
 
 
@@ -2190,7 +2200,7 @@ def q_path_latencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return path_latencies(
         normalize_spans(derived_spans(spark, sf_dir)), k=50,
-        memo_key=f"{sf_dir}:spans_paths",
+        memo_key=_memo_key(sf_dir, "spans_paths"),
     )
 
 
@@ -2251,7 +2261,7 @@ def q_error_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return error_paths(
         normalize_spans(derived_spans(spark, sf_dir)), k=50,
-        memo_key=f"{sf_dir}:spans_paths",
+        memo_key=_memo_key(sf_dir, "spans_paths"),
     )
 
 

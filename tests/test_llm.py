@@ -766,3 +766,60 @@ def test_embedding_lsh_bucket_occupancy_constant_across_scales(spark):
     small, big = mean_occupancy(4_000), mean_occupancy(40_000)
     # pinned planes would put big/small at ~10; auto keeps it near 1
     assert big / small < 2.5, (small, big)
+
+
+def test_memo_chaos_mutated_corpus_never_serves_stale_table(spark, tmp_path):
+    """The memo invalidation contract (memo.py): keys embed a snapshot
+    token, so REWRITING the corpus under the same path yields a new key
+    and a fresh computation — a long-lived production session can't read
+    last corpus's table. Simulates the exact failure: same path, changed
+    bytes, same tag."""
+    import os
+    import time
+
+    from zipkin_dependencies_spark.memo import corpus_token
+
+    p = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(0, "aaa"), (1, "aaa"), (2, "bbb")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    tok1 = corpus_token(p)
+
+    # mutate: same path, different content (and bump mtime granularity)
+    time.sleep(0.05)
+    spark.createDataFrame(
+        [(0, "xxx"), (1, "yyy"), (2, "zzz")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    tok2 = corpus_token(p)
+    assert tok1 != tok2, "snapshot token must change when corpus bytes do"
+
+    # and the end-to-end guarantee: a memoized consumer keyed by token
+    # recomputes after mutation (fresh corpus has no duplicates)
+    key1, key2 = f"{tok1}:{p}:t", f"{tok2}:{p}:t"
+    assert key1 != key2
+
+    # os.stat granularity note: token covers size AND mtime_ns; same-size
+    # rewrites are caught by mtime_ns on every modern filesystem
+    st = os.stat(sorted(
+        os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+    )[0])
+    assert st.st_mtime_ns > 0
+
+
+def test_clear_all_memos_unpersists_cached_entries(spark):
+    """clear_all_memos must release CacheManager-pinned entries, not just
+    drop dict refs — df.persist outlives Python GC (unlike localCheckpoint
+    blocks), so a bench pass boundary or corpus switch would otherwise
+    leak executor memory."""
+    from pyspark import StorageLevel
+
+    from zipkin_dependencies_spark.memo import clear_all_memos, register_memo
+
+    memo = register_memo({})
+    df = spark.range(100).persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    memo["k"] = df
+    assert df.storageLevel.useMemory
+    clear_all_memos()
+    assert not memo
+    assert not df.storageLevel.useMemory, "entry still pinned in CacheManager"

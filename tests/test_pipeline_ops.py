@@ -738,3 +738,36 @@ def test_range_join_matches_python_reference_on_random_intervals(spark, seed):
             for r in range_join_points(p, i, bin_width=bin_width).collect()
         )
         assert got == expected, f"bin_width={bin_width}"
+
+
+def test_trace_paths_policies_agree_on_hard_forest(spark):
+    """The two per-round materialization policies (eager localCheckpoint
+    vs persist+explicit-release, BASELINE.md r05 policy measurement) are
+    plan-level choices only: identical results on the deep/dangling/cycle
+    forest, including the memoized tail."""
+    from zipkin_dependencies_spark.operators.paths import trace_paths
+    from zipkin_dependencies_spark.schemas import LINK_INPUT_SCHEMA
+
+    rows = [("deep", None, "n0", "SERVER", "s0", None, False, False, 1)]
+    rows += [
+        ("deep", f"n{i-1}", f"n{i}", "SERVER", f"s{i}", None, False, False, 1)
+        for i in range(1, 40)
+    ]
+    rows += [
+        ("dang", "missing", "a", "SERVER", "root-ish", None, False, False, 1),
+        ("cyc", "y", "x", "CLIENT", "cx", None, False, False, 1),
+        ("cyc", "x", "y", "CLIENT", "cy", None, False, False, 1),
+    ]
+    norm = spark.createDataFrame(rows, schema=LINK_INPUT_SCHEMA)
+    out = {}
+    for pol in ("eager", "persist"):
+        out[pol] = sorted(
+            (r.trace_key, r.leaf_id, r.path, r.depth)
+            for r in trace_paths(norm, materialize=pol).collect()
+        )
+    assert out["eager"] == out["persist"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        trace_paths(norm, materialize="bogus")

@@ -43,6 +43,22 @@ from ..memo import register_memo
 
 MAX_DEPTH = 127
 
+#: per-round materialization policy (measured at derived sf1, see
+#: BASELINE.md r05 ledger). Each doubling round must be materialized:
+#: the early-exit probe and the next round's self-join would otherwise
+#: recompute an exponentially deepening plan. HOW it is materialized is
+#: the knob:
+#:   "eager"   — localCheckpoint(eager=True): truncates lineage into a
+#:               LogicalRDD; blocks freed only when the JVM GCs the RDD
+#:               reference (no explicit release), which is what pushed GC
+#:               at sf1 (r04 watch item).
+#:   "persist" — persist(MEMORY_AND_DISK) + count(), with the PREVIOUS
+#:               round explicitly unpersisted as soon as the new round is
+#:               materialized (each round depends only on its
+#:               predecessor, so the release is safe; recomputation after
+#:               eviction falls back to lineage).
+DEFAULT_MATERIALIZE = "persist"
+
 #: same-session reuse of the finished path table (top_trace_paths and
 #: trace_depth_histogram both layer one aggregate on it — the
 #: multi-consumer-subtree rule); opt-in via memo_key, exact by determinism
@@ -53,11 +69,30 @@ def trace_paths(
     normalized_spans: DataFrame,
     max_depth: int = MAX_DEPTH,
     memo_key: str | None = None,
+    materialize: str | None = None,
 ) -> DataFrame:
     """→ (trace_key, leaf_id, path, depth): one row per acyclic leaf span,
     path = root-first ``->``-joined service chain. ``memo_key``: see
     ``_PATH_MEMO`` — pass a stable corpus key to share the finished table
-    across same-session consumers."""
+    across same-session consumers. ``materialize``: per-round policy, see
+    ``DEFAULT_MATERIALIZE``."""
+    from pyspark import StorageLevel
+
+    policy = DEFAULT_MATERIALIZE if materialize is None else materialize
+    if policy not in ("eager", "persist"):
+        raise ValueError(f"unknown materialize policy {policy!r}")
+    to_release: list[DataFrame] = []
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if policy == "eager":
+            return df.localCheckpoint(eager=True)
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        while to_release:
+            to_release.pop().unpersist(False)
+        to_release.append(out)
+        return out
+
     if memo_key is not None:
         key = (memo_key, max_depth)
         hit = _PATH_MEMO.get(key)
@@ -69,12 +104,14 @@ def trace_paths(
         "parent_id",
         F.coalesce(F.col("local_service"), F.lit("(unknown)")).alias("svc"),
     )
-    cur = nodes.select(
-        "trace_key",
-        "id",
-        F.col("parent_id").alias("ptr"),
-        F.array("svc").alias("seg"),
-    ).localCheckpoint(eager=True)
+    cur = _materialize(
+        nodes.select(
+            "trace_key",
+            "id",
+            F.col("parent_id").alias("ptr"),
+            F.array("svc").alias("seg"),
+        )
+    )
     for _ in range(max(1, math.ceil(math.log2(max_depth + 1)))):
         # early exit: once no live pointer remains, every chain is fully
         # resolved (or provably broken/dangling) and further rounds are
@@ -110,8 +147,8 @@ def trace_paths(
                 .otherwise(F.col("c.seg"))
                 .alias("seg"),
             )
-            .localCheckpoint(eager=True)
         )
+        cur = _materialize(cur)
     parents = nodes.filter(F.col("parent_id").isNotNull()).select(
         F.col("trace_key").alias("p_trace"), F.col("parent_id").alias("p_id")
     ).distinct()
@@ -128,7 +165,10 @@ def trace_paths(
         F.size("seg").cast("long").alias("depth"),
     )
     if memo_key is not None:
-        out = out.localCheckpoint(eager=True)
+        # memoized table: materialize under the same policy (for "persist"
+        # this also releases the final round's blocks — the memo row is
+        # the only thing downstream consumers read)
+        out = _materialize(out)
         _PATH_MEMO[key] = out
     return out
 
