@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
@@ -307,6 +307,109 @@ def q_json_spans_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("local_endpoint.service_name").alias("local_service"),
         "timestamp",
     )
+
+
+def _corrupted_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately-damaged v2 JSON span corpus (the r04 #7 hardening ask):
+    two docs per order (root SERVER + child SERVER), with deterministic
+    corruption slices — truncated documents (roots %101, children %97),
+    wrong-typed timestamp values (children %89), 33-char trace ids
+    (children %83) — and an error tag on children %11. The corruption
+    chain on children is EXCLUSIVE (when/when/when/otherwise), so every
+    doc belongs to exactly one class and the DuckDB oracles can replicate
+    class membership with a CASE of the same precedence."""
+    from zipkin_dependencies_spark.testdata import epoch_us, load
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    pad16 = F.lpad(k.cast("string"), 16, "0")
+    child_id = F.concat(F.lpad(k.cast("string"), 15, "0"), F.lit("c"))
+    ts = epoch_us("o_orderdate")
+    p_svc = F.struct(
+        F.concat(F.lit("svc-"), (k % 13).cast("string")).alias("serviceName")
+    )
+    c_svc = F.struct(
+        F.concat(F.lit("svc-"), (k % 7).cast("string")).alias("serviceName")
+    )
+    err_tags = F.when(
+        k % 11 == 0, F.create_map(F.lit("error"), F.lit("true"))
+    )
+    root_doc = F.to_json(
+        F.struct(
+            pad16.alias("traceId"),
+            pad16.alias("id"),
+            F.lit("SERVER").alias("kind"),
+            ts.alias("timestamp"),
+            p_svc.alias("localEndpoint"),
+        )
+    )
+
+    def child(trace_id: Column, timestamp: Column) -> Column:
+        return F.struct(
+            trace_id.alias("traceId"),
+            pad16.alias("parentId"),
+            child_id.alias("id"),
+            F.lit("SERVER").alias("kind"),
+            timestamp.alias("timestamp"),
+            c_svc.alias("localEndpoint"),
+            err_tags.alias("tags"),
+        )
+
+    child_doc = (
+        F.when(k % 97 == 0, F.concat(F.lit("{broken"), F.to_json(child(pad16, ts))))
+        .when(
+            k % 89 == 0,
+            # to_json of a STRING timestamp emits "timestamp":"not-a-number"
+            # — valid JSON, wrong type for the decoder's LONG field
+            F.to_json(child(pad16, F.lit("not-a-number"))),
+        )
+        .when(
+            k % 83 == 0,
+            F.to_json(child(F.lpad(k.cast("string"), 33, "0"), ts)),
+        )
+        .otherwise(F.to_json(child(pad16, ts)))
+    )
+    root_out = F.when(k % 101 == 0, F.concat(F.lit("{broken"), root_doc)).otherwise(
+        root_doc
+    )
+    return orders.select(
+        F.explode(F.array(root_out, child_doc)).alias("json")
+    )
+
+
+def q_json_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 hardening, counter half: the skip-and-log counter the reference
+    emits per malformed span (TraceIdAndJsonToDependencyLinks.java:38-44)
+    surfaced as a gated 4-row DataFrame — (reason, n_docs) per decode
+    outcome over the deliberately-corrupted corpus. Oracle replicates the
+    exclusive corruption-class CASE relationally."""
+    from zipkin_dependencies_spark.sources.json import (
+        spans_from_json_strings_audited,
+    )
+
+    _, audit = spans_from_json_strings_audited(
+        _corrupted_span_docs(spark, sf_dir)
+    )
+    return audit
+
+
+def q_json_hardened_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 hardening, pipeline half: dependency links computed THROUGH the
+    corrupted corpus — a link survives iff BOTH its docs decode (a dead
+    root leaves its child dangling: decoded but linkless; a dead child
+    erases the call), wrong-typed docs are skipped whole rather than
+    admitted with nulled fields, and error tags on surviving children
+    attribute to error_count. Oracle derives survivor pairs relationally."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.link import links_from_spans
+    from zipkin_dependencies_spark.sources.json import (
+        spans_from_json_strings_audited,
+    )
+
+    spans, _ = spans_from_json_strings_audited(
+        _corrupted_span_docs(spark, sf_dir)
+    )
+    return links_from_spans(normalize_spans(spans))
 
 
 def q_trace_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2654,6 +2757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_audit": q_split_audit,
         # --- BLOCK B: new-in-r05 queries slot here (never driver-gated,
         # so they land inside the 50-row window the round they appear) ---
+        "json_decode_audit": q_json_decode_audit,
+        "json_hardened_links": q_json_hardened_links,
         # --- BLOCK C: high-churn re-gates — queries whose code this round
         # touches (embedding-LSH auto-sizing, trace-path checkpoint policy,
         # linker flagship) re-verify under the driver oracle ---
@@ -3004,6 +3109,36 @@ GROUP BY day, parent, child
 """
         ),
         "f3_day_partition_links": f3_oracle,
+        # exclusive corruption-class CASE mirrors _corrupted_span_docs'
+        # when-chain precedence exactly (roots die at %101, children at
+        # %97 > %89 > %83); missing_trace_id is absent from the corpus by
+        # construction, so neither engine emits that row
+        "json_decode_audit": """
+WITH ks AS (SELECT o_orderkey AS k FROM orders),
+docs AS (
+  SELECT CASE WHEN k % 101 = 0 THEN 'malformed_json' ELSE 'ok' END AS reason
+  FROM ks
+  UNION ALL
+  SELECT CASE WHEN k % 97 = 0 THEN 'malformed_json'
+              WHEN k % 89 = 0 THEN 'wrong_type_field'
+              WHEN k % 83 = 0 THEN 'invalid_trace_id'
+              ELSE 'ok' END
+  FROM ks
+)
+SELECT reason, CAST(count(*) AS BIGINT) AS n_docs FROM docs GROUP BY 1
+""",
+        # a link survives iff BOTH docs decode; error attributes to the
+        # surviving child's tag slice (%11)
+        "json_hardened_links": """
+WITH ks AS (SELECT o_orderkey AS k FROM orders
+            WHERE o_orderkey % 101 <> 0 AND o_orderkey % 97 <> 0
+              AND o_orderkey % 89 <> 0 AND o_orderkey % 83 <> 0)
+SELECT 'svc-' || CAST(k % 13 AS VARCHAR) AS parent,
+       'svc-' || CAST(k % 7 AS VARCHAR) AS child,
+       CAST(count(*) AS BIGINT) AS call_count,
+       CAST(sum(CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS error_count
+FROM ks GROUP BY 1, 2
+""",
         "json_spans_decode": """
 SELECT lpad(CAST(o_orderkey AS VARCHAR), 16, '0') AS trace_id,
        lpad(CAST(o_orderkey AS VARCHAR), 16, '0') AS id,

@@ -175,3 +175,49 @@ def test_glob_span_path_with_matches_returns_data(spark, tmp_path):
 
     empty = read_spans_parquet(spark, str(tmp_path / "spans" / "day=1999*"))
     assert empty.schema == SPAN_SCHEMA and empty.count() == 0
+
+
+def test_audited_decode_pins_skip_counter_per_class(spark):
+    """P4 hardening (reference skip-and-log,
+    TraceIdAndJsonToDependencyLinks.java:38-44): every corruption class —
+    truncated doc, wrong-typed field value, 33-char trace id, missing
+    trace id — lands in its own audit bucket with an exact count, and
+    ONLY clean docs reach the span output. The wrong-type case is the
+    load-bearing difference from the plain decoder, which nulls the bad
+    field and keeps a degraded span."""
+    from pyspark.sql import functions as F
+
+    from zipkin_dependencies_spark.sources.json import (
+        spans_from_json_strings_audited,
+    )
+
+    ok = '{"traceId":"00000000000000ab","id":"000000000000000a","timestamp":7}'
+    rows = [
+        (ok,),
+        (ok.replace("ab", "cd"),),
+        ('{"traceId":"00000000000000ab","id":"x"',),           # truncated
+        ('{broken',),                                           # not JSON
+        ('{"traceId":"00000000000000ab","id":"a","timestamp":"zz"}',),  # wrong type
+        ('{"traceId":"' + "a" * 33 + '","id":"a","timestamp":1}',),     # 33 chars
+        ('{"traceId":"xyz","id":"a"}',),                        # non-hex id
+        ('{"id":"a"}',),                                        # missing id
+        ('{"traceId":null,"id":"a"}',),                         # null id
+    ]
+    spans, audit = spans_from_json_strings_audited(
+        spark.createDataFrame(rows, "json string")
+    )
+    counts = {r.reason: r.n_docs for r in audit.collect()}
+    assert counts == {
+        "ok": 2,
+        "malformed_json": 2,
+        "wrong_type_field": 1,
+        "invalid_trace_id": 2,
+        "missing_trace_id": 2,
+    }
+    got = spans.select("trace_id", "timestamp").collect()
+    assert sorted((r.trace_id, r.timestamp) for r in got) == [
+        ("00000000000000ab", 7),
+        ("00000000000000cd", 7),
+    ]
+    # the audit is exhaustive: every input doc is counted exactly once
+    assert audit.agg(F.sum("n_docs")).collect()[0][0] == len(rows)

@@ -52,6 +52,78 @@ def spans_from_json_strings(df: DataFrame, json_col: str = "json") -> DataFrame:
     )
 
 
+#: trace ids are 1-32 hex chars (the reference decoder rejects anything
+#: else before the job sees it; normalize/truncate handles ONLY valid ids)
+_VALID_TRACE_ID = r"^[0-9a-fA-F]{1,32}$"
+
+SKIP_MALFORMED = "malformed_json"
+SKIP_WRONG_TYPE = "wrong_type_field"
+SKIP_MISSING_TRACE = "missing_trace_id"
+SKIP_INVALID_TRACE = "invalid_trace_id"
+DECODE_OK = "ok"
+
+
+def spans_from_json_strings_audited(
+    df: DataFrame, json_col: str = "json"
+) -> tuple[DataFrame, DataFrame]:
+    """Hardened S4/P4 decode: → (spans, audit) where ``audit`` is one row
+    per decode outcome with its doc count — the skip-and-log counter the
+    reference emits per malformed span
+    (elasticsearch/.../TraceIdAndJsonToDependencyLinks.java:38-44)
+    surfaced as a queryable DataFrame instead of a log line.
+
+    Outcome classes (each doc gets exactly one; precedence top-down):
+      - ``malformed_json``   — the document is not parseable JSON at all
+        (PERMISSIVE corrupt-record set AND no traceId recovered);
+      - ``wrong_type_field`` — valid JSON but some field's VALUE failed
+        its schema type (corrupt-record set, traceId recovered). The
+        reference decoder throws on these, dropping the span — the plain
+        ``spans_from_json_strings`` would instead silently null the field
+        and keep a degraded span, which is the hazard this path closes;
+      - ``missing_trace_id`` / ``invalid_trace_id`` — absent, or present
+        but not 1-32 hex chars (e.g. a 33-char id);
+      - ``ok``               — decoded and admitted to ``spans``.
+
+    One from_json pass; classification is pure Column logic, so the scan
+    stays whole-stage-codegen and the audit aggregate is a 5-row
+    map-side-combined groupBy — negligible against the decode itself."""
+    from pyspark.sql import types as T
+
+    from ..schemas import SPAN_JSON_SCHEMA as _S
+
+    audit_schema = T.StructType(
+        list(_S.fields) + [T.StructField("_corrupt", T.StringType())]
+    )
+    parsed = df.select(
+        F.from_json(
+            F.col(json_col),
+            audit_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("s")
+    )
+    s = F.col("s")
+    reason = (
+        F.when(
+            s["_corrupt"].isNotNull() & s["traceId"].isNull(),
+            F.lit(SKIP_MALFORMED),
+        )
+        .when(s["_corrupt"].isNotNull(), F.lit(SKIP_WRONG_TYPE))
+        .when(s["traceId"].isNull(), F.lit(SKIP_MISSING_TRACE))
+        .when(~s["traceId"].rlike(_VALID_TRACE_ID), F.lit(SKIP_INVALID_TRACE))
+        .otherwise(F.lit(DECODE_OK))
+    )
+    classified = parsed.select(s.alias("s"), reason.alias("reason"))
+    audit = classified.groupBy("reason").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    spans = (
+        classified.filter(F.col("reason") == DECODE_OK)
+        .select(*_v2_projection(F.col("s")))
+        .withColumn("day", F.lit(None).cast("date"))
+    )
+    return spans, audit
+
+
 def read_spans_json(spark: SparkSession, path: str) -> DataFrame:
     """JSON-lines span files → canonical span columns (explicit schema; the
     `day` column is absent in raw JSON and set null — use F1 windowing)."""
