@@ -2704,6 +2704,58 @@ def q_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (τ=0.5): per-source keep
+    fraction min(1,(n_i/n_max)^(τ-1)) from exact integer token sums,
+    materialized with the salted-md5 deterministic sampler — the
+    multilingual-pretraining rebalance as one broadcast-join scan."""
+    from zipkin_dependencies_spark.llm.sampling import temperature_resample
+    from zipkin_dependencies_spark.testdata import load
+
+    return temperature_resample(load(spark, sf_dir, "documents"), tau=0.5)
+
+
+def q_chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token windows (64 tokens, 8 overlap) over every
+    document — the context-length chunker; shuffle-free explode+slice,
+    one empty chunk for empty docs so no document silently vanishes."""
+    from zipkin_dependencies_spark.llm.packing import chunk_documents
+    from zipkin_dependencies_spark.testdata import load
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+    )
+
+
+def q_customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history of each customer's observed order priority:
+    orders replay as an update stream, consecutive same-value
+    observations collapse into episodes with [valid_from, valid_to)
+    intervals, version numbers, and a current flag — the warehouse
+    dimension-merge. One exchange on custkey, two windows sharing its
+    sort."""
+    from zipkin_dependencies_spark.operators.scd import scd2_history
+    from zipkin_dependencies_spark.testdata import load
+
+    return scd2_history(
+        load(spark, sf_dir, "orders"),
+        key_col="o_custkey",
+        value_col="o_orderpriority",
+        ts_col="o_orderdate",
+        seq_col="o_orderkey",
+    )
+
+
+def q_service_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected connected components of the service graph via min-label
+    propagation with an early-exit convergence probe; oracle computes
+    TRUE components by recursive closure, so a green row also proves the
+    propagation converged."""
+    from zipkin_dependencies_spark.operators.graph import service_components
+
+    return service_components(q_dependency_links(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -2759,6 +2811,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so they land inside the 50-row window the round they appear) ---
         "json_decode_audit": q_json_decode_audit,
         "json_hardened_links": q_json_hardened_links,
+        "temperature_resample": q_temperature_resample,
+        "chunked_documents": q_chunked_documents,
+        "customer_scd2": q_customer_scd2,
+        "service_components": q_service_components,
         # --- BLOCK C: high-churn re-gates — queries whose code this round
         # touches (embedding-LSH auto-sizing, trace-path checkpoint policy,
         # linker flagship) re-verify under the driver oracle ---
@@ -2866,6 +2922,9 @@ def oracle_sql() -> dict[str, str]:
     from zipkin_dependencies_spark.operators.asof import (
         ASOF_ATTRIBUTION_SQL as _ASOF_ATTRIBUTION_SQL,
     )
+    from zipkin_dependencies_spark.operators.scd import (
+        customer_priority_scd2_sql as _customer_priority_scd2_sql,
+    )
     from zipkin_dependencies_spark.operators.cohort import (
         COHORT_RETENTION_SQL as _COHORT_RETENTION_SQL,
     )
@@ -2899,6 +2958,7 @@ def oracle_sql() -> dict[str, str]:
     from zipkin_dependencies_spark.operators.graph import (
         pagerank_sql as _pagerank_sql,
         reachability_sql as _reachability_sql,
+        service_components_sql as _service_components_sql,
         trace_size_percentiles_sql as _trace_size_percentiles_sql,
     )
     from zipkin_dependencies_spark.operators.sessionize import (
@@ -3237,6 +3297,11 @@ GROUP BY 1, 2, 3
         "embedding_near_dup_lsh": llm_oracles.embedding_near_dup_lsh_sql(
             threshold=0.3, n_planes=8, dim=64
         ),
+        "customer_scd2": _customer_priority_scd2_sql(),
+        "temperature_resample": llm_oracles.temperature_resample_sql(tau=0.5),
+        "chunked_documents": llm_oracles.chunk_documents_sql(
+            chunk_tokens=64, overlap=8
+        ),
         "decontaminate": llm_oracles.decontaminate_sql(n=13, min_hits=1, bench_mod=97),
         "repetition_score": llm_oracles.repetition_score_sql(),
         "scrub_pii": llm_oracles.scrub_pii_sql(),
@@ -3310,6 +3375,7 @@ FROM fused QUALIFY rank <= 10"""
         "unigram_surprisal": llm_oracles.unigram_surprisal_sql(),
         "service_pagerank": _pagerank_sql(links_oracle, iterations=3),
         "service_reachability": _reachability_sql(links_oracle, max_hops=3),
+        "service_components": _service_components_sql(links_oracle),
         "span_fanout_histogram": (
             "WITH " + SPANS_SQL_CTE.strip() + "\n" + SPAN_FANOUT_SQL
         ),

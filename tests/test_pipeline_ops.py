@@ -771,3 +771,83 @@ def test_trace_paths_policies_agree_on_hard_forest(spark):
 
     with pytest.raises(ValueError):
         trace_paths(norm, materialize="bogus")
+
+
+def test_service_components_multi_component_graph(spark):
+    """Label propagation must separate disconnected subgraphs (the fixture
+    corpus is one blob, so multi-component semantics are pinned here): a
+    chain, a 2-cycle island, and a self-loop-only vertex (dropped — no
+    undirected edge survives a==b)."""
+    from zipkin_dependencies_spark.operators.graph import service_components
+
+    links = spark.createDataFrame(
+        [
+            ("a", "b", 1, 0), ("b", "c", 1, 0), ("c", "d", 1, 0),  # chain
+            ("z", "y", 1, 0), ("y", "z", 1, 0),                    # island
+            ("solo", "solo", 1, 0),                                # self-loop
+        ],
+        "parent string, child string, call_count long, error_count long",
+    )
+    got = {r.service: r.component for r in service_components(links).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "y": "y", "z": "y"}
+
+
+def test_scd2_history_episodes_null_safe_and_tiebroken(spark):
+    """SCD2 change capture: consecutive same values collapse, a NULL
+    transition is a change in both directions, same-timestamp updates
+    order by the sequence column, and the last episode is open/current."""
+    import datetime as dt
+
+    from zipkin_dependencies_spark.operators.scd import scd2_history
+
+    d = lambda day: dt.datetime(2001, 1, day)  # noqa: E731
+    rows = [
+        (1, "A", d(1), 10),
+        (1, "A", d(2), 20),        # same value -> no new episode
+        (1, None, d(3), 30),       # A -> NULL is a change
+        (1, None, d(4), 40),
+        (1, "B", d(5), 50),        # NULL -> B is a change
+        (2, "X", d(1), 61),        # same-ts tiebreak: seq 60 then 61?
+        (2, "Y", d(1), 60),        # seq 60 sorts FIRST -> Y then X
+    ]
+    out = scd2_history(
+        spark.createDataFrame(
+            rows, "k long, v string, ts timestamp, seq long"
+        ),
+        key_col="k", value_col="v", ts_col="ts", seq_col="seq",
+    ).collect()
+    by_key = {}
+    for r in sorted(out, key=lambda r: (r.key, r.version)):
+        by_key.setdefault(r.key, []).append(
+            (r.value, r.valid_from.day, None if r.valid_to is None else r.valid_to.day, r.is_current)
+        )
+    assert by_key[1] == [
+        ("A", 1, 3, False), (None, 3, 5, False), ("B", 5, None, True)
+    ]
+    assert by_key[2] == [("Y", 1, 1, False), ("X", 1, None, True)]
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk windows: overlap preserved, last window clamps, empty doc
+    yields ONE empty chunk, chunk_tokens must exceed overlap."""
+    import pytest
+
+    from zipkin_dependencies_spark.llm.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens) for r in out
+    }
+    # doc 1: 7 tokens, step 2 -> ceil((7-2)/2)=3 chunks
+    assert got[(1, 0)] == ("a b c d", 4)
+    assert got[(1, 1)] == ("c d e f", 4)
+    assert got[(1, 2)] == ("e f g", 3)   # clamped tail, keeps overlap
+    assert got[(2, 0)] == ("x", 1)
+    assert got[(3, 0)] == ("", 0)        # empty doc not dropped
+    assert len(got) == 5
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=2, overlap=2)

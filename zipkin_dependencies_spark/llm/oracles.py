@@ -1597,3 +1597,58 @@ SELECT d.doc_id, coalesce(a.n_matches, 0) AS n_matches, a.max_jaccard9,
 FROM (SELECT doc_id FROM documents WHERE doc_id % {new_mod} = {new_rem}) d
 LEFT JOIN agg a ON a.new_id = d.doc_id
 """
+
+
+def temperature_resample_sql(tau: float = 0.5, salt: str = "temp") -> str:
+    """Twin of llm/sampling.py::temperature_resample — same exact-integer
+    token sums, same single divide+pow per source (round-9 before the
+    threshold multiply, so a last-ULP pow difference between engines
+    cannot flip a keep decision), same salted-md5 bucket."""
+    bucket = SAMPLE_BUCKET.format(key="doc_id", salt=salt)
+    return f"""
+WITH agg AS (
+  SELECT source, CAST(sum(len({TEXT_TOKENS})) AS BIGINT) AS n
+  FROM documents GROUP BY source
+),
+fr AS (
+  SELECT source,
+         round(least(1.0,
+               pow(CAST(n AS DOUBLE) / (SELECT min(n) FROM agg),
+                   {float(tau)} - 1.0)), 9) AS keep_fraction9
+  FROM agg
+)
+SELECT d.doc_id, d.source, f.keep_fraction9
+FROM documents d JOIN fr f USING (source)
+WHERE {bucket} < CAST(floor(f.keep_fraction9 * {1 << 32}) AS BIGINT)
+"""
+
+
+def chunk_documents_sql(chunk_tokens: int = 128, overlap: int = 16) -> str:
+    """Twin of llm/packing.py::chunk_documents — same tokenizer, same
+    window arithmetic (1-based inclusive list slice clamps at the array
+    end exactly like Spark's slice(arr, start, length))."""
+    step = chunk_tokens - overlap
+    return f"""
+WITH t AS (
+  SELECT doc_id, {TEXT_TOKENS} AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         greatest(1, (len(toks) - {overlap} + {step - 1}) // {step})
+           AS n_chunks
+  FROM t
+),
+e AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM c
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(toks[chunk_idx * {step} + 1 :
+                            chunk_idx * {step} + {chunk_tokens}], ' ')
+         AS chunk_text,
+       CAST(len(toks[chunk_idx * {step} + 1 :
+                     chunk_idx * {step} + {chunk_tokens}]) AS BIGINT)
+         AS n_tokens
+FROM e
+"""

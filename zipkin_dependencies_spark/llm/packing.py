@@ -92,3 +92,62 @@ def assign_shards(
             F.expr(f"_start div {token_budget}").alias("shard"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, chunk_idx, chunk_text, n_tokens): fixed-size token
+    windows with overlap — the "split long documents into training
+    sequences" step (every context-length-bounded trainer needs it;
+    overlap preserves cross-boundary n-grams for next-token training).
+
+    Chunk i covers tokens [i·step, i·step + chunk_tokens) with
+    step = chunk_tokens − overlap; a document yields
+    max(1, ceil((n − overlap) / step)) chunks so the last window is never
+    an orphaned sub-overlap tail, and an empty document yields one empty
+    chunk (the doc is never silently dropped — gates count documents).
+
+    Pure per-row Column work: tokenize once, explode a SEQUENCE of chunk
+    indexes, slice the token array per index — no shuffle at all (the
+    explode is pipelined into the scan), no Python, output rows ~
+    corpus_tokens / step. The whole operator is whole-stage-codegen
+    at any scale; it's embarrassingly parallel by construction."""
+    from .text import tokens
+
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    toks = tokens(text_col)
+    n = F.size(F.col("_toks"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n - F.lit(overlap) + F.lit(step - 1)) / F.lit(step)).cast(
+            "long"
+        ),
+    )
+    piece = F.slice(
+        F.col("_toks"),
+        (F.col("chunk_idx") * step + 1).cast("int"),
+        chunk_tokens,
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            id_col,
+            "_toks",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(piece, " ").alias("chunk_text"),
+            F.size(piece).cast("long").alias("n_tokens"),
+        )
+    )

@@ -214,3 +214,63 @@ def mixing_plan(
             F.least(F.lit(1.0), target / F.col("n_tokens")), 9
         ).alias("keep_fraction9"),
     )
+
+
+def temperature_resample(
+    docs: DataFrame,
+    tau: float = 0.5,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-flattened source mixture, materialized in one pass:
+    the multilingual-pretraining rebalance (sample sources ∝ n^τ, τ<1
+    upweights small sources relative to large ones) expressed as a
+    per-source deterministic keep fraction
+
+        keep_fraction_i = min(1, (n_i / n_min)^(τ-1))
+
+    — the ratio of source i's ∝n^τ share to its natural ∝n share,
+    anchored at the SMALLEST source (which keeps fraction 1): flattening
+    means downsampling the big sources toward the small ones, so the
+    anchor must be the source nothing can be downsampled below.
+    Normalizing to min (not to the cross-source sum) is also what keeps
+    the arithmetic engine-exact: n_i and n_min are exact integer token
+    sums (order-free aggregates), so the only float ops are one divide
+    and one pow per SOURCE — no cross-source float summation whose fold
+    order could differ between engines or runs. τ=1 keeps everything;
+    τ→0 equalizes expected kept tokens across sources (every source cut
+    to the smallest's size).
+
+    Plan: one token-count aggregate to |sources| rows, a window max over
+    that tiny frame, then a broadcast join back and the usual codegen'd
+    salted-md5 threshold predicate (hash_sample's determinism contract:
+    the keep decision depends only on the row key, the source totals, τ,
+    and the salt — stable under repartitioning, re-runs, and engines).
+    → (doc_id, source, keep_fraction9) for the survivors."""
+    from .text import token_count
+
+    counts = docs.groupBy(F.col(source_col).alias("_src")).agg(
+        F.sum(token_count(text_col)).alias("_n")
+    )
+    n_min = F.min("_n").over(Window.partitionBy())
+    frac = F.round(
+        F.least(
+            F.lit(1.0),
+            F.pow(F.col("_n").cast("double") / n_min, F.lit(float(tau) - 1.0)),
+        ),
+        9,
+    )
+    fracs = counts.select(
+        "_src",
+        frac.alias("keep_fraction9"),
+        F.floor(frac * F.lit(HASH_SPACE)).cast("long").alias("_threshold"),
+    )
+    return (
+        docs.join(
+            F.broadcast(fracs), docs[source_col] == fracs["_src"], "inner"
+        )
+        .filter(_bucket(F.col(key_col), salt) < F.col("_threshold"))
+        .select(F.col(key_col), F.col(source_col), F.col("keep_fraction9"))
+    )

@@ -232,3 +232,87 @@ SELECT service, downstream, CAST(min(hops) AS INT) AS hops
 FROM ({union}) WHERE service <> downstream
 GROUP BY service, downstream"""
     )
+
+
+def service_components(links: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """→ (service, component): undirected connected components of the
+    dependency graph, component id = lexicographically smallest service
+    name in the component — "how many independent systems live in this
+    trace corpus, and who belongs to which" (the macro complement of the
+    per-service clustering coefficient).
+
+    Min-label propagation with a convergence probe: each round every
+    vertex takes the min of its own label and its neighbors' labels; the
+    loop exits as soon as a round changes NOTHING (counting changed rows
+    on the already-materialized frame — the linker's E4 early-exit
+    discipline), with ``max_rounds`` as the cycle-proof upper bound.
+    Rounds needed = graph diameter; every join and aggregate is at
+    services² (links-table) cardinality — the span corpus is never
+    touched after the linker, so the iteration cost is microscopic at any
+    data scale. Labels are service-name strings and min is lexicographic,
+    making the fixpoint engine-exact (the DuckDB twin computes true
+    components via recursive closure; equality of the two REQUIRES the
+    propagation to have converged, so the gate also proves convergence)."""
+    sym = links.select(
+        F.col("parent").alias("a"), F.col("child").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    edges = (
+        sym.unionByName(
+            sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("service"))
+        .distinct()
+        .select("service", F.col("service").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        l, e = labels.alias("l"), edges.alias("e")
+        neighbor_min = (
+            e.join(l, F.col("e.a") == F.col("l.service"))
+            .groupBy(F.col("e.b").alias("service"))
+            .agg(F.min("l.component").alias("_nmin"))
+        )
+        new_labels = (
+            labels.alias("cur")
+            .join(neighbor_min.alias("nm"), "service", "left_outer")
+            .select(
+                "service",
+                F.least(
+                    F.col("cur.component"), F.col("nm._nmin")
+                ).alias("component"),
+                (
+                    F.least(F.col("cur.component"), F.col("nm._nmin"))
+                    != F.col("cur.component")
+                ).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("_changed")).isEmpty()
+        labels = new_labels.select("service", "component")
+        if changed:
+            break
+    return labels
+
+
+def service_components_sql(links_sql: str) -> str:
+    """DuckDB twin: true components via recursive undirected closure —
+    component(v) = min over everything v reaches (plus v itself)."""
+    return f"""
+WITH RECURSIVE links AS ({links_sql}),
+sym AS (
+  SELECT parent AS a, child AS b FROM links WHERE parent <> child
+  UNION
+  SELECT child AS a, parent AS b FROM links WHERE parent <> child
+),
+reach(v, u) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.v, s.b FROM reach r JOIN sym s ON s.a = r.u WHERE s.b <> r.v
+)
+SELECT v AS service, least(v, min(u)) AS component
+FROM reach GROUP BY v
+"""
