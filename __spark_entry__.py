@@ -2756,6 +2756,43 @@ def q_service_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return service_components(q_dependency_links(spark, sf_dir))
 
 
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on product names: blocked (by the name's noun)
+    Levenshtein self-join, distance ≤ 2 — near-identical part names that
+    a catalog merge should reconcile. Blocking bounds the quadratic to
+    per-block occupancy²; all-integer verify, engine-exact."""
+    from zipkin_dependencies_spark.operators.fuzzy_join import (
+        blocked_fuzzy_pairs,
+    )
+    from zipkin_dependencies_spark.testdata import load
+
+    part = load(spark, sf_dir, "part")
+    return blocked_fuzzy_pairs(
+        part,
+        name_col="p_name",
+        block=F.element_at(F.split(F.col("p_name"), " "), 2),
+        max_distance=2,
+    )
+
+
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination: near-duplicate (not just exact-13-gram)
+    overlap between the train split and a benchmark slice (doc_id%13==5),
+    via the incremental cross-corpus MinHash kernel — the benchmark is
+    the 'accumulated corpus', the train side is scored. Catches the
+    paraphrased/reformatted leak the exact n-gram pass misses; keep=false
+    marks contaminated train docs."""
+    from zipkin_dependencies_spark.llm.dedup import dedupe_near_against
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 13 == 5)
+    train = docs.filter(F.col("doc_id") % 13 != 5)
+    return dedupe_near_against(
+        train, bench, k=3, threshold=0.5, hash_fn="affine"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -2815,6 +2852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunked_documents": q_chunked_documents,
         "customer_scd2": q_customer_scd2,
         "service_components": q_service_components,
+        "fuzzy_part_names": q_fuzzy_part_names,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         # --- BLOCK C: high-churn re-gates — queries whose code this round
         # touches (embedding-LSH auto-sizing, trace-path checkpoint policy,
         # linker flagship) re-verify under the driver oracle ---
@@ -2924,6 +2963,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from zipkin_dependencies_spark.operators.scd import (
         customer_priority_scd2_sql as _customer_priority_scd2_sql,
+    )
+    from zipkin_dependencies_spark.operators.fuzzy_join import (
+        part_name_fuzzy_pairs_sql as _part_name_fuzzy_pairs_sql,
     )
     from zipkin_dependencies_spark.operators.cohort import (
         COHORT_RETENTION_SQL as _COHORT_RETENTION_SQL,
@@ -3298,6 +3340,10 @@ GROUP BY 1, 2, 3
             threshold=0.3, n_planes=8, dim=64
         ),
         "customer_scd2": _customer_priority_scd2_sql(),
+        "fuzzy_part_names": _part_name_fuzzy_pairs_sql(max_distance=2),
+        "decontaminate_fuzzy": llm_oracles.dedupe_near_against_sql(
+            new_mod=13, new_rem=5, negate_new=True, threshold=0.5
+        ),
         "temperature_resample": llm_oracles.temperature_resample_sql(tau=0.5),
         "chunked_documents": llm_oracles.chunk_documents_sql(
             chunk_tokens=64, overlap=8

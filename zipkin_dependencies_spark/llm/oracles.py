@@ -1556,14 +1556,23 @@ def dedupe_near_against_sql(
     threshold: float = 0.5,
     new_mod: int = 7,
     new_rem: int = 2,
+    negate_new: bool = False,
 ) -> str:
     """Oracle for dedup.dedupe_near_against: affine-MinHash banding over
     BOTH corpora, candidates restricted to new×corpus (never corpus×
-    corpus), digest-array Jaccard verify, per-new-doc match aggregate."""
+    corpus), digest-array Jaccard verify, per-new-doc match aggregate.
+
+    ``negate_new`` flips the split: the SCORED side is the complement of
+    the modulus slice — the fuzzy-decontamination composition (score the
+    big train side against the small benchmark slice)."""
     rpb = num_hashes // bands
     bucket = " || '|' || ".join(
         f"CAST(sig[b * {rpb} + {r + 1}] AS VARCHAR)" for r in range(rpb)
     )
+    eq, ne = ("<>", "=") if negate_new else ("=", "<>")
+    new_pred_n = f"n.id % {new_mod} {eq} {new_rem}"
+    corpus_pred_c = f"c.id % {new_mod} {ne} {new_rem}"
+    new_pred_doc = f"doc_id % {new_mod} {eq} {new_rem}"
     return f"""
 WITH {_sig_cte(num_hashes, k, "")},
 buckets AS (
@@ -1574,7 +1583,7 @@ cand AS (
   SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
   FROM buckets n JOIN buckets c
     ON n.band = c.band AND n.bucket = c.bucket
-  WHERE n.id % {new_mod} = {new_rem} AND c.id % {new_mod} <> {new_rem}
+  WHERE {new_pred_n} AND {corpus_pred_c}
 ),
 dig AS (SELECT id, list_distinct(xs) AS xs FROM shx),
 verified AS (
@@ -1594,7 +1603,7 @@ agg AS (
 )
 SELECT d.doc_id, coalesce(a.n_matches, 0) AS n_matches, a.max_jaccard9,
        coalesce(a.n_matches, 0) = 0 AS keep
-FROM (SELECT doc_id FROM documents WHERE doc_id % {new_mod} = {new_rem}) d
+FROM (SELECT doc_id FROM documents WHERE {new_pred_doc}) d
 LEFT JOIN agg a ON a.new_id = d.doc_id
 """
 
