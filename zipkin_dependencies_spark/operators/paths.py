@@ -170,6 +170,13 @@ def trace_paths(
         # the only thing downstream consumers read)
         out = _materialize(out)
         _PATH_MEMO[key] = out
+    elif policy == "persist":
+        # non-memo path: materializing the RESULT releases the final
+        # round's intermediate (CacheManager pins don't GC like
+        # localCheckpoint blocks — leaving `cur` persisted would leak it
+        # for the session). The returned frame is itself persisted; a
+        # caller that is done with it may unpersist() it.
+        out = _materialize(out)
     return out
 
 
