@@ -99,23 +99,23 @@ def test_registry_gate_window_policy():
     import __spark_entry__ as e
 
     never_driver_gated = {
-        # r04 batch of previously-ungated operators + all r04 additions
-        "streaming_funnel_replay", "streaming_anomalies_replay",
-        "curation_pipeline_v2", "sessionize_events", "asof_attribution",
-        "funnel_events", "quantile_gate", "bm25_search", "hybrid_search",
-        "kmeans_clusters", "dense_daily_counts", "props_rollup",
-        "corpus_diff", "semantic_search", "unigram_surprisal",
-        "service_pagerank", "service_reachability", "span_fanout_histogram",
-        "event_value_percentiles", "events_daily_pivot",
-        "trace_size_percentiles", "event_transitions", "window_anomalies",
-        "cohort_retention", "corpus_stats", "group_topn_sample",
-        "label_centroids", "media_stats", "media_frames", "media_features",
-        "incident_range_join", "collapse_bursts", "inverted_index",
-        "ngram_containment", "link_error_rates", "mixing_plan",
-        "top_trace_paths", "streaming_bursts_replay",
-        "streaming_join_replay", "links_window_diff",
-        "trace_depth_histogram", "heavy_hitter_users",
-        "shipping_priority", "nation_volume_pairs",
+        # r05 state: Block A (tier-L through r04 — their first driver row
+        # lands in CORRECTNESS_r05, which runs AFTER this round's work)
+        "bigram_surprisal", "normalized_text", "session_duration_histogram",
+        "ann_recall", "winsorized_values", "service_health",
+        "gopher_quality", "c4_line_filter", "doc_length_histogram",
+        "zipf_fit", "path_latencies", "returned_item_customers",
+        "error_paths", "token_fertility", "dataset_card",
+        "language_confusion", "streaming_sessions_replay",
+        "streaming_dedup_replay", "curation_pipeline_v3", "events_cube",
+        "large_volume_customers", "priority_return_orders",
+        "service_triangles", "customers_without_orders",
+        "service_clustering", "dedupe_near_against", "embedding_drift",
+        "split_audit",
+        # Block B (operators new in r05)
+        "json_decode_audit", "json_hardened_links", "temperature_resample",
+        "chunked_documents", "customer_scd2", "service_components",
+        "fuzzy_part_names", "decontaminate_fuzzy",
     }
     window = set(list(e.queries())[:50])
     missing = never_driver_gated - window
