@@ -2793,6 +2793,226 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-neutralized fact-dim join: events meet the customer dim on a
+    SALTED key (deterministic 8-way salt from event_id; dim exploded to
+    match), then roll up value per market segment. The oracle twin is
+    the UNSALTED SQL join — identical output is the operator's contract
+    (salt must never leak into results). See operators/salted_join.py
+    for the 100 TB rationale (hot-key decomposition, k sizing)."""
+    from zipkin_dependencies_spark.operators.salted_join import segment_revenue
+    from zipkin_dependencies_spark.testdata import load
+
+    return segment_revenue(
+        load(spark, sf_dir, "events"), load(spark, sf_dir, "customer")
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: share of March-1996 revenue from PROMO-type
+    parts — the conditional-aggregation shape (one pass, two sums, no
+    second scan or join for the numerator). Part dim broadcasts; the
+    date filter prunes at the lineitem scan. Integer-cents sums, one
+    IEEE division at the end (bit-exact across engines on identical
+    bigint inputs)."""
+    from zipkin_dependencies_spark.testdata import load
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = load(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+            ).alias("promo_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            (F.col("promo_cents") / F.col("total_cents")).alias("promo_share"),
+        )
+    )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog: for each size-15 part, the supplier offering the
+    lowest observed unit price — the correlated-min shape, expressed as
+    a per-part window rank instead of a correlated scalar subquery (one
+    shuffle on partkey; Catalyst rewrites TPC-H's actual subquery to the
+    same aggregate-join). Unit price in integer cents (identical IEEE
+    expression both engines before the round); supplier-key tiebreak
+    makes rank-1 deterministic. Top-100 by price then partkey."""
+    from pyspark.sql import Window
+
+    from zipkin_dependencies_spark.testdata import load
+
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    unit_cents = F.round(
+        F.col("l_extendedprice") * 100 / F.col("l_quantity")
+    ).cast("long")
+    offers = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(F.min(unit_cents).alias("unit_cents"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("unit_cents").asc(), F.col("l_suppkey").asc()
+    )
+    best = (
+        offers.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return (
+        best.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_brand", "s_name", "n_name", "unit_cents")
+        .orderBy(F.col("unit_cents").asc(), F.col("p_partkey").asc())
+        .limit(100)
+    )
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: revenue from Brand#9 lineitems whose quantity
+    is below 20% of that part's average order quantity — the per-group
+    scalar-aggregate-joined-back shape. The 0.2·avg comparison is done
+    in EXACT integer arithmetic (qty·5·count < sum-of-qty, avoiding a
+    float average whose summation order differs across engines); the
+    per-part aggregate is tiny (part cardinality) and broadcasts back
+    onto the probe."""
+    from zipkin_dependencies_spark.testdata import load
+
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9")
+    li = load(spark, sf_dir, "lineitem")
+    qty_100 = F.round(F.col("l_quantity") * 100).cast("long")
+    branded = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", qty_100.alias("qty_100"), "l_extendedprice")
+    stats = branded.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
+        F.sum("qty_100").alias("sum_qty_100"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    small = branded.join(
+        F.broadcast(stats), F.col("l_partkey") == F.col("sp_partkey")
+    ).filter(F.col("qty_100") * F.col("n_lines") * 5 < F.col("sum_qty_100"))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog: how many distinct suppliers have shipped each
+    (brand, size) combination, excluding PROMO parts and suppliers in
+    bad standing (negative account balance — the 'complaints' anti-join
+    analog, since the fixture has no comment text). Exercises
+    count(DISTINCT) over a join plus a broadcast anti-join; the
+    distinct runs on (brand, size, suppkey) triples — part-dim-bounded
+    cardinality, never lineitem-sized state."""
+    from zipkin_dependencies_spark.testdata import load
+
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (the EXISTS + NOT-EXISTS double-correlation):
+    suppliers who returned items on finished multi-supplier orders where
+    NO other supplier returned anything — 'the one supplier that let the
+    order down'. Both correlations run on the DISTINCT (order, supplier)
+    pair table (order-cardinality, not lineitem fan-out): a left-semi
+    join proves another supplier exists, a left-anti join proves no
+    other supplier returned. Top-100 by count."""
+    from zipkin_dependencies_spark.testdata import load
+
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    all_pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    r_pairs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = all_pairs.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    other_r = r_pairs.select(
+        F.col("l_orderkey").alias("r_ok"), F.col("l_suppkey").alias("r_sk")
+    )
+    cand = r_pairs.join(
+        other,
+        (F.col("l_orderkey") == F.col("o_ok"))
+        & (F.col("l_suppkey") != F.col("o_sk")),
+        "left_semi",
+    )
+    sole = cand.join(
+        other_r,
+        (F.col("l_orderkey") == F.col("r_ok"))
+        & (F.col("l_suppkey") != F.col("r_sk")),
+        "left_anti",
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+def q_interpolated_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap-fill of each user's daily purchase spend — level-metric
+    resampling (absent day = NOT OBSERVED, so zero-fill is wrong; the
+    dense series is the linear blend of nearest known neighbors). All
+    windows run at spine cardinality (users × days) partitioned by user;
+    the event corpus is shuffled once, as the map-side-combined daily
+    aggregate. See operators/interpolate.py."""
+    from zipkin_dependencies_spark.operators.interpolate import interpolate_daily
+    from zipkin_dependencies_spark.testdata import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return interpolate_daily(
+        ev,
+        entity_col="user_id",
+        ts_col="ts",
+        value_milli=F.round(F.col("value") * 1000).cast("long"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -2854,6 +3074,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_components": q_service_components,
         "fuzzy_part_names": q_fuzzy_part_names,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "salted_segment_revenue": q_salted_segment_revenue,
+        "promo_revenue": q_promo_revenue,
+        "min_cost_supplier": q_min_cost_supplier,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "supplier_part_variety": q_supplier_part_variety,
+        "sole_return_suppliers": q_sole_return_suppliers,
+        "interpolated_purchases": q_interpolated_purchases,
         # --- BLOCK C: high-churn re-gates — queries whose code this round
         # touches (embedding-LSH auto-sizing, trace-path checkpoint policy,
         # linker flagship) re-verify under the driver oracle ---
@@ -2966,6 +3193,12 @@ def oracle_sql() -> dict[str, str]:
     )
     from zipkin_dependencies_spark.operators.fuzzy_join import (
         part_name_fuzzy_pairs_sql as _part_name_fuzzy_pairs_sql,
+    )
+    from zipkin_dependencies_spark.operators.salted_join import (
+        SEGMENT_REVENUE_SQL,
+    )
+    from zipkin_dependencies_spark.operators.interpolate import (
+        purchase_interpolation_sql as _purchase_interpolation_sql,
     )
     from zipkin_dependencies_spark.operators.cohort import (
         COHORT_RETENTION_SQL as _COHORT_RETENTION_SQL,
@@ -3344,6 +3577,105 @@ GROUP BY 1, 2, 3
         "decontaminate_fuzzy": llm_oracles.dedupe_near_against_sql(
             new_mod=13, new_rem=5, negate_new=True, threshold=0.5
         ),
+        "salted_segment_revenue": SEGMENT_REVENUE_SQL,
+        "interpolated_purchases": _purchase_interpolation_sql(),
+        "promo_revenue": """
+SELECT promo_cents, total_cents,
+       promo_cents / total_cents AS promo_share
+FROM (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS promo_cents,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+)
+""",
+        "min_cost_supplier": """
+WITH offers AS (
+  SELECT p_partkey, p_brand, l_suppkey,
+         CAST(min(CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT))
+           AS BIGINT) AS unit_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 15
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY p_partkey
+                               ORDER BY unit_cents ASC, l_suppkey ASC) AS rk
+  FROM offers
+)
+SELECT p_partkey, p_brand, s_name, n_name, unit_cents
+FROM best
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rk = 1
+ORDER BY unit_cents ASC, p_partkey ASC
+LIMIT 100
+""",
+        "small_quantity_revenue": """
+WITH branded AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_100,
+         l_extendedprice
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#9'
+),
+stats AS (
+  SELECT l_partkey AS sp_partkey,
+         CAST(sum(qty_100) AS BIGINT) AS sum_qty_100,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM branded GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM branded
+JOIN stats ON l_partkey = sp_partkey
+WHERE qty_100 * n_lines * 5 < sum_qty_100
+""",
+        "supplier_part_variety": """
+SELECT p_brand, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+""",
+        "sole_return_suppliers": """
+WITH fli AS (
+  SELECT l_orderkey, l_suppkey, l_returnflag
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                       WHERE o_orderstatus = 'F')
+),
+all_pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM fli),
+r_pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM fli WHERE l_returnflag = 'R'
+),
+sole AS (
+  SELECT r.l_orderkey, r.l_suppkey
+  FROM r_pairs r
+  WHERE EXISTS (SELECT 1 FROM all_pairs a
+                WHERE a.l_orderkey = r.l_orderkey
+                  AND a.l_suppkey <> r.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM r_pairs r2
+                    WHERE r2.l_orderkey = r.l_orderkey
+                      AND r2.l_suppkey <> r.l_suppkey)
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM sole JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+""",
         "temperature_resample": llm_oracles.temperature_resample_sql(tau=0.5),
         "chunked_documents": llm_oracles.chunk_documents_sql(
             chunk_tokens=64, overlap=8

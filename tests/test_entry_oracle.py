@@ -116,6 +116,9 @@ def test_registry_gate_window_policy():
         "json_decode_audit", "json_hardened_links", "temperature_resample",
         "chunked_documents", "customer_scd2", "service_components",
         "fuzzy_part_names", "decontaminate_fuzzy",
+        "salted_segment_revenue", "promo_revenue", "min_cost_supplier",
+        "small_quantity_revenue", "supplier_part_variety",
+        "sole_return_suppliers", "interpolated_purchases",
     }
     window = set(list(e.queries())[:50])
     missing = never_driver_gated - window

@@ -851,3 +851,58 @@ def test_chunk_documents_boundaries(spark):
     assert len(got) == 5
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=2, overlap=2)
+
+
+def test_interpolate_daily_known_values(spark):
+    """Constructed series: entity A observes days 1,4 (values 100, 400)
+    and 5 — the two interior gaps must blend linearly (200, 300);
+    entity B observes a single day (no gaps, no spine growth); days
+    OUTSIDE an entity's observed range must not appear (no
+    extrapolation)."""
+    from zipkin_dependencies_spark.operators.interpolate import interpolate_daily
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("A", "2024-01-01 10:00:00", 0.100),
+        ("A", "2024-01-04 11:00:00", 0.400),
+        ("A", "2024-01-05 09:00:00", 0.250),
+        ("A", "2024-01-05 10:00:00", 0.250),  # same-day rows sum
+        ("B", "2024-02-01 00:00:00", 1.000),
+    ]
+    df = spark.createDataFrame(rows, "entity string, ts string, value double")
+    out = interpolate_daily(
+        df, "entity", "ts", F.round(F.col("value") * 1000).cast("long")
+    )
+    got = {
+        (r.entity, str(r.day)): (r.value_milli, r.interp, r.is_gap)
+        for r in out.collect()
+    }
+    assert got[("A", "2024-01-01")] == (100, 100.0, False)
+    assert got[("A", "2024-01-02")] == (None, 200.0, True)
+    assert got[("A", "2024-01-03")] == (None, 300.0, True)
+    assert got[("A", "2024-01-04")] == (400, 400.0, False)
+    assert got[("A", "2024-01-05")] == (500, 500.0, False)
+    assert got[("B", "2024-02-01")] == (1000, 1000.0, False)
+    assert len(got) == 6  # no extrapolation beyond observed bounds
+
+
+def test_interpolate_daily_uneven_gap_is_time_weighted(spark):
+    """A 3-day interior hole between unequal endpoints: each filled day
+    advances by (delta / gap_days), not by a fixed step — the 'time'
+    interpolation semantics, not index interpolation."""
+    from zipkin_dependencies_spark.operators.interpolate import interpolate_daily
+    from pyspark.sql import functions as F
+
+    rows = [("u", "2024-03-01 00:00:00", 1.0), ("u", "2024-03-05 00:00:00", 11.0)]
+    df = spark.createDataFrame(rows, "entity string, ts string, value double")
+    out = interpolate_daily(
+        df, "entity", "ts", F.round(F.col("value") * 1000).cast("long")
+    )
+    interp = {str(r.day): r.interp for r in out.collect()}
+    assert interp == {
+        "2024-03-01": 1000.0,
+        "2024-03-02": 3500.0,
+        "2024-03-03": 6000.0,
+        "2024-03-04": 8500.0,
+        "2024-03-05": 11000.0,
+    }

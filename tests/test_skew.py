@@ -235,3 +235,98 @@ def test_depth64_giant_trace_routes_relationally_and_matches_kernel(spark):
     got_h = sorted(tuple(r) for r in links_from_spans_hybrid(deeper).collect())
     want_h = sorted(tuple(r) for r in links_from_spans(deeper).collect())
     assert got_h == want_h and len(want_h) == 129
+
+
+# --- salted join (operators/salted_join.py): skew-neutralizing key
+# decomposition. The contract under test is salt-INVISIBILITY: for any
+# key distribution (including one hot key holding most rows) the salted
+# join's multiset of result rows equals the plain join's, for every
+# supported join type, with the salt machinery absent from the output.
+
+
+@pytest.fixture(scope="module")
+def skewed_fact_dim(spark):
+    """Fact with one hot key (id 7 holds ~90% of rows, exercising salt
+    spread) + keys with no dim match (id 99); dim with an unmatched row
+    (id 50) and one attribute column."""
+    fact = spark.range(2_000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 != 0, F.lit(7))
+        .otherwise(
+            F.when(F.col("id") % 20 == 0, F.lit(99)).otherwise(F.col("id") % 40)
+        )
+        .alias("k"),
+        (F.col("id") * 3 % 97).alias("v"),
+    )
+    dim = spark.range(41).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("grp-"), (F.col("id") % 5).cast("string")).alias("grp"),
+    ).union(
+        spark.range(50, 51).select(
+            F.col("id").alias("dk"), F.lit("grp-none").alias("grp")
+        )
+    )
+    return fact, dim
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_matches_unsalted(spark, skewed_fact_dim, how):
+    from zipkin_dependencies_spark.operators.salted_join import salted_join
+
+    fact, dim = skewed_fact_dim
+    plain = fact.join(dim, fact.k == dim.dk, how).select(
+        "row_id", "k", "v", "dk", "grp"
+    )
+    salted = salted_join(
+        fact, dim, big_key="k", small_key="dk", salt_from="row_id", n_salts=8,
+        how=how,
+    ).select("row_id", "k", "v", "dk", "grp")
+    assert _rows(salted) == _rows(plain)
+    # the salt never leaks into the schema
+    assert "__salt" not in salted.columns
+
+
+def test_salted_join_left_unmatched_survive_exactly_once(spark, skewed_fact_dim):
+    """Left join: a fact key with no dim row must appear once with nulls
+    — NOT k times (the k-fold dim replication must not manufacture
+    matches) and NOT zero times (the salt equi-condition must not drop
+    null-extension rows)."""
+    from zipkin_dependencies_spark.operators.salted_join import salted_join
+
+    fact, dim = skewed_fact_dim
+    out = salted_join(
+        fact, dim, big_key="k", small_key="dk", salt_from="row_id", n_salts=8,
+        how="left",
+    )
+    unmatched = out.filter(F.col("k") == 99)
+    n_99 = fact.filter(F.col("k") == 99).count()
+    assert unmatched.count() == n_99
+    assert unmatched.filter(F.col("grp").isNull()).count() == n_99
+
+
+def test_salted_join_rejects_outer_joins(spark, skewed_fact_dim):
+    from zipkin_dependencies_spark.operators.salted_join import salted_join
+
+    fact, dim = skewed_fact_dim
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(
+            fact, dim, big_key="k", small_key="dk", salt_from="row_id",
+            how="right",
+        )
+
+
+def test_salted_join_salt_is_deterministic(spark, skewed_fact_dim):
+    """Two evaluations of the same salted plan yield identical rows —
+    the salt derives from row content (xxhash64), never rand(), so
+    retried/speculative tasks at scale recompute the same buckets."""
+    from zipkin_dependencies_spark.operators.salted_join import salted_join
+
+    fact, dim = skewed_fact_dim
+    out = salted_join(
+        fact, dim, big_key="k", small_key="dk", salt_from="row_id", n_salts=8
+    )
+    assert _rows(out) == _rows(out)
