@@ -3013,6 +3013,289 @@ def q_interpolated_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog: the distribution of per-customer order counts
+    (including zero-order customers via LEFT OUTER + count of the
+    nullable key) — the double-aggregation shape: one shuffle at
+    customer cardinality, then a second at |distinct counts| (tiny).
+    All-integer output, no float anywhere."""
+    from zipkin_dependencies_spark.testdata import load
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog: supplier(s) with the maximum Q1-1996 revenue —
+    the view-then-scalar-max shape. The revenue aggregate reduces
+    lineitem to supplier cardinality BEFORE the max; the 1-row max
+    broadcasts back as an equality join (ties all surface, exactly as
+    the spec's `= (SELECT max(...))` demands). Integer cents throughout."""
+    from zipkin_dependencies_spark.testdata import load
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("revenue_cents"))
+    mx = rev.agg(F.max("revenue_cents").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("revenue_cents") == F.col("mx"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "revenue_cents")
+    )
+
+
+def q_bracketed_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: revenue from three OR'd (brand, size-range,
+    quantity-range) brackets — the disjunctive-predicate shape. The
+    part-side conjuncts (brand ∈ {1,2,3}, size ≤ 15) are factored out
+    so the broadcast dim is pre-filtered and the common conjunct
+    reaches the parquet scan; the residual OR runs post-join as one
+    vectorized predicate. 46 qualifying lines at sf0.001 — non-vacuous
+    at every SF."""
+    from zipkin_dependencies_spark.testdata import load
+
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bracket)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: NATION_7's share of ASIA-region customer revenue
+    by order year (1995-1996) — the market-share shape: one conditional
+    sum over the fully-joined fact, one division at the end. Customer
+    is reduced to its key set through broadcast dims BEFORE touching
+    lineitem; the only big-big exchange is lineitem⋈orders on orderkey.
+    Integer cents; round-9 single division."""
+    from zipkin_dependencies_spark.testdata import load
+
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    supp_nation = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(cents).alias("total_cents"),
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", cents).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_cents"),
+        )
+        .select(
+            "o_year",
+            "total_cents",
+            "nation_cents",
+            F.round(F.col("nation_cents") / F.col("total_cents"), 9).alias(
+                "mkt_share9"
+            ),
+        )
+    )
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog: per supplier-nation, per order-year profit on
+    'gear' parts. The fixture has no partsupp/supplycost, so cost is a
+    deterministic retail-basis proxy (90% of p_retailprice x quantity)
+    — the SHAPE is Q9's (name-LIKE dim filter, multi-dim star join,
+    two-key rollup); the constant differs. Part filter broadcasts and
+    prunes lineitem before the one big exchange (orders on orderkey).
+    Exact integer cents; profit can legitimately go negative."""
+    from zipkin_dependencies_spark.testdata import load
+
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    profit_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long") - F.round(
+        F.col("p_retailprice") * F.col("l_quantity") * 90
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(F.sum(profit_cents).alias("profit_cents"))
+    )
+
+
+def q_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): hash every 3-token shingle, then keep the minimum
+    hash of every 4-gram sliding window — guarantees any token run of
+    length >= k+w-1 shares a fingerprint between near-identical docs.
+    Reporting DISTINCT selected hash VALUES per doc makes the result
+    independent of the paper's rightmost-tie rule. Entirely
+    higher-order Column ops (transform/slice/array_min) — one
+    projection, zero explode, zero Python; md5 is the cross-engine
+    hash (the repo's minhash oracle idiom). Docs shorter than
+    k+w-1 = 6 tokens have no window and are excluded by both engines."""
+    from zipkin_dependencies_spark.testdata import load
+
+    K, W = 3, 4
+    docs = load(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    with_tok = docs.select("doc_id", tk.alias("tk")).filter(
+        F.size("tk") >= K + W - 1
+    )
+    grams = with_tok.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.size("tk") - K),
+            lambda i: F.md5(F.array_join(F.slice(F.col("tk"), i + 1, K), " ")),
+        ).alias("hs"),
+    )
+    mins = grams.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.size("hs") - W),
+            lambda j: F.array_min(F.slice(F.col("hs"), j + 1, W)),
+        ).alias("wm"),
+    )
+    return mins.select(
+        "doc_id",
+        F.size(F.array_distinct("wm")).alias("n_fingerprints"),
+        F.size("wm").alias("n_windows"),
+        F.array_min("wm").alias("min_fp"),
+    )
+
+
+def q_ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type EWMA of daily spend (alpha = 1/2, truncated at 20
+    lags): ewma_t = sum(x_{t-i} * 2^(20-i)) / sum(2^(20-i)) over observed
+    days within 19 calendar days back. The power-of-two weights keep
+    BOTH sums exact bigints (order-free across engines and partitions),
+    leaving one IEEE division — the recursive formulation would force a
+    sequential scan AND a float accumulation order. Events reduce
+    map-side to (type x day) cardinality first; the bounded range
+    self-join (<= 20x fan-out) runs on that tiny series, so at 100 TB
+    the heavy corpus is touched exactly once."""
+    from zipkin_dependencies_spark.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+        .withColumn("dayn", F.datediff(F.col("day"), F.lit("1995-01-01")))
+    )
+    t = daily.alias("t")
+    s = daily.select(
+        F.col("event_type").alias("s_type"),
+        F.col("dayn").alias("s_dayn"),
+        F.col("cents").alias("s_cents"),
+    )
+    weight = F.pow(F.lit(2), 20 - (F.col("t.dayn") - F.col("s_dayn"))).cast(
+        "long"
+    )
+    return (
+        t.join(
+            s,
+            (F.col("t.event_type") == F.col("s_type"))
+            & (F.col("s_dayn") >= F.col("t.dayn") - 19)
+            & (F.col("s_dayn") <= F.col("t.dayn")),
+        )
+        .groupBy("t.event_type", "t.day", "t.cents")
+        .agg(
+            F.sum(F.col("s_cents") * weight).alias("num"),
+            F.sum(weight).alias("den"),
+            F.count(F.lit(1)).alias("n_lags"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "cents",
+            F.round(F.col("num") / F.col("den"), 4).alias("ewma4"),
+            "n_lags",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -3081,6 +3364,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_variety": q_supplier_part_variety,
         "sole_return_suppliers": q_sole_return_suppliers,
         "interpolated_purchases": q_interpolated_purchases,
+        "customer_order_distribution": q_customer_order_distribution,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "bracketed_discount_revenue": q_bracketed_discount_revenue,
+        "nation_market_share": q_nation_market_share,
+        "product_type_profit": q_product_type_profit,
+        "winnowed_fingerprints": q_winnowed_fingerprints,
+        "ewma_event_value": q_ewma_event_value,
         # --- BLOCK C: high-churn re-gates — queries whose code this round
         # touches (embedding-LSH auto-sizing, trace-path checkpoint policy,
         # linker flagship) re-verify under the driver oracle ---
@@ -3579,6 +3869,138 @@ GROUP BY 1, 2, 3
         ),
         "salted_segment_revenue": SEGMENT_REVENUE_SQL,
         "interpolated_purchases": _purchase_interpolation_sql(),
+        "customer_order_distribution": """
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+)
+GROUP BY 1
+""",
+        "top_supplier_revenue": """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, revenue_cents
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
+""",
+        "bracketed_discount_revenue": """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+        "nation_market_share": """
+WITH asia_cust AS (
+  SELECT c_custkey
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+ords AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year
+  FROM orders JOIN asia_cust ON o_custkey = c_custkey
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+),
+sn AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT o_year,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0 END)
+         AS BIGINT) AS nation_cents,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0
+                      END) AS DOUBLE)
+             / CAST(sum(cents) AS DOUBLE), 9) AS mkt_share9
+FROM (
+  SELECT o_year, supp_nation,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem
+  JOIN ords ON l_orderkey = o_orderkey
+  JOIN sn ON l_suppkey = s_suppkey
+)
+GROUP BY 1
+""",
+        "product_type_profit": """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)
+                - CAST(round(p_retailprice * l_quantity * 90) AS BIGINT))
+         AS BIGINT) AS profit_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+""",
+        "winnowed_fingerprints": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         [md5(array_to_string(tk[i+1:i+3], ' '))
+          FOR i IN range(0, len(tk) - 2)] AS hs
+  FROM toks
+  WHERE len(tk) >= 6
+),
+mins AS (
+  SELECT doc_id,
+         [list_aggregate(hs[j+1:j+4], 'min')
+          FOR j IN range(0, len(hs) - 3)] AS wm
+  FROM grams
+)
+SELECT doc_id,
+       CAST(len(list_distinct(wm)) AS INT) AS n_fingerprints,
+       CAST(len(wm) AS INT) AS n_windows,
+       list_aggregate(wm, 'min') AS min_fp
+FROM mins
+""",
+        "ewma_event_value": """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+d2 AS (
+  SELECT *, datediff('day', DATE '1995-01-01', day) AS dayn FROM daily
+)
+SELECT t.event_type, t.day, t.cents,
+       round(CAST(sum(s.cents
+                      * CAST(power(2, 20 - (t.dayn - s.dayn)) AS BIGINT))
+                  AS DOUBLE)
+             / CAST(sum(CAST(power(2, 20 - (t.dayn - s.dayn)) AS BIGINT))
+                    AS DOUBLE), 4) AS ewma4,
+       CAST(count(*) AS BIGINT) AS n_lags
+FROM d2 t
+JOIN d2 s ON t.event_type = s.event_type
+         AND s.dayn BETWEEN t.dayn - 19 AND t.dayn
+GROUP BY 1, 2, 3
+""",
         "promo_revenue": """
 SELECT promo_cents, total_cents,
        promo_cents / total_cents AS promo_share

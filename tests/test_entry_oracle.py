@@ -119,6 +119,9 @@ def test_registry_gate_window_policy():
         "salted_segment_revenue", "promo_revenue", "min_cost_supplier",
         "small_quantity_revenue", "supplier_part_variety",
         "sole_return_suppliers", "interpolated_purchases",
+        "customer_order_distribution", "top_supplier_revenue",
+        "bracketed_discount_revenue", "nation_market_share",
+        "product_type_profit", "winnowed_fingerprints", "ewma_event_value",
     }
     window = set(list(e.queries())[:50])
     missing = never_driver_gated - window
