@@ -3296,6 +3296,325 @@ def q_ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: revenue increase if 1996 discounts in [5%, 7%] on
+    small-quantity (< 24) lines had been eliminated — the pure
+    scan-filter-aggregate shape: no join, no window, one map-side-combined
+    global sum. Every predicate reaches the parquet scan (PushedFilters on
+    shipdate/quantity/discount); at 100 TB this is the I/O-bound floor a
+    columnar engine should hit. Discount cents are exact: l_discount is
+    generated at whole-percent granularity, so round(d*100) is an integer
+    and price·discount cents stay bigint."""
+    from zipkin_dependencies_spark.testdata import load
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+        "long"
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(cents).alias("revenue_cents"),
+    )
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: shipping volume between NATION_1 and NATION_2 in
+    either direction, by (supplier nation, customer nation, ship year) —
+    the two-sided-dim shape. Both nation lookups reduce to key sets
+    through broadcast joins BEFORE the single big exchange
+    (lineitem⋈orders on orderkey); the cross-nation disjunction is one
+    vectorized post-join predicate. Integer cents."""
+    from zipkin_dependencies_spark.testdata import load
+
+    nation = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(F.sum(cents).alias("volume_cents"))
+    )
+
+
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the A-priori k=2 pass): part pairs
+    ordered together in at least 3 distinct orders, top-100 by support.
+    The pair fan-out is the classic scale trap — it is bounded here by
+    deduping to DISTINCT (order, part) FIRST (per-order line fan-in
+    collapses before the self-join) and the per-order pair count is
+    lines-per-order², which TPC-H-shaped data caps at ~7² per order. At
+    100 TB the same plan holds because the self-join key (orderkey) is
+    the table's natural clustering; a min-support pre-filter on
+    single-part frequency (A-priori pruning) is the documented next knob
+    if per-order cardinality grows. Canonical p1 < p2 ordering halves the
+    pairs and makes the output deterministic."""
+    from zipkin_dependencies_spark.testdata import load
+
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2")
+    )
+    return (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+        .orderBy(F.desc("n_orders"), "p1", "p2")
+        .limit(100)
+    )
+
+
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse FK audit: for every foreign-key edge in the star schema,
+    the count of child rows (and distinct child keys) whose parent is
+    missing — the left-anti profile a 100 TB ingest job runs before
+    publishing a snapshot. Each edge is an independent anti-join;
+    dimension parents broadcast, the two fact-fact edges
+    (lineitem→orders/part/supplier) shuffle once on their key. The edges
+    union into one tiny (5-row) report so one action audits the whole
+    schema. A healthy fixture yields all-zero counts — that is the
+    CONTRACT being verified (and the oracle proves the zeros the same
+    way); the pytest companion corrupts a copy to prove the probe fires."""
+    from zipkin_dependencies_spark.testdata import load
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part")
+    nation = load(spark, sf_dir, "nation")
+
+    def edge(name, child, ckey, parent, pkey):
+        orphans = child.select(F.col(ckey)).join(
+            parent.select(F.col(pkey)),
+            F.col(ckey) == F.col(pkey),
+            "left_anti",
+        )
+        return orphans.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).alias("orphan_rows"),
+            F.countDistinct(ckey).alias("orphan_keys"),
+        )
+
+    parts = [
+        edge("lineitem.orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        edge("lineitem.partkey->part", li, "l_partkey", part, "p_partkey"),
+        edge("lineitem.suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        edge("orders.custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        edge("customer.nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type lag-7 autocorrelation of daily spend (weekly
+    seasonality probe): Pearson r over (day t, day t-7) pairs where both
+    days are observed. The heavy corpus reduces map-side to (type × day)
+    cents ONCE; the lag pairing is an equi-self-join on (type, dayn-7)
+    at series cardinality. All five correlation sums (Σx Σy Σxy Σx² Σy²)
+    are exact bigints — order-free across engines and partitions — with
+    the IEEE work confined to the final num/sqrt·sqrt expression, written
+    identically in both engines. (At 100 TB daily-cents scale the squared
+    sums upgrade to decimal(38,0); bigint is exact at every fixture SF and
+    documents the boundary.) Types with < 3 pairs or a constant side are
+    excluded (r undefined)."""
+    from zipkin_dependencies_spark.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .withColumn("dayn", F.datediff(F.col("day"), F.lit("1995-01-01")))
+    )
+    t = daily.select(
+        "event_type", F.col("dayn").alias("tn"), F.col("cents").alias("x")
+    )
+    s = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("dayn").alias("sn"),
+        F.col("cents").alias("y"),
+    )
+    sums = (
+        t.join(
+            s,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("sn") == F.col("tn") - 7),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n = F.col("n_pairs")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        sums.filter((n >= 3) & (vx > 0) & (vy > 0))
+        .select(
+            "event_type",
+            "n_pairs",
+            F.round(
+                num.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                6,
+            ).alias("lag7_corr6"),
+        )
+    )
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by TF-IDF
+    (tf · ln(N/df), natural log, N = corpus size). Token counts and
+    document frequencies are two hash aggregates over the exploded token
+    stream (the corpus is touched once; df is token-vocabulary-sized and
+    broadcasts back onto the tf table). The scoring float is computed
+    from exact integers by the identical expression in both engines;
+    rank ties (same tf, df) break on the token string so the window is
+    deterministic. The per-doc window partitions on doc_id — customer
+    cardinality, never a global sort."""
+    from zipkin_dependencies_spark.testdata import load
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda tkn: tkn != "",
+            )
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    scored = tf.join(F.broadcast(df_), "token").withColumn(
+        "score",
+        F.col("tf")
+        * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "rk",
+            "token",
+            "tf",
+            "df",
+            F.round("score", 6).alias("score6"),
+        )
+    )
+
+
+def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment Gini coefficient of customer order spend — the
+    concentration metric a curation pipeline runs on per-source corpus
+    contribution. Uses the exact rank formula
+    G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) with i the per-segment rank
+    of (cents, custkey): every term is an exact bigint over integer
+    cents, one IEEE division per segment at the end. Spend aggregates to
+    customer cardinality map-side first; the rank window partitions by
+    segment (5 partitions of customer cardinality — at 100 TB swap the
+    window for the two-phase distributed rank in operators/, same
+    formula)."""
+    from zipkin_dependencies_spark.testdata import load
+    from pyspark.sql import Window
+
+    spend = (
+        load(spark, sf_dir, "customer")
+        .join(
+            load(spark, sf_dir, "orders"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("total_cents"),
+            F.sum(F.col("i") * F.col("cents")).alias("iws"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "total_cents",
+            F.round(
+                (2 * F.col("iws") - (F.col("n_customers") + 1) * F.col("total_cents"))
+                .cast("double")
+                / (F.col("n_customers") * F.col("total_cents")).cast("double"),
+                6,
+            ).alias("gini6"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -3371,6 +3690,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_type_profit": q_product_type_profit,
         "winnowed_fingerprints": q_winnowed_fingerprints,
         "ewma_event_value": q_ewma_event_value,
+        # --- BLOCK B2: r05 additions past the 50-row gate window (Block B
+        # filled it); local-gate evidence this round, FIRST driver gate
+        # lands in the r06 rotation — these rotate into Block A next round ---
+        "forecast_revenue_change": q_forecast_revenue_change,
+        "nation_trade_volume": q_nation_trade_volume,
+        "basket_part_pairs": q_basket_part_pairs,
+        "referential_integrity_audit": q_referential_integrity_audit,
+        "daily_autocorrelation": q_daily_autocorrelation,
+        "tfidf_keywords": q_tfidf_keywords,
+        "customer_spend_gini": q_customer_spend_gini,
         # --- BLOCK C: high-churn re-gates — queries whose code this round
         # touches (embedding-LSH auto-sizing, trace-path checkpoint policy,
         # linker flagship) re-verify under the driver oracle ---
@@ -4000,6 +4329,165 @@ FROM d2 t
 JOIN d2 s ON t.event_type = s.event_type
          AND s.dayn BETWEEN t.dayn - 19 AND t.dayn
 GROUP BY 1, 2, 3
+""",
+        "forecast_revenue_change": """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+         AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+        "nation_trade_volume": """
+WITH supp AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2')
+),
+cust AS (
+  SELECT c_custkey, n_name AS cust_nation
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2')
+),
+ords AS (
+  SELECT o_orderkey, cust_nation
+  FROM orders JOIN cust ON o_custkey = c_custkey
+)
+SELECT supp_nation, cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS volume_cents
+FROM lineitem
+JOIN supp ON l_suppkey = s_suppkey
+JOIN ords ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND supp_nation <> cust_nation
+GROUP BY 1, 2, 3
+""",
+        "basket_part_pairs": """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 3
+ORDER BY n_orders DESC, p1, p2
+LIMIT 100
+""",
+        "referential_integrity_audit": """
+SELECT 'lineitem.orderkey->orders' AS fk_edge,
+       CAST(count(*) AS BIGINT) AS orphan_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS orphan_keys
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'lineitem.partkey->part',
+       CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT l_partkey) AS BIGINT)
+FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+UNION ALL
+SELECT 'lineitem.suppkey->supplier',
+       CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT l_suppkey) AS BIGINT)
+FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+UNION ALL
+SELECT 'orders.custkey->customer',
+       CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'customer.nationkey->nation',
+       CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT c_nationkey) AS BIGINT)
+FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+""",
+        "daily_autocorrelation": """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+d2 AS (
+  SELECT event_type,
+         datediff('day', DATE '1995-01-01', day) AS dayn, cents
+  FROM daily
+),
+sums AS (
+  SELECT t.event_type,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(t.cents) AS BIGINT) AS sx,
+         CAST(sum(s.cents) AS BIGINT) AS sy,
+         CAST(sum(t.cents * s.cents) AS BIGINT) AS sxy,
+         CAST(sum(t.cents * t.cents) AS BIGINT) AS sxx,
+         CAST(sum(s.cents * s.cents) AS BIGINT) AS syy
+  FROM d2 t JOIN d2 s
+    ON t.event_type = s.event_type AND s.dayn = t.dayn - 7
+  GROUP BY 1
+)
+SELECT event_type, n_pairs,
+       round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
+         AS lag7_corr6
+FROM sums
+WHERE n_pairs >= 3 AND n_pairs * sxx - sx * sx > 0
+  AND n_pairs * syy - sy * sy > 0
+""",
+        "tfidf_keywords": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''))
+         AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, token, tf, df,
+       round(score, 6) AS score6
+FROM ranked WHERE rk <= 3
+""",
+        "customer_spend_gini": """
+WITH spend AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_mktsegment, cents,
+         row_number() OVER (
+           PARTITION BY c_mktsegment ORDER BY cents, c_custkey) AS i
+  FROM spend
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       round(CAST(2 * sum(i * cents) - (count(*) + 1) * sum(cents)
+                  AS DOUBLE)
+             / CAST(count(*) * sum(cents) AS DOUBLE), 6) AS gini6
+FROM ranked
+GROUP BY 1
 """,
         "promo_revenue": """
 SELECT promo_cents, total_cents,

@@ -906,3 +906,54 @@ def test_interpolate_daily_uneven_gap_is_time_weighted(spark):
         "2024-03-04": 8500.0,
         "2024-03-05": 11000.0,
     }
+
+
+def test_referential_integrity_audit_fires_on_corrupted_copy(spark, tmp_path):
+    """The audit's all-zero fixture result is only meaningful if the probe
+    actually fires on broken data (the vacuous-gate discipline): corrupt a
+    copy of the sf0.001 star schema — lineitem rows pointing at missing
+    orders/parts, an order pointing at a missing customer — and assert the
+    exact orphan counts per FK edge."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    src = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["orders", "customer", "supplier", "part", "nation"]:
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet') TO "
+            f"'{tmp_path}/{t}.parquet' (FORMAT parquet)"
+        )
+    # 3 lineitem rows get an orderkey no order has (2 distinct keys), and
+    # 2 rows get a partkey past the part table's range (1 distinct key)
+    con.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN rowid < 3 THEN 900000001 + (rowid % 2)
+                 ELSE l_orderkey END AS l_orderkey,
+            CASE WHEN rowid >= 3 AND rowid < 5 THEN 900000001
+                 ELSE l_partkey END AS l_partkey)
+          FROM (SELECT *, row_number() OVER () - 1 AS rowid
+                FROM '{src}/lineitem.parquet')
+        ) TO '{tmp_path}/lineitem.parquet' (FORMAT parquet)
+        """
+    )
+    con.close()
+    # drop the helper column duckdb materialized
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    tbl = pq.read_table(f"{tmp_path}/lineitem.parquet")
+    pq.write_table(tbl.drop(["rowid"]), f"{tmp_path}/lineitem.parquet")
+
+    out = {
+        r.fk_edge: (r.orphan_rows, r.orphan_keys)
+        for r in e.q_referential_integrity_audit(spark, str(tmp_path)).collect()
+    }
+    assert out["lineitem.orderkey->orders"] == (3, 2)
+    assert out["lineitem.partkey->part"] == (2, 1)
+    assert out["lineitem.suppkey->supplier"] == (0, 0)
+    assert out["orders.custkey->customer"] == (0, 0)
+    assert out["customer.nationkey->nation"] == (0, 0)
