@@ -3615,6 +3615,30 @@ def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span removal (8-token windows): a span that
+    occurs more than once corpus-wide survives only at its first
+    (doc_id, pos) occurrence; documents are reassembled from survivors.
+    Two key exchanges total — winner election by digest, reassembly by
+    doc_id."""
+    from zipkin_dependencies_spark.llm.dedup import cross_doc_span_dedup
+    from zipkin_dependencies_spark.testdata import load
+
+    return cross_doc_span_dedup(
+        load(spark, sf_dir, "documents"), span_tokens=8, id_col="doc_id"
+    )
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-example mining: nearest same-label and nearest
+    other-label neighbor per sampled query vector, plus the cosine margin
+    between them. Broadcast queries; the corpus never shuffles."""
+    from zipkin_dependencies_spark.llm.similarity import hard_negative_mining
+    from zipkin_dependencies_spark.testdata import load
+
+    return hard_negative_mining(load(spark, sf_dir, "embeddings"), stride=16)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -3700,6 +3724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_autocorrelation": q_daily_autocorrelation,
         "tfidf_keywords": q_tfidf_keywords,
         "customer_spend_gini": q_customer_spend_gini,
+        "cross_doc_span_dedup": q_cross_doc_span_dedup,
+        "hard_negative_mining": q_hard_negative_mining,
         # --- BLOCK C: high-churn re-gates — queries whose code this round
         # touches (embedding-LSH auto-sizing, trace-path checkpoint policy,
         # linker flagship) re-verify under the driver oracle ---
@@ -4487,6 +4513,92 @@ SELECT c_mktsegment,
                   AS DOUBLE)
              / CAST(count(*) * sum(cents) AS DOUBLE), 6) AS gini6
 FROM ranked
+GROUP BY 1
+""",
+        # Span-equality via SHA-256 digest in Spark == direct span-text
+        # equality here (the dedupe_exact collision stance). Winner =
+        # min(doc_id, pos) per span text; reassembly orders by pos.
+        "cross_doc_span_dedup": r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_spans, toks
+  FROM tk
+),
+spans AS (
+  SELECT doc_id, CAST(u.pos AS INT) AS pos,
+         array_to_string(
+           list_slice(toks, CAST(u.pos AS INT) * 8 + 1,
+                      CAST(u.pos AS INT) * 8 + 8), ' ') AS span
+  FROM base,
+       UNNEST(generate_series(0, CAST(n_spans AS BIGINT) - 1)) AS u(pos)
+),
+winners AS (
+  SELECT * FROM (
+    SELECT doc_id, pos, span,
+           row_number() OVER (PARTITION BY span
+                              ORDER BY doc_id, pos) AS rn
+    FROM spans
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS kept_spans,
+         string_agg(span, ' ' ORDER BY pos) AS cleaned_text
+  FROM winners GROUP BY 1
+)
+SELECT b.doc_id, b.n_spans,
+       coalesce(k.kept_spans, 0) AS kept_spans,
+       coalesce(k.cleaned_text, '') AS cleaned_text
+FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+""",
+        # Ordered-fold cosine (sum ... ORDER BY i) matches the Spark
+        # sequential aggregate; round-9 before ranking is the shared
+        # contract. Queries: vec_id % 16 = 0, zero-norm vectors excluded
+        # on both sides before pairing.
+        "hard_negative_mining": """
+WITH flat AS (
+  SELECT vec_id AS id, CAST(u.i AS INT) AS i,
+         CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u
+),
+nrm AS (SELECT id, sqrt(sum(x * x ORDER BY i)) AS norm FROM flat GROUP BY 1),
+dots AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id,
+         sum(a.x * b.x ORDER BY a.i) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.id <> b.id
+  WHERE a.id % 16 = 0
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         (ea.label = eb.label) AS same,
+         round(d.dot / (qa.norm * qb.norm), 9) AS cosine
+  FROM dots d
+  JOIN nrm qa ON qa.id = d.query_id AND qa.norm > 0
+  JOIN nrm qb ON qb.id = d.neighbor_id AND qb.norm > 0
+  JOIN embeddings ea ON ea.vec_id = d.query_id
+  JOIN embeddings eb ON eb.vec_id = d.neighbor_id
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, same
+                                 ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT query_id,
+       max(CASE WHEN same THEN neighbor_id END) AS pos_id,
+       max(CASE WHEN same THEN cosine END) AS pos_cos,
+       max(CASE WHEN NOT same THEN neighbor_id END) AS neg_id,
+       max(CASE WHEN NOT same THEN cosine END) AS neg_cos,
+       round(max(CASE WHEN same THEN cosine END)
+             - max(CASE WHEN NOT same THEN cosine END), 9) AS margin
+FROM top
 GROUP BY 1
 """,
         "promo_revenue": """

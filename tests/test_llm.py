@@ -823,3 +823,89 @@ def test_clear_all_memos_unpersists_cached_entries(spark):
     clear_all_memos()
     assert not memo
     assert not df.storageLevel.useMemory, "entry still pinned in CacheManager"
+
+
+def test_cross_doc_span_dedup_first_occurrence_wins(spark):
+    """C4-style span removal: a span repeated across documents survives
+    only at its first (doc_id, pos) occurrence; unique spans all survive;
+    a fully-duplicated later document collapses to empty text but stays
+    in the output."""
+    from pyspark.sql import Row
+
+    from zipkin_dependencies_spark.llm.dedup import cross_doc_span_dedup
+
+    span_a = "a b c d"          # 4 tokens = one span at span_tokens=4
+    span_b = "e f g h"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{span_a} {span_b}"),   # both first here
+            Row(doc_id=2, text=f"{span_a} x y z w"),    # span_a cut, tail kept
+            Row(doc_id=3, text=span_b),                 # fully duplicated
+        ]
+    )
+    got = {
+        r.doc_id: r
+        for r in cross_doc_span_dedup(docs, span_tokens=4).collect()
+    }
+    assert got[1].n_spans == 2 and got[1].kept_spans == 2
+    assert got[1].cleaned_text == f"{span_a} {span_b}"
+    assert got[2].n_spans == 2 and got[2].kept_spans == 1
+    assert got[2].cleaned_text == "x y z w"
+    assert got[3].n_spans == 1 and got[3].kept_spans == 0
+    assert got[3].cleaned_text == ""
+
+
+def test_cross_doc_span_dedup_ragged_tail_and_reassembly_order(spark):
+    """The final short span participates in dedup like any other, and
+    reassembly preserves original span order (not digest or shuffle
+    order)."""
+    from pyspark.sql import Row
+
+    from zipkin_dependencies_spark.llm.dedup import cross_doc_span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one two three four five"),  # spans: [one..four], [five]
+            Row(doc_id=2, text="zero zero zero zero five"),  # tail 'five' duplicates doc1's
+        ]
+    )
+    got = {
+        r.doc_id: r
+        for r in cross_doc_span_dedup(docs, span_tokens=4).collect()
+    }
+    assert got[1].cleaned_text == "one two three four five"
+    assert got[2].kept_spans == 1
+    assert got[2].cleaned_text == "zero zero zero zero"
+
+
+def test_hard_negative_mining_margin_and_null_sides(spark):
+    """Constructed geometry: the query's nearest same-label vector and
+    nearest other-label vector are known, so the margin is checkable; a
+    query whose label is unique in the corpus gets NULL pos side and a
+    real neg side."""
+    from pyspark.sql import Row
+
+    from zipkin_dependencies_spark.llm.similarity import hard_negative_mining
+
+    rows = [
+        # query (id=0, label 1) — stride 4 samples ids 0 and 4
+        Row(vec_id=0, embedding=[1.0, 0.0], label=1),
+        Row(vec_id=1, embedding=[0.9, 0.1], label=1),   # hardest positive
+        Row(vec_id=2, embedding=[0.8, 0.2], label=2),   # hard negative
+        Row(vec_id=3, embedding=[0.0, 1.0], label=2),   # far negative
+        # query (id=4) with a label nobody else has -> pos side NULL
+        Row(vec_id=4, embedding=[0.5, 0.5], label=3),
+    ]
+    emb = spark.createDataFrame(rows)
+    got = {r.query_id: r for r in hard_negative_mining(emb, stride=4).collect()}
+    assert set(got) == {0, 4}
+    q0 = got[0]
+    assert q0.pos_id == 1 and q0.neg_id == 2
+    assert q0.pos_cos > q0.neg_cos and q0.margin > 0
+    import math
+
+    exp_pos = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(q0.pos_cos - round(exp_pos, 9)) < 1e-9
+    q4 = got[4]
+    assert q4.pos_id is None and q4.pos_cos is None and q4.margin is None
+    assert q4.neg_id is not None and q4.neg_cos is not None

@@ -891,3 +891,81 @@ def dedupe_near_against(
             (F.coalesce("n_matches", F.lit(0)) == 0).alias("keep"),
         )
     )
+
+
+def cross_doc_span_dedup(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style cross-document span removal (Raffel et al. 2020 §2.2
+    deduplicate "three-sentence spans"; this corpus is sentence-free, so
+    the unit is a fixed window of `span_tokens` whitespace tokens): any
+    span whose exact text occurs more than once corpus-wide survives only
+    at its first occurrence — ordered by (doc_id, position) — and is cut
+    everywhere else; documents are reassembled from their surviving spans.
+
+    Output: (doc_id, n_spans, kept_spans, cleaned_text). Documents whose
+    every span was cut (or that were empty) stay in the output with
+    cleaned_text = '' — a curation step must account for every input row.
+
+    Scale: spans shuffle once, keyed by a 256-bit digest of the span text
+    (same collision stance as `dedupe_exact`: SHA-256 equality IS text
+    equality at any feasible corpus size). The winner per digest is a
+    min(struct(doc_id, pos)) hash aggregate — map-side partial, no window
+    over the corpus — and reassembly groups by doc_id, so the whole plan
+    is two key exchanges regardless of corpus width. The span text rides
+    the first shuffle (it is needed verbatim for reassembly and is
+    bounded at ~span_tokens words, the same order as the digest itself)."""
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    n_spans = F.ceil(F.size("tk") / F.lit(span_tokens)).cast("long")
+    base = docs.select(F.col(id_col).alias("doc_id"), tk.alias("tk")).select(
+        "doc_id",
+        n_spans.alias("n_spans"),
+        F.when(F.size("tk") == 0, F.array().cast("array<string>"))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), (n_spans - 1).cast("int")),
+                lambda i: F.array_join(
+                    F.slice(
+                        F.col("tk"),
+                        i * span_tokens + 1,
+                        span_tokens,
+                    ),
+                    " ",
+                ),
+            )
+        )
+        .alias("spans"),
+    )
+    spans = base.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).withColumn("digest", F.sha2(F.col("span"), 256))
+    winners = spans.groupBy("digest").agg(
+        F.min(F.struct("doc_id", "pos")).alias("win")
+    )
+    kept = (
+        spans.join(winners, "digest")
+        .filter(F.struct("doc_id", "pos") == F.col("win"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("kept_spans"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+    return base.select("doc_id", "n_spans").join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("kept_spans", F.lit(0)).alias("kept_spans"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )

@@ -400,3 +400,63 @@ def label_centroids(
         ).alias("c"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    stride: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training hard-example mining: for every query vector
+    (deterministic sample: ``id % stride == 0``) return its nearest
+    same-label neighbor (the hardest positive anchor) and nearest
+    OTHER-label neighbor (the hard negative), plus the cosine margin
+    between them. A margin near or below zero flags vectors whose nearest
+    neighbor crosses the label boundary — exactly the examples a
+    contrastive fine-tune wants over-sampled.
+
+    Plan shape matches `cosine_topk`: the query side broadcasts, the
+    corpus never shuffles, scoring is per-corpus-partition, and the only
+    exchange is the query-cardinality window. Cosines round to 9 before
+    ranking (the established oracle-comparison contract for the
+    sequential-fold dot product); ties break on neighbor id. Queries with
+    no same-label or no other-label peer surface NULL on that side rather
+    than vanishing — the margin is then NULL and the caller decides."""
+    from pyspark.sql import Window as W
+
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.col(label_col).alias("label"),
+        _norm(vec_col).alias("norm"),
+    ).filter(F.col("norm") > 0)
+    q = F.broadcast(base.filter(F.col("id") % stride == 0)).alias("q")
+    c = base.alias("c")
+    scored = q.join(c, F.col("q.id") != F.col("c.id")).select(
+        F.col("q.id").alias("query_id"),
+        F.col("c.id").alias("neighbor_id"),
+        (F.col("q.label") == F.col("c.label")).alias("same"),
+        F.round(_cosine("q", "c"), 9).alias("cosine"),
+    )
+    w = W.partitionBy("query_id", "same").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    pos = F.when(F.col("same"), F.col("neighbor_id"))
+    neg = F.when(~F.col("same"), F.col("neighbor_id"))
+    return (
+        top.groupBy("query_id")
+        .agg(
+            F.max(pos).alias("pos_id"),
+            F.max(F.when(F.col("same"), F.col("cosine"))).alias("pos_cos"),
+            F.max(neg).alias("neg_id"),
+            F.max(F.when(~F.col("same"), F.col("cosine"))).alias("neg_cos"),
+        )
+        .withColumn(
+            "margin", F.round(F.col("pos_cos") - F.col("neg_cos"), 9)
+        )
+    )
