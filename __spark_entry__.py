@@ -3639,6 +3639,103 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_mining(load(spark, sf_dir, "embeddings"), stride=16)
 
 
+def q_important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (the fixture has no partsupp, so "stock value"
+    becomes shipped revenue): parts whose revenue through a nation's
+    suppliers exceeds 0.1% of that nation's total — the group-vs-global
+    share HAVING shape. The national total is a 25-row aggregate joined
+    back by broadcast; the share test is exact bigint (part_cents * 1000
+    > nation_cents), no float division anywhere. Dims broadcast; one
+    lineitem shuffle on (nation, part)."""
+    from zipkin_dependencies_spark.testdata import load
+
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per_part = (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum(cents).alias("part_cents"))
+    )
+    totals = per_part.groupBy(F.col("n_name").alias("t_name")).agg(
+        F.sum("part_cents").alias("nation_cents")
+    )
+    return (
+        per_part.join(F.broadcast(totals), F.col("n_name") == F.col("t_name"))
+        .filter(F.col("part_cents") * 1000 > F.col("nation_cents"))
+        .select("n_name", "l_partkey", "part_cents")
+    )
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog (no l_shipmode in the fixture; l_returnflag is
+    the categorical): among 1998 lineitems shipped 60+ days after the
+    order date, how many belong to high-priority (URGENT/HIGH) vs
+    lower-priority orders, per return flag — the two-branch CASE-WHEN
+    conditional aggregation over a fact-fact join. The ship-date window
+    prunes at the lineitem scan BEFORE the join; the 60-day lateness
+    test runs post-join as a timestamp comparison (exact midnight
+    arithmetic, no float)."""
+    from zipkin_dependencies_spark.testdata import load
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog (no partsupp availqty; dominance = shipped share):
+    suppliers who shipped MORE THAN HALF of a red part's total 1998
+    volume — the nested semi-join chain (parts → per-(part,supplier)
+    volume → per-part total → threshold → supplier dim). The half test
+    is exact integer (2*ps_qty > total_qty on qty*100 bigints); the
+    per-part total is part-cardinality and broadcasts back onto the
+    pair table. Output: supplier, nation, how many parts they dominate."""
+    from zipkin_dependencies_spark.testdata import load
+
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    qty_100 = F.round(F.col("l_quantity") * 100).cast("long")
+    pairs = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty_100).alias("ps_qty_100"))
+    )
+    totals = pairs.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("ps_qty_100").alias("total_qty_100")
+    )
+    dominant = pairs.join(
+        F.broadcast(totals), F.col("l_partkey") == F.col("t_partkey")
+    ).filter(F.col("ps_qty_100") * 2 > F.col("total_qty_100"))
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "n_dominant_parts")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -3726,6 +3823,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_spend_gini": q_customer_spend_gini,
         "cross_doc_span_dedup": q_cross_doc_span_dedup,
         "hard_negative_mining": q_hard_negative_mining,
+        "important_part_share": q_important_part_share,
+        "late_shipment_priority": q_late_shipment_priority,
+        "dominant_part_suppliers": q_dominant_part_suppliers,
         # --- BLOCK C: high-churn re-gates — queries whose code this round
         # touches (embedding-LSH auto-sizing, trace-path checkpoint policy,
         # linker flagship) re-verify under the driver oracle ---
@@ -4600,6 +4700,68 @@ SELECT query_id,
              - max(CASE WHEN NOT same THEN cosine END), 9) AS margin
 FROM top
 GROUP BY 1
+""",
+        "important_part_share": """
+WITH per_part AS (
+  SELECT n_name, l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS part_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT n_name AS t_name,
+         CAST(sum(part_cents) AS BIGINT) AS nation_cents
+  FROM per_part GROUP BY 1
+)
+SELECT n_name, l_partkey, part_cents
+FROM per_part
+JOIN totals ON n_name = t_name
+WHERE part_cents * 1000 > nation_cents
+""",
+        "late_shipment_priority": """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+""",
+        "dominant_part_suppliers": """
+WITH pairs AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS ps_qty_100
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT l_partkey AS t_partkey,
+         CAST(sum(ps_qty_100) AS BIGINT) AS total_qty_100
+  FROM pairs GROUP BY 1
+),
+dominant AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_dominant_parts
+  FROM pairs
+  JOIN totals ON l_partkey = t_partkey
+  WHERE ps_qty_100 * 2 > total_qty_100
+  GROUP BY 1
+)
+SELECT s_name, n_name, n_dominant_parts
+FROM dominant
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
 """,
         "promo_revenue": """
 SELECT promo_cents, total_cents,

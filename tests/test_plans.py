@@ -437,3 +437,27 @@ def test_graph_and_having_analogs_plan_shapes(spark):
     assert "LeftSemi" in semi
     anti = formatted(e.q_customers_without_orders(spark, SF))
     assert "LeftAnti" in anti
+
+
+def test_q11_q12_q20_analog_plan_shapes(spark):
+    """Q11 analog: dims + the 25-row national total broadcast — lineitem
+    is the only probe side, no sort-merge join. Q12 analog: the ship-date
+    window reaches the lineitem scan as a pushed filter (partition-prunable
+    at 100 TB), and the lateness test does NOT block the join from being
+    planned hash-side. Q20 analog: the part-cardinality totals broadcast
+    back; no cartesian anywhere in the chain."""
+    import __spark_entry__ as e
+
+    q11 = formatted(e.q_important_part_share(spark, SF))
+    assert "SortMergeJoin" not in q11
+    assert len(_node_ids(q11, "BroadcastHashJoin")) >= 3
+
+    q12 = formatted(e.q_late_shipment_priority(spark, SF))
+    pushed = [l for l in q12.splitlines() if "PushedFilters" in l]
+    assert any("1998" in l for l in pushed), q12
+    assert "CartesianProduct" not in q12
+
+    q20 = formatted(e.q_dominant_part_suppliers(spark, SF))
+    assert "CartesianProduct" not in q20
+    assert "BroadcastNestedLoopJoin" not in q20
+    assert len(_node_ids(q20, "BroadcastHashJoin")) >= 3
