@@ -3736,6 +3736,35 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve over the corpus in id order:
+    per id-range decile, new token types first appearing there,
+    cumulative vocabulary, and cumulative token mass. One pass — first
+    appearance is min(bucket) per token (map-side combined), never a
+    per-prefix COUNT DISTINCT rescan; the cumsum window runs over 10
+    rows."""
+    from zipkin_dependencies_spark.llm.text import vocab_growth
+    from zipkin_dependencies_spark.testdata import load
+
+    return vocab_growth(load(spark, sf_dir, "documents"), n_buckets=10)
+
+
+def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) volume-anomaly windows: 6h tumbling counts per
+    event type flagged when |n − median| > 3·MAD — the 50%-breakdown
+    twin of `window_anomalies` (a spiky baseline can't mask anomalies by
+    inflating σ). Exact ×2-scaled bigint medians; one data-scale shuffle;
+    zero-MAD types excluded before the division."""
+    from zipkin_dependencies_spark.operators.events_analytics import (
+        mad_window_anomalies,
+    )
+    from zipkin_dependencies_spark.testdata import load_events
+
+    return mad_window_anomalies(
+        load_events(spark, sf_dir), window_seconds=6 * 3600, mad_multiple=3
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dependency_links(spark, SF_SMOKE_DIR)
@@ -3826,6 +3855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_part_share": q_important_part_share,
         "late_shipment_priority": q_late_shipment_priority,
         "dominant_part_suppliers": q_dominant_part_suppliers,
+        "vocab_growth": q_vocab_growth,
+        "mad_anomalies": q_mad_anomalies,
         # --- BLOCK C: high-churn re-gates — queries whose code this round
         # touches (embedding-LSH auto-sizing, trace-path checkpoint policy,
         # linker flagship) re-verify under the driver oracle ---
@@ -3951,6 +3982,7 @@ def oracle_sql() -> dict[str, str]:
     from zipkin_dependencies_spark.operators.events_analytics import (
         EVENT_TRANSITIONS_SQL as _EVENT_TRANSITIONS_SQL,
         window_anomalies_sql as _window_anomalies_sql,
+        mad_window_anomalies_sql as _mad_window_anomalies_sql,
     )
     from zipkin_dependencies_spark.operators.events_analytics import (
         collapse_bursts_sql as _collapse_bursts_sql,
@@ -4949,6 +4981,10 @@ FROM fused QUALIFY rank <= 10"""
         "window_anomalies": _window_anomalies_sql(
             window_seconds=6 * 3600, z_threshold=2.0
         ),
+        "mad_anomalies": _mad_window_anomalies_sql(
+            window_seconds=6 * 3600, mad_multiple=3
+        ),
+        "vocab_growth": llm_oracles.vocab_growth_sql(n_buckets=10),
         "corpus_stats": llm_oracles.corpus_stats_sql(),
         "group_topn_sample": llm_oracles.group_hash_topn_sql(n=20, group_col="source"),
         "label_centroids": llm_oracles.label_centroids_sql(scale_bits=20, dim=64),

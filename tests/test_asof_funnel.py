@@ -349,3 +349,76 @@ def test_asof_tiebreak_typo_and_bad_type_raise(spark):
         asof_join(left, right, on=["user_id"], tiebreak="event_idd")
     with _pytest.raises(ValueError, match="integral"):
         asof_join(left, right, on=["user_id"], tiebreak="event_type")
+
+
+def test_mad_anomalies_robust_to_baseline_outlier_and_zero_mad_guard(spark):
+    """The scenario that breaks the z-score monitor: one huge spike in the
+    baseline inflates sigma and masks a second, smaller anomaly — MAD must
+    flag both. And a zero-MAD type (over half its windows at the median)
+    must be excluded, not score infinite deviations."""
+    from zipkin_dependencies_spark.operators.events_analytics import (
+        mad_window_anomalies,
+    )
+
+    rows = []
+    # 'masked': counts 2,2,2,2,2,40,8 across 7 hour-windows. median=2,
+    # MAD=0? deviations |n-2|: 0,0,0,0,0,38,6 -> median dev = 0 -> zero-MAD
+    # guard would drop it; use 2,2,3,3,2,40,8: median=3? sorted 2,2,2,3,3,8,40
+    # median=3, devs |n-3|: 1,1,1,0,0,5,37 sorted 0,0,1,1,1,5,37 -> MAD=1.
+    # flags need |n-3| > 3 -> 40 and 8 both flag; sigma-based z would mask 8.
+    counts = [2, 2, 3, 3, 2, 40, 8]
+    eid = 0
+    for w, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((1, eid, _ts(f"2024-01-01 0{w}:15:00"), "masked"))
+            eid += 1
+    # 'flat3': counts 5,5,5 -> MAD 0 -> excluded even though nothing deviates
+    for w in range(3):
+        for _ in range(5):
+            rows.append((2, eid, _ts(f"2024-01-01 0{w}:45:00"), "flat3"))
+            eid += 1
+    # 'halfmed': 1,1,1,9 -> median 1, devs 0,0,0,8 -> MAD 0 -> the spike at 9
+    # is real but MAD degenerates; the guard must exclude it (documented)
+    for w, c in enumerate([1, 1, 1, 9]):
+        for _ in range(c):
+            rows.append((3, eid, _ts(f"2024-01-01 0{w}:55:00"), "halfmed"))
+            eid += 1
+    out = mad_window_anomalies(
+        _events(spark, rows), window_seconds=3600, mad_multiple=3
+    ).collect()
+    flagged = {(r["event_type"], r["n_events"]) for r in out}
+    assert flagged == {("masked", 40), ("masked", 8)}
+    by = {r["n_events"]: r for r in out}
+    # med2 = 2*3, mad4 = 4*MAD = 4
+    assert by[40]["med2"] == 6 and by[40]["mad4"] == 4
+    # robust z sign: spike positive
+    assert by[40]["rz9"] > 0 and by[8]["rz9"] > 0
+
+
+def test_mad_vs_sigma_masking(spark):
+    """Cross-check the motivation: on the same 'masked' stream, the sigma
+    monitor at z>=2 sees only the giant spike; MAD sees both."""
+    from zipkin_dependencies_spark.operators.events_analytics import (
+        mad_window_anomalies,
+        window_anomalies,
+    )
+
+    rows = []
+    eid = 0
+    for w, c in enumerate([2, 2, 3, 3, 2, 40, 8]):
+        for _ in range(c):
+            rows.append((1, eid, _ts(f"2024-01-01 0{w}:15:00"), "masked"))
+            eid += 1
+    ev = _events(spark, rows)
+    sigma = {
+        r["n_events"]
+        for r in window_anomalies(ev, window_seconds=3600, z_threshold=2.0).collect()
+    }
+    robust = {
+        r["n_events"]
+        for r in mad_window_anomalies(
+            ev, window_seconds=3600, mad_multiple=3
+        ).collect()
+    }
+    assert sigma == {40}
+    assert robust == {40, 8}

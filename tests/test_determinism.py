@@ -41,6 +41,11 @@ FLOAT_SENSITIVE = [
     "path_latencies",
     "error_paths",
     "gopher_quality",
+    # r05 continuation: robust-z division over x2-scaled bigint medians,
+    # Gini rank formula, autocorrelation covariance ratio
+    "mad_anomalies",
+    "customer_spend_gini",
+    "daily_autocorrelation",
 ]
 
 

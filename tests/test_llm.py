@@ -909,3 +909,33 @@ def test_hard_negative_mining_margin_and_null_sides(spark):
     q4 = got[4]
     assert q4.pos_id is None and q4.pos_cos is None and q4.margin is None
     assert q4.neg_id is not None and q4.neg_cos is not None
+
+
+def test_vocab_growth_first_appearance_curve(spark):
+    """Constructed corpus with known bigram first appearances: buckets are
+    exact integer id-range fifths (id//2 for ids 0..9), a type counts as
+    new only in its FIRST bucket, single-token and empty docs contribute
+    nothing, and both cumulative columns are monotone running sums."""
+    from zipkin_dependencies_spark.llm.text import vocab_growth
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),   # bucket 0: bigrams "a b", "b c"
+            (1, "a b"),     # bucket 0: "a b" again (not new)
+            (2, "b c d"),   # bucket 1: "b c" (seen), "c d" (new)
+            (3, ""),        # bucket 1: empty -> nothing
+            (4, "z"),       # bucket 2: single token -> no bigram
+            (5, "c d e"),   # bucket 2: "c d" (seen), "d e" (new)
+            (9, "x y"),     # bucket 4: "x y" (new)
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["bucket"]: r
+        for r in vocab_growth(docs, n_buckets=5).collect()
+    }
+    assert set(rows) == {0, 1, 2, 4}  # bucket 3 has no token mass
+    assert [rows[b]["new_types"] for b in (0, 1, 2, 4)] == [2, 1, 1, 1]
+    assert [rows[b]["cum_vocab"] for b in (0, 1, 2, 4)] == [2, 3, 4, 5]
+    assert [rows[b]["n_token_occurrences"] for b in (0, 1, 2, 4)] == [3, 2, 2, 1]
+    assert [rows[b]["cum_tokens"] for b in (0, 1, 2, 4)] == [3, 5, 7, 8]

@@ -1661,3 +1661,41 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
          AS n_tokens
 FROM e
 """
+
+
+def vocab_growth_sql(n_buckets: int = 10) -> str:
+    """Twin of llm/text.py::vocab_growth: same exact integer id-range
+    bucketing, same 1-based bigram extraction as bigram_surprisal_sql,
+    type first appearance = min(bucket), cumulative sums over the
+    n_buckets-row curve."""
+    return f"""
+WITH bounds AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+b AS (
+  SELECT ((doc_id - mn) * {int(n_buckets)}) // (mx - mn + 1) AS bucket,
+         {TEXT_TOKENS} AS t
+  FROM documents, bounds
+),
+ex AS (
+  SELECT bucket, u.token
+  FROM b,
+       unnest(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i + 1])) AS u(token)
+),
+occ AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_token_occurrences
+  FROM ex GROUP BY 1
+),
+firsts AS (SELECT token, min(bucket) AS first_bucket FROM ex GROUP BY 1),
+news AS (
+  SELECT first_bucket AS bucket, CAST(count(*) AS BIGINT) AS new_types
+  FROM firsts GROUP BY 1
+)
+SELECT o.bucket,
+       CAST(coalesce(n.new_types, 0) AS BIGINT) AS new_types,
+       CAST(sum(coalesce(n.new_types, 0))
+            OVER (ORDER BY o.bucket) AS BIGINT) AS cum_vocab,
+       o.n_token_occurrences,
+       CAST(sum(o.n_token_occurrences)
+            OVER (ORDER BY o.bucket) AS BIGINT) AS cum_tokens
+FROM occ o LEFT JOIN news n ON o.bucket = n.bucket
+"""

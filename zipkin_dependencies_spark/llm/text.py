@@ -5,7 +5,7 @@ Every operator has a DuckDB-expressible twin for the correctness gate."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: tiny per-language marker-word sets for the n-gram/stopword heuristic —
@@ -471,4 +471,83 @@ def token_fertility(
             F.col("ws_tokens") > 0,
             F.round(F.col("bpe_tokens") / F.col("ws_tokens"), 9),
         ).alias("fertility9"),
+    )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (bucket, new_types, cum_vocab, n_token_occurrences, cum_tokens):
+    the Heaps-law vocabulary growth curve — how fast NEW vocabulary
+    appears as the corpus grows in its natural id order (the dataset-card
+    companion to ``zipf_fit``'s frequency law; a flattening curve means
+    the corpus has stopped contributing new types).
+
+    The naive formulation (cumulative COUNT DISTINCT per prefix) rescans
+    the corpus ``n_buckets`` times and keeps vocabulary-scale state per
+    prefix. This is ONE pass instead: a type's first appearance is
+    ``min(bucket)`` over its occurrences — a map-side-combined aggregate
+    on the exploded types — and the growth curve is a cumulative sum of
+    first-appearance counts over the ``n_buckets``-row result. Buckets
+    come from exact integer arithmetic on the id range
+    ((id − min)·B div (max − min + 1), both engines integer-divide), so
+    no rank/ntile global sort anywhere. The final cumsum window is a
+    single partition of ``n_buckets`` rows — driver-scale by
+    construction.
+
+    The "type" is the word BIGRAM (1-based element_at, the same recipe
+    as ``bigram_surprisal``'s pair extraction — matches DuckDB list
+    indexing): bigram vocabularies keep growing long after the unigram
+    vocabulary saturates, which is what makes the curve informative for
+    corpus-novelty decisions (and non-degenerate on the fixture, whose
+    unigram vocabulary saturates in the first decile)."""
+    from pyspark.sql import Window
+
+    bounds = docs.agg(
+        F.min(id_col).alias("mn"), F.max(id_col).alias("mx")
+    )
+    bucketed = docs.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"(({id_col} - mn) * {int(n_buckets)}) div (mx - mn + 1)"
+        ).alias("bucket"),
+        F.col(text_col).alias("_text"),
+    )
+    bigrams_expr = F.when(
+        F.size(F.col("_toks")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(_toks) - 1), "
+            "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = bucketed.select(
+        "bucket", tokens(F.col("_text")).alias("_toks")
+    ).select("bucket", F.explode(bigrams_expr).alias("token"))
+    occ = exploded.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_token_occurrences")
+    )
+    news = (
+        exploded.groupBy("token")
+        .agg(F.min("bucket").alias("first_bucket"))
+        .groupBy(F.col("first_bucket").alias("nb_bucket"))
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        occ.join(
+            F.broadcast(news), F.col("bucket") == F.col("nb_bucket"), "left_outer"
+        )
+        .select(
+            "bucket",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+            "n_token_occurrences",
+        )
+        .withColumn("cum_vocab", F.sum("new_types").over(w))
+        .withColumn("cum_tokens", F.sum("n_token_occurrences").over(w))
+        .select(
+            "bucket", "new_types", "cum_vocab",
+            "n_token_occurrences", "cum_tokens",
+        )
     )

@@ -227,3 +227,98 @@ SELECT u AS user_id, t AS event_type, CAST(burst_seq AS BIGINT) AS burst_seq,
        CAST(count(*) AS BIGINT) AS n_events
 FROM numbered GROUP BY u, t, burst_seq
 """
+
+
+def mad_window_anomalies(
+    events: DataFrame,
+    window_seconds: int = 86_400,
+    mad_multiple: int = 3,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """→ (event_type, win_start_us, n_events, med2, mad4, rz9): tumbling
+    windows whose event count deviates more than ``mad_multiple`` MADs
+    from that type's MEDIAN window count — the robust twin of
+    ``window_anomalies``. Mean/σ anomaly detection breaks when the
+    baseline itself contains outliers (one huge spike inflates σ and
+    masks everything else); median/MAD has a 50% breakdown point.
+
+    Exactness: medians of bigint counts are either integers or .5s, so
+    ``med2 = 2·median(n)`` and ``mad4 = 2·median(|2n − med2|)`` are exact
+    bigints in both engines (×2 per median clears the .5), and the flag
+    test ``2·|2n − med2| > mad_multiple·mad4`` — algebraically
+    |n − med| > k·MAD with MAD = mad4/4 — is pure integer comparison.
+    ``rz9`` is the round-9 robust z (1.4826·MAD ≈ σ for a normal
+    baseline), one IEEE expression over those bigints. A zero-MAD type
+    (over half its windows at the exact median) is EXCLUDED before the
+    division — the classic MAD degeneracy, where every deviation would
+    score infinite.
+
+    Plan: identical skeleton to ``window_anomalies`` — the (type, window)
+    count is the only data-scale shuffle; both median passes run on the
+    tiny checkpointed counts table and broadcast back."""
+    win_us = window_seconds * 1_000_000
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    counts = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            (F.floor(ts_us / win_us) * win_us).cast("long").alias("win_start_us"),
+        )
+        .groupBy("event_type", "win_start_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=True)
+    )
+    med = counts.groupBy("event_type").agg(
+        F.round(F.median("n_events") * 2).cast("long").alias("med2")
+    )
+    dev = counts.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(F.col("n_events") * 2 - F.col("med2"))
+    )
+    mad = dev.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.round(F.median("dev2") * 2).cast("long").alias("mad4")
+    )
+    scored = dev.join(
+        F.broadcast(mad), F.col("event_type") == F.col("m_type")
+    ).filter(
+        (F.col("mad4") > 0)
+        & (F.col("dev2") * 2 > F.lit(int(mad_multiple)) * F.col("mad4"))
+    )
+    rz = (F.col("n_events") * 2 - F.col("med2")) * 2 / (
+        F.lit(1.4826) * F.col("mad4")
+    )
+    return scored.select(
+        "event_type", "win_start_us", "n_events", "med2", "mad4",
+        F.round(rz, 9).alias("rz9"),
+    )
+
+
+def mad_window_anomalies_sql(
+    window_seconds: int = 86_400, mad_multiple: int = 3
+) -> str:
+    """DuckDB twin: same ×2-scaled exact medians, same guard and rounding."""
+    win_us = window_seconds * 1_000_000
+    return f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / {win_us}) * {win_us} AS BIGINT)
+           AS win_start_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, CAST(round(2 * median(n_events)) AS BIGINT) AS med2
+  FROM counts GROUP BY 1
+),
+dev AS (
+  SELECT c.*, m.med2, abs(c.n_events * 2 - m.med2) AS dev2
+  FROM counts c JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, CAST(round(2 * median(dev2)) AS BIGINT) AS mad4
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, d.win_start_us, d.n_events, d.med2, a.mad4,
+       round((d.n_events * 2 - d.med2) * 2 / (1.4826 * a.mad4), 9) AS rz9
+FROM dev d JOIN mad a USING (event_type)
+WHERE a.mad4 > 0 AND d.dev2 * 2 > {int(mad_multiple)} * a.mad4
+"""
