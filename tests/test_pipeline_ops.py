@@ -957,3 +957,35 @@ def test_referential_integrity_audit_fires_on_corrupted_copy(spark, tmp_path):
     assert out["lineitem.suppkey->supplier"] == (0, 0)
     assert out["orders.custkey->customer"] == (0, 0)
     assert out["customer.nationkey->nation"] == (0, 0)
+
+
+def test_distributed_row_number_equals_window(spark):
+    """operators/rank.py contract: value-for-value identical to
+    row_number() OVER (PARTITION BY g ORDER BY v, tiebreak) — including
+    heavy ties (many equal values, which must not straddle buckets) and
+    groups smaller than the bucket count."""
+    from pyspark.sql import Window
+
+    from zipkin_dependencies_spark.operators.rank import distributed_row_number
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        # heavy ties: value has only 40 distinct levels per ~1000-row group
+        F.pmod(F.xxhash64("id"), F.lit(40)).alias("v"),
+        F.col("id").alias("k"),
+    ).union(
+        # a tiny group (fewer rows than buckets)
+        spark.range(5).select(
+            F.lit("tiny").alias("g"),
+            F.lit(7).cast("long").alias("v"),
+            (F.col("id") + 10_000).alias("k"),
+        )
+    )
+    got = distributed_row_number(
+        df, partition_by=["g"], value_col="v", tiebreak_cols=["k"],
+        n_buckets=8,
+    )
+    w = Window.partitionBy("g").orderBy("v", "k")
+    want = df.withColumn("i", F.row_number().over(w).cast("long"))
+    assert sorted(map(tuple, got.select("g", "v", "k", "i").collect())) == \
+        sorted(map(tuple, want.select("g", "v", "k", "i").collect()))

@@ -92,18 +92,9 @@ def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO)
     log = logging.getLogger("zipkin_dependencies_spark.curate")
 
-    from .llm.pipeline import curate_v2, curate_v3
-    from .session import get_spark
-
-    spark = get_spark(app_name="curate", master=args.master)
-    docs = spark.read.parquet(args.input)
-    benchmark = (
-        spark.read.parquet(args.benchmark)
-        if args.benchmark
-        # no benchmark table → empty contamination set (same plan, the
-        # broadcast anti-join is against zero digests)
-        else spark.createDataFrame([], "doc_id bigint, text string")
-    )
+    # flag validation + --gopher parsing run BEFORE the Spark session is
+    # created: a misconfigured invocation exits at argparse cost, never
+    # after paying JVM startup
     if args.gate == "gopher" and (
         args.min_quality is not None or args.max_dup_3gram is not None
     ):
@@ -116,17 +107,30 @@ def main(argv: list[str] | None = None) -> int:
             "--gopher overrides configure the gopher gate and have no "
             "effect with --gate heuristic (pass --gate gopher)"
         )
+    thresholds: dict[str, float] = {}
+    for spec in args.gopher:
+        key, _, val = spec.partition("=")
+        if not val:
+            p.error(f"bad --gopher spec {spec!r} (want key=value)")
+        try:
+            num = float(val)
+        except ValueError:
+            p.error(f"bad --gopher value in {spec!r} (want a number)")
+        thresholds[key.strip()] = int(num) if num.is_integer() else num
+
+    from .llm.pipeline import curate_v2, curate_v3
+    from .session import get_spark
+
+    spark = get_spark(app_name="curate", master=args.master)
+    docs = spark.read.parquet(args.input)
+    benchmark = (
+        spark.read.parquet(args.benchmark)
+        if args.benchmark
+        # no benchmark table → empty contamination set (same plan, the
+        # broadcast anti-join is against zero digests)
+        else spark.createDataFrame([], "doc_id bigint, text string")
+    )
     if args.gate == "gopher":
-        thresholds: dict[str, float] = {}
-        for spec in args.gopher:
-            key, _, val = spec.partition("=")
-            if not val:
-                p.error(f"bad --gopher spec {spec!r} (want key=value)")
-            try:
-                num = float(val)
-            except ValueError:
-                p.error(f"bad --gopher value in {spec!r} (want a number)")
-            thresholds[key.strip()] = int(num) if num.is_integer() else num
         try:
             survivors = curate_v3(
                 docs,

@@ -801,13 +801,67 @@ def _shingle_digests(
     )
 
 
+def auto_banding(
+    store_rows: int,
+    bands: int = 4,
+    base_rows_per_band: int = 4,
+    target_store: int = 8192,
+    growth_similarity: float = 0.5,
+) -> tuple[int, int]:
+    """(num_hashes, bands) that holds false-positive candidate volume per
+    scored doc ~constant as the store grows — the ``auto_planes``
+    treatment applied to MinHash banding (the ONE measured superlinear
+    wall term in the sf10 scaling tier: fixed 16/4 banding drove
+    ``dedupe_near_against`` to 13.1× at 10× data, SCALING.md third tier).
+
+    The physics: a non-duplicate pair collides in one r-row band with
+    probability J_bg^r (J_bg = background shingle Jaccard of unrelated
+    docs — NOT small for char-3 shingles of natural text, where every
+    document shares ' th'/'ing'/'he '). Expected false candidates per
+    scored doc ≈ bands · store · J_bg^r, so holding the term flat while
+    the store grows means J_bg^r must shrink ∝ 1/store:
+
+        rows_per_band = base + ceil(log_{1/J_bg}(store / target_store))
+
+    ``growth_similarity`` is the J_bg the sizing defends against; the
+    default 0.5 adds one band row per store DOUBLING — pessimistic for
+    k=3 text (measured corpus J_bg is lower), so candidate volume can
+    only shrink relative to the target point, never outgrow it. ``bands``
+    stays fixed: the verify step re-checks every candidate with exact
+    digest-array Jaccard, so banding governs COST (and probabilistic
+    recall), not correctness of surviving pairs.
+
+    The trade (same contract as auto_planes): each +1 row per band
+    multiplies a true pair's per-band retention by its Jaccard — recall
+    at the low end of the threshold drifts down as the store grows.
+    Callers with a recall gate raise ``target_store`` (more candidates,
+    flatter recall) or pass explicit num_hashes/bands to pin a plan.
+
+    ``target_store`` = 8192 is sized so every gated fixture resolves to
+    the historical (16, 4) — sf0.01 stores ≈ 4·10², sf0.1 ≈ 4·10³ — and
+    the static DuckDB oracles stay valid; the derived sf1 tier (≈43k
+    store) resolves to (28, 4) and sf10 (≈430k) to (40, 4), which is
+    where the superlinear term lived."""
+    import math
+
+    extra = max(
+        0,
+        math.ceil(
+            math.log(max(store_rows, 1) / target_store)
+            / math.log(1.0 / growth_similarity)
+        ),
+    )
+    rpb = base_rows_per_band + extra
+    return rpb * bands, bands
+
+
 def dedupe_near_against(
     new_docs: DataFrame,
     corpus: DataFrame,
     k: int = 3,
     threshold: float = 0.5,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
@@ -824,7 +878,19 @@ def dedupe_near_against(
     scan, not its self-join); verification intersects 32-bit digest
     arrays on the candidate set only, whose cardinality is O(near-dup
     links), not O(|new|·|corpus|). Bucket skew → AQE.
+
+    SIZING (the r05 "manual knob" closed — the auto_planes discipline):
+    ``num_hashes=None``/``bands=None`` (the default) derives the banding
+    from a cheap count of the LARGER side via ``auto_banding`` — the
+    collision volume is |new|·|store|·J_bg^r per band, so the bigger
+    side drives it. The two count-stars are paid once per call
+    (column-pruned scans); pass explicit values to pin a plan (the
+    pinned-parameter oracles do exactly that).
     """
+    if num_hashes is None or bands is None:
+        a_nh, a_b = auto_banding(max(new_docs.count(), corpus.count()))
+        num_hashes = a_nh if num_hashes is None else num_hashes
+        bands = a_b if bands is None else bands
     nb = band_bucket_rows(
         new_docs, num_hashes, bands, k, text_col, id_col, hash_fn
     )
@@ -1006,7 +1072,6 @@ def prefix_filter_pairs(
     candidates, never recall. Cited for contrast:
     reference has no similarity join; this extends the LLM-dedup surface
     (SURVEY §6 extension block) with the exact-recall member."""
-    from ..scaling import ensure_min_parallelism
     from pyspark.sql import Window
 
     dig = _shingle_digests(docs, k, text_col, id_col)
@@ -1017,9 +1082,15 @@ def prefix_filter_pairs(
     prefix = (
         ex.join(freq, "x")
         .withColumn("rn", F.row_number().over(w))
+        # prefix bound n − ceil(t·n) + 1: round the float product to 9
+        # decimals BEFORE the ceiling — a t·n product landing one ULP
+        # above an exact integer would inflate the ceiling, shorten the
+        # prefix, and silently void the no-missed-pairs guarantee
         .filter(
             F.col("rn")
-            <= F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
+            <= F.col("n")
+            - F.ceil(F.round(F.lit(float(threshold)) * F.col("n"), 9))
+            + 1
         )
         .select("id", "x")
     )

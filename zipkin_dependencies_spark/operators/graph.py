@@ -269,6 +269,7 @@ def service_components(links: DataFrame, max_rounds: int = 16) -> DataFrame:
         .select("service", F.col("service").alias("component"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_rounds):
         l, e = labels.alias("l"), edges.alias("e")
         neighbor_min = (
@@ -291,10 +292,21 @@ def service_components(links: DataFrame, max_rounds: int = 16) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("_changed")).isEmpty()
+        converged = new_labels.filter(F.col("_changed")).isEmpty()
         labels = new_labels.select("service", "component")
-        if changed:
+        if converged:
             break
+    if not converged:
+        # falling through silently would return WRONG (unconverged) labels
+        # on a graph whose diameter exceeds max_rounds — and only an
+        # oracle-gated caller would notice. Same discipline as
+        # connected_components in llm/cluster.py: fail loudly; callers
+        # with long-chain graphs raise max_rounds or use the star variant.
+        raise RuntimeError(
+            f"service_components did not converge in {max_rounds} rounds "
+            "(graph diameter exceeds max_rounds; raise it or use "
+            "connected_components_star)"
+        )
     return labels
 
 
