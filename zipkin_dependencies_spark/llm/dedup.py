@@ -1125,3 +1125,69 @@ def prefix_filter_pairs(
         .filter(F.col("jaccard9") >= threshold)
         .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard9")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    rounds: int = 2,
+    stride: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication" — public method): k-means
+    buckets the embedding corpus, and cosine near-duplicates are pruned
+    WITHIN clusters only — the clustering makes the quadratic pair scan
+    local, which is the method's entire point at web scale. → (vec_id,
+    cluster, keep, max_cos9): a vector is dropped when a LOWER-id vector
+    in its cluster has cosine ≥ threshold (deterministic keeper election;
+    the paper keeps the vector farthest from the centroid — id-min is
+    this engine's reproducible variant, same dedup set size).
+
+    Composition of two gated kernels: ``kmeans.kmeans_assign`` (same
+    rounds/stride/integer-scaled centroid arithmetic as the
+    kmeans_clusters gate) and the deterministic sequential-fold cosine of
+    the similarity paths (round-9 before the threshold compare, so an
+    ULP can't flip a keep decision between engines).
+
+    Scale (100 TB): the pair join is per-cluster — Σ occupancy², held
+    linear by raising the centroid count with the corpus (stride is the
+    knob; the auto_planes/auto_banding sizing discipline applies: pick
+    stride ≈ corpus/target_cluster_size). Vectors shuffle once keyed by
+    cluster; AQE splits a hot cluster's probe side."""
+    from .kmeans import kmeans_assign
+    from .similarity import _dot, _with_norm
+
+    assign = kmeans_assign(
+        emb, rounds=rounds, stride=stride, id_col=id_col, vec_col=vec_col
+    )
+    vecs = _with_norm(emb, id_col, vec_col)
+    av = assign.join(vecs, assign.vec_id == vecs.id).select(
+        F.col("vec_id"), F.col("cluster"), F.col("vec"), F.col("norm")
+    )
+    a, b = av.alias("a"), av.alias("b")
+    cos9 = F.round(
+        _dot("a.vec", "b.vec") / (F.col("a.norm") * F.col("b.norm")), 9
+    )
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("vec_id"), cos9.alias("c9"))
+        .filter(F.col("c9") >= threshold)
+        .groupBy("vec_id")
+        .agg(F.max("c9").alias("max_cos9"))
+    )
+    return (
+        assign.select("vec_id", "cluster")
+        .join(dup, "vec_id", "left_outer")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("max_cos9").isNull().alias("keep"),
+            "max_cos9",
+        )
+    )

@@ -85,6 +85,37 @@ FROM inter WHERE n_inter / least(n_a, n_b) >= {threshold}
 """
 
 
+def prefix_filter_pairs_sql(
+    k: int = 3, threshold: float = 0.6, id_mod: int = 5
+) -> str:
+    """Twin of llm/dedup.py::prefix_filter_pairs. The operator's
+    exact-recall guarantee (no qualifying pair missed — SSJoin prefix
+    filtering) makes the oracle the FULL all-pairs digest join: the twin
+    deliberately omits the prefix optimization, so green proves both the
+    Jaccard arithmetic AND that the prefix pruning dropped nothing."""
+    return f"""
+WITH {_shingles_cte(k, f"WHERE doc_id % {id_mod} = 0").strip()},
+shx AS (
+  SELECT id,
+         list_distinct(list_transform(
+           shingles, s -> ('0x' || substring(md5(s), 1, 8))::BIGINT)) AS xs
+  FROM sh WHERE len(shingles) > 0
+),
+ex AS (SELECT id, len(xs) AS n, unnest(xs) AS x FROM shx),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+         count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.x = b.x AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, CAST(n_inter AS INT) AS n_inter,
+       CAST(n_a AS INT) AS n_a, CAST(n_b AS INT) AS n_b,
+       round(n_inter / (n_a + n_b - n_inter), 9) AS jaccard9
+FROM inter
+WHERE round(n_inter / (n_a + n_b - n_inter), 9) >= {threshold}
+"""
+
+
 def inverted_index_sql(min_df: int = 20, max_df: int = 200) -> str:
     """Twin of llm/retrieval.py::inverted_index exploded to scalar rows:
     distinct (token, doc) pairs -> per-token df + doc's 0-based position in
@@ -1271,6 +1302,117 @@ SELECT doc.doc_id,
             THEN round(p.n_dup_grams / CAST(p.n_grams AS DOUBLE), 9)
             ELSE 0.0 END AS dup_frac
 FROM documents doc LEFT JOIN per p ON p.doc_id = doc.doc_id
+"""
+
+
+def doc_novelty_sql(n: int = 3) -> str:
+    """Oracle for llm/text.py::doc_novelty (oracle_parity=True): distinct
+    word n-grams per doc, 32-bit md5-prefix digests, per-gram FIRST
+    appearance = min doc_id, per-doc novel fraction."""
+    grams = (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(1, len(toks) - {n} + 2),"
+        f" i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + {n - 1} AS INT)), ' '))"
+        f" ELSE [] END"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {TEXT_TOKENS} AS toks FROM documents
+),
+dg AS (
+  SELECT doc_id, ('0x' || substring(md5(g.g), 1, 8))::BIGINT AS g
+  FROM (SELECT doc_id, list_distinct({grams}) AS gs FROM tok), unnest(gs) AS g(g)
+),
+first AS (
+  SELECT g, min(doc_id) AS first_id FROM dg GROUP BY 1
+),
+per AS (
+  SELECT d.doc_id,
+         CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(sum(CASE WHEN d.doc_id = f.first_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM dg d JOIN first f ON d.g = f.g
+  GROUP BY 1
+)
+SELECT doc.doc_id,
+       coalesce(p.n_ngrams, 0) AS n_ngrams,
+       coalesce(p.n_novel, 0) AS n_novel,
+       CASE WHEN coalesce(p.n_ngrams, 0) > 0
+            THEN round(p.n_novel / CAST(p.n_ngrams AS DOUBLE), 9)
+            ELSE 0.0 END AS novelty9
+FROM documents doc LEFT JOIN per p ON p.doc_id = doc.doc_id
+"""
+
+
+def packed_chunk_spans_sql(capacity: int = 256) -> str:
+    """Oracle for q_packed_chunk_spans — the naive SINGLE-window global
+    prefix sum the distributed two-phase operator must equal."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len({TEXT_TOKENS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ps AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM base
+)
+SELECT doc_id, n_tokens, cum_before,
+       CASE WHEN n_tokens > 0 THEN cum_before // {capacity} END AS start_chunk,
+       CASE WHEN n_tokens > 0
+            THEN (cum_before + n_tokens - 1) // {capacity} END AS end_chunk
+FROM ps
+"""
+
+
+def semantic_dedup_sql(
+    threshold: float = 0.8,
+    rounds: int = 2,
+    stride: int = 97,
+    scale_bits: int = 20,
+    dim: int = 64,
+) -> str:
+    """Oracle for llm/dedup.py::semantic_dedup: the kmeans_assign twin as
+    a subquery CTE, then within-cluster ordered-sum cosine on id-ordered
+    pairs, drop = exists lower-id in-cluster neighbor with cos9 ≥ t."""
+    from .kmeans import kmeans_assign_sql
+
+    return f"""
+WITH assign AS (
+  {kmeans_assign_sql(rounds=rounds, stride=stride, scale_bits=scale_bits, dim=dim)}
+),
+flat AS (
+  SELECT vec_id AS id, CAST(u.i AS INT) - 1 AS i,
+         CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i) u
+),
+norms AS (
+  SELECT id, sqrt(sum(x * x ORDER BY i)) AS nrm FROM flat GROUP BY id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+),
+cos AS (
+  SELECT p.id_a, p.id_b,
+         round(sum(fa.x * fb.x ORDER BY fa.i) / (na.nrm * nb.nrm), 9) AS c9
+  FROM pairs p
+  JOIN flat fa ON fa.id = p.id_a
+  JOIN flat fb ON fb.id = p.id_b AND fb.i = fa.i
+  JOIN norms na ON na.id = p.id_a
+  JOIN norms nb ON nb.id = p.id_b
+  GROUP BY p.id_a, p.id_b, na.nrm, nb.nrm
+),
+dup AS (
+  SELECT id_b AS vec_id, max(c9) AS max_cos9
+  FROM cos WHERE c9 >= {threshold}
+  GROUP BY 1
+)
+SELECT a.vec_id, a.cluster, d.max_cos9 IS NULL AS keep, d.max_cos9
+FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
 """
 
 

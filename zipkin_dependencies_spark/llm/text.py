@@ -551,3 +551,68 @@ def vocab_growth(
             "n_token_occurrences", "cum_tokens",
         )
     )
+
+
+def doc_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oracle_parity: bool = False,
+) -> DataFrame:
+    """→ (doc_id, n_ngrams, n_novel, novelty9): the fraction of a
+    document's DISTINCT word n-grams making their corpus-wide FIRST
+    appearance in this document (first = smallest doc_id carrying the
+    gram) — the per-document novelty/memorization signal a curation pass
+    ranks crawl batches by (a doc whose grams all appeared earlier adds
+    nothing; the per-document complement of the corpus-level Heaps curve
+    in ``vocab_growth``, and the intra-corpus analog of
+    ``dup_ngram_coverage``, which ignores WHO was first).
+
+    Scale (100 TB): documents become (id, gram-digest) rows once
+    (digests 8 bytes, text never leaves the scan; ``localCheckpoint``
+    pins the explode for its two consumers); first-appearance is ONE
+    map-side-combined min() aggregate at vocabulary cardinality; the
+    join back is digest-keyed with AQE absorbing hot boilerplate grams.
+    Short documents (< n words) stay in the output with n_ngrams = 0,
+    novelty9 = 0.0 — a curation step must account for every input row."""
+    from ..scaling import ensure_min_parallelism
+    from .contamination import _digest, word_ngrams
+
+    grams = (
+        ensure_min_parallelism(
+            docs.select(F.col(id_col), F.col(text_col).alias("_text"))
+        )
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_ngrams("_text", n))).alias("_g"),
+        )
+        .select(F.col(id_col), _digest(F.col("_g"), oracle_parity).alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    first = grams.groupBy("g").agg(F.min(id_col).alias("_first"))
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                (F.col(id_col) == F.col("_first")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left_outer")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(
+                F.coalesce("n_ngrams", F.lit(0)) > 0,
+                F.round(F.col("n_novel") / F.col("n_ngrams"), 9),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("novelty9"),
+        )
+    )

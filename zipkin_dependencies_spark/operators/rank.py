@@ -116,3 +116,60 @@ def distributed_row_number(
         )
         .drop("__bkt", "__off")
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    tiebreak_cols: list[str] | None = None,
+    n_buckets: int = 64,
+    out_col: str = "cum_before",
+) -> DataFrame:
+    """``df`` + ``out_col`` = EXCLUSIVE running sum of ``weight_col`` in
+    (order_col, *tiebreak_cols) order — the distributed twin of
+    ``sum(w) OVER (ORDER BY o ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)``,
+    which in Spark is a SINGLE-PARTITION window (every row through one
+    task) and therefore unusable at scale.
+
+    Same two-phase shape as ``distributed_row_number``: range-bucket on
+    the order value (equal values can't straddle buckets), per-bucket
+    weight totals prefix-sum into offsets on the driver (n_buckets rows),
+    within-bucket running sum + offset. (order_col, *tiebreaks) must
+    totally order the rows; weights must be integral (exact prefix sums
+    are the point — float weights reintroduce fold-order drift)."""
+    tiebreak_cols = tiebreak_cols or []
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    splits = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
+    bucket = F.lit(0)
+    for s in splits:
+        bucket = bucket + (F.col(order_col) > F.lit(s)).cast("int")
+    bucketed = df.withColumn("__bkt", bucket)
+
+    counts = (
+        bucketed.groupBy("__bkt")
+        .agg(F.sum(weight_col).cast("long").alias("__w"))
+        .collect()
+    )
+    acc, offset_rows = 0, []
+    for bkt, wsum in sorted((r["__bkt"], r["__w"]) for r in counts):
+        offset_rows.append((bkt, acc))
+        acc += wsum or 0
+    offsets = df.sparkSession.createDataFrame(
+        offset_rows, schema="__bkt int, __off long"
+    )
+
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col(order_col), *[F.col(c) for c in tiebreak_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running_incl = F.sum(F.col(weight_col).cast("long")).over(w)
+    return (
+        bucketed.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            out_col,
+            (running_incl - F.col(weight_col).cast("long") + F.col("__off")),
+        )
+        .drop("__bkt", "__off")
+    )

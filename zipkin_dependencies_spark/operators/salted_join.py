@@ -29,15 +29,52 @@ When to reach for it: both sides too big to broadcast (else broadcast
 and there is no shuffle to skew) AND key histogram shows a head key
 holding >~1/tasks of the rows. k should cover the head: k ≈
 head_key_rows / target_partition_rows, bounded by small-side
-replication tolerance. k is a caller knob here (fixtures are small);
-at scale derive it from a cheap ``groupBy(key).count()`` head probe —
-the same auto-sizing discipline as ``auto_planes`` in llm/dedup.py.
+replication tolerance. ``auto_salt_k`` derives exactly that from a
+head-key probe — the same auto-sizing discipline as ``auto_planes`` /
+``auto_banding`` in llm/dedup.py (the r05 manual-knob sweep closed).
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def auto_salt_k(
+    big: DataFrame,
+    key: str,
+    target_partition_rows: int = 5_000_000,
+    max_k: int = 64,
+    sample_fraction: float | None = None,
+) -> int:
+    """Fan-out k for ``salted_join`` from a head-key probe:
+    ``k = ceil(head_key_rows / target_partition_rows)``, clamped to
+    [1, max_k] — k=1 (no salting, no small-side replication) when no key
+    is hot, exactly the k the module docstring tells the 100 TB operator
+    to compute by hand.
+
+    The probe is ``groupBy(key).count()`` + max — one key-cardinality
+    exchange, map-side combined, over the single projected column (a
+    column-pruned scan). ``sample_fraction`` bounds even that for
+    monster inputs: probe a deterministic sample and scale the head
+    count back up (seeded, so retries re-derive the same k — the same
+    determinism contract as the salt itself). ``max_k`` caps small-side
+    replication; ``target_partition_rows`` is the per-task row budget
+    (default sized for ~executor-core work at production row widths)."""
+    probe = big.select(key)
+    if sample_fraction is not None:
+        probe = probe.sample(fraction=sample_fraction, seed=2026)
+    head = (
+        probe.groupBy(key)
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    ) or 0
+    if sample_fraction is not None:
+        head = int(head / sample_fraction)
+    return max(1, min(max_k, math.ceil(head / target_partition_rows)))
 
 
 def salted_join(

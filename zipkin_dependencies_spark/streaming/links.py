@@ -79,12 +79,30 @@ def _link_columns(cols: dict[str, list]) -> pd.DataFrame:
 def streaming_trace_links(
     span_stream: DataFrame,
     trace_gap_ms: int = 30_000,
+    timeout_mode: str = "processing",
 ) -> DataFrame:
     """LINK_INPUT_SCHEMA-shaped *streaming* DataFrame → per-trace link deltas.
 
-    A trace emits once it has been quiet for ``trace_gap_ms`` processing-time
-    ms. Output is append-mode; downstream, sum by (parent, child) — counts
-    are additive, so late re-emissions stay correct."""
+    A trace emits once it has been quiet for ``trace_gap_ms``. Output is
+    append-mode; downstream, sum by (parent, child) — counts are additive,
+    so late re-emissions stay correct.
+
+    ``timeout_mode``:
+    - ``"processing"`` — wall-clock quiet gap (production default for a
+      live firehose). NOT drainable: a processing-time timer only fires
+      when a LATER batch runs, so an availableNow replay ends with every
+      trace still parked in state (and the engine may spin keep-alive
+      batches against due timers — measured, not theoretical).
+    - ``"event"`` — WATERMARK quiet gap: a trace closes when the stream's
+      event-time watermark advances ``trace_gap_ms`` past the last batch
+      that touched it. Deterministic — timers are a pure function of the
+      data's timestamps, so a replay emits identical output every run,
+      which is what lets the oracle value-hash the stateful path
+      (q_streaming_links_stateful). Caller must set ``withWatermark`` on
+      an event-time column before this operator."""
+    use_event = timeout_mode == "event"
+    if timeout_mode not in ("processing", "event"):
+        raise ValueError(f"unknown timeout_mode {timeout_mode!r}")
 
     def kernel(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -105,7 +123,14 @@ def streaming_trace_links(
                     None if (x is None or x != x) else x for x in pdf[c].tolist()
                 )
         state.update(tuple(acc[c] for c in _STATE_COLS))
-        state.setTimeoutDuration(trace_gap_ms)
+        if use_event:
+            # strictly > current watermark as the API requires; max(wm, 0)
+            # guards the first batch, where the watermark is still unset
+            state.setTimeoutTimestamp(
+                max(state.getCurrentWatermarkMs(), 0) + trace_gap_ms
+            )
+        else:
+            state.setTimeoutDuration(trace_gap_ms)
         yield _EMPTY_LINKS
 
     return span_stream.groupBy("trace_key").applyInPandasWithState(
@@ -113,7 +138,11 @@ def streaming_trace_links(
         outputStructType=TRACE_LINKS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if use_event
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 
