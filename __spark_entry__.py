@@ -21,6 +21,23 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 WINDOW_1996_US = (820_454_400_000_000, 852_076_800_000_000 - 1)  # [1996-01-01, 1997-01-01)
 
 
+def _await_drain(q, timeout_s: int = 600) -> None:
+    """Fail-LOUD streaming drain (r06 advice): ``awaitTermination``
+    returns False on timeout, and silently aggregating a
+    partially-populated memory/parquet sink would hash wrong rows with
+    no diagnostic. Every streaming entry drains through this. The 600 s
+    budget is ~35x the slowest observed availableNow drain on the gate
+    machine (the stateful linker's three single-file micro-batches,
+    ~16 s at sf0.1), so a trip means a genuinely wedged stream, not a
+    slow one."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"streaming drain exceeded {timeout_s}s — refusing to read a "
+            "partially-populated sink (availableNow should terminate)"
+        )
+
+
 def _memo_key(sf_dir: str, tag: str) -> str:
     """Memo key = snapshot token + path + tag: the token (file sizes +
     mtimes hash) makes a MUTATED corpus under the same path produce a new
@@ -264,7 +281,7 @@ def q_streaming_daily_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans_store_path=f"{root}/store",
         trigger={"availableNow": True},
     )
-    q.awaitTermination(600)
+    _await_drain(q)
     return spark.read.parquet(f"{root}/sink").select(
         "day", "parent", "child", "call_count", "error_count"
     )
@@ -341,7 +358,7 @@ def q_streaming_links_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_drain(q)
     return (
         spark.table(f"links_stateful_{tag}")
         .groupBy("parent", "child")
@@ -1706,7 +1723,7 @@ def q_streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_drain(q)
     return spark.read.parquet(f"{root}/sink").select(
         "user_id", "t1_us", "t2_us", "t3_us", "stage_reached", "completed"
     )
@@ -1791,7 +1808,7 @@ def q_streaming_anomalies_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_drain(q)
     return spark.read.parquet(f"{root}/sink").select(
         "event_type", "win_start_us", "n_events", "z9"
     )
@@ -1867,7 +1884,7 @@ def q_streaming_bursts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_drain(q)
     return spark.read.parquet(f"{root}/sink").select(
         "user_id", "event_type", "burst_seq", "first_ts_us", "last_ts_us",
         "n_events",
@@ -1919,7 +1936,7 @@ def q_streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_drain(q)
     return spark.read.parquet(f"{root}/sink").select(
         "user_id", "left_id", "right_id", "left_ts_us", "right_ts_us"
     )
@@ -1996,7 +2013,7 @@ def q_streaming_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_drain(q)
     return spark.read.parquet(f"{root}/sink").select(
         "user_id", "start_us", "end_us", "n_events", "n_errors"
     )
@@ -2052,7 +2069,7 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_drain(q)
     return spark.read.parquet(f"{root}/sink").select("text_hash")
 
 
@@ -2898,16 +2915,21 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-neutralized fact-dim join: events meet the customer dim on a
-    SALTED key (deterministic 8-way salt from event_id; dim exploded to
-    match), then roll up value per market segment. The oracle twin is
-    the UNSALTED SQL join — identical output is the operator's contract
-    (salt must never leak into results). See operators/salted_join.py
-    for the 100 TB rationale (hot-key decomposition, k sizing)."""
+    SALTED key (salt fan-out k derived by ``auto_salt_k`` from a head-key
+    probe — the r07 auto path; dim exploded k ways to match), then roll
+    up value per market segment. The oracle twin is the UNSALTED SQL
+    join — identical output is the operator's contract (salt must never
+    leak into results, whatever k the probe derives). The small
+    ``target_partition_rows`` budget makes the fixture's ~90-row head
+    key derive k=3–4, so the gate exercises real salting, not the k=1
+    bypass. See operators/salted_join.py for the 100 TB rationale."""
     from zipkin_dependencies_spark.operators.salted_join import segment_revenue
     from zipkin_dependencies_spark.testdata import load
 
     return segment_revenue(
-        load(spark, sf_dir, "events"), load(spark, sf_dir, "customer")
+        load(spark, sf_dir, "events"),
+        load(spark, sf_dir, "customer"),
+        target_partition_rows=32,
     )
 
 
@@ -3992,72 +4014,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gated locally every round by tests/test_entry_oracle.py (all entries,
     # sf0.01 DuckDB replica of the driver compare).
     #
-    # r05 ROTATION (executes the plan written in r04): Block A holds the 28
-    # queries that through r04 had only local-gate evidence — after this
-    # round, every registered query has at least one driver-verified
-    # rows+schema+hash row (see PARITY.md tier ledger). Block B slots new
-    # r05 queries so additions gate the round they appear. Block C re-gates
-    # the queries whose implementation this round touches. Standing policy
-    # for future rounds: never-gated first, new queries second, touched
-    # code third, then rotate the oldest driver evidence forward.
+    # r07 ROTATION (executes the r06 verdict's #1 ask — the rotation debt):
+    # Block A fronts ALL 20 queries that have never held a driver row (the
+    # 14 r05 Block-B2 entries plus the six r06 additions), restoring the
+    # zero-never-gated state. Block C re-gates the queries whose code r07
+    # actually touches (auto_banding recall-floor resize, auto_salt_k wired
+    # into the gated salted join, the fail-loud _await_drain in every
+    # streaming entry). Block D rotates the OLDEST driver evidence forward:
+    # 20 queries whose last driver row is r03 (plus the r04 flagship
+    # dependency_links, explicitly called stale by the r06 verdict).
+    # Standing policy: never-gated first, new queries second, touched code
+    # third, then oldest evidence — and the blocks below say what IS, not
+    # what is hoped (the r06 Block C comment overstated its gate; fixed).
     return {
-        # --- BLOCK A: tier-L rotation (r04 plan executed): the 28 queries
-        # that had never received a driver row before r05 gate FIRST ---
-        "bigram_surprisal": q_bigram_surprisal,
-        "normalized_text": q_normalized_text,
-        "session_duration_histogram": q_session_duration_histogram,
-        "ann_recall": q_ann_recall,
-        "winsorized_values": q_winsorized_values,
-        "service_health": q_service_health,
-        "gopher_quality": q_gopher_quality,
-        "c4_line_filter": q_c4_line_filter,
-        "doc_length_histogram": q_doc_length_histogram,
-        "zipf_fit": q_zipf_fit,
-        "path_latencies": q_path_latencies,
-        "returned_item_customers": q_returned_item_customers,
-        "error_paths": q_error_paths,
-        "token_fertility": q_token_fertility,
-        "dataset_card": q_dataset_card,
-        "language_confusion": q_language_confusion,
-        "streaming_sessions_replay": q_streaming_sessions_replay,
-        "streaming_dedup_replay": q_streaming_dedup_replay,
-        "curation_pipeline_v3": q_curation_pipeline_v3,
-        "events_cube": q_events_cube,
-        "large_volume_customers": q_large_volume_customers,
-        "priority_return_orders": q_priority_return_orders,
-        "service_triangles": q_service_triangles,
-        "customers_without_orders": q_customers_without_orders,
-        "service_clustering": q_service_clustering,
-        "dedupe_near_against": q_dedupe_near_against,
-        "embedding_drift": q_embedding_drift,
-        "split_audit": q_split_audit,
-        # --- BLOCK B: new-in-r05 queries slot here (never driver-gated,
-        # so they land inside the 50-row window the round they appear) ---
-        "json_decode_audit": q_json_decode_audit,
-        "json_hardened_links": q_json_hardened_links,
-        "temperature_resample": q_temperature_resample,
-        "chunked_documents": q_chunked_documents,
-        "customer_scd2": q_customer_scd2,
-        "service_components": q_service_components,
-        "fuzzy_part_names": q_fuzzy_part_names,
-        "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        "salted_segment_revenue": q_salted_segment_revenue,
-        "promo_revenue": q_promo_revenue,
-        "min_cost_supplier": q_min_cost_supplier,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "supplier_part_variety": q_supplier_part_variety,
-        "sole_return_suppliers": q_sole_return_suppliers,
-        "interpolated_purchases": q_interpolated_purchases,
-        "customer_order_distribution": q_customer_order_distribution,
-        "top_supplier_revenue": q_top_supplier_revenue,
-        "bracketed_discount_revenue": q_bracketed_discount_revenue,
-        "nation_market_share": q_nation_market_share,
-        "product_type_profit": q_product_type_profit,
-        "winnowed_fingerprints": q_winnowed_fingerprints,
-        "ewma_event_value": q_ewma_event_value,
-        # --- BLOCK B2: r05 additions past the 50-row gate window (Block B
-        # filled it); local-gate evidence this round, FIRST driver gate
-        # lands in the r06 rotation — these rotate into Block A next round ---
+        # --- BLOCK A: first driver gate for the 20 never-gated queries
+        # (14 from r05 Block B2 + 6 r06 additions) ---
         "forecast_revenue_change": q_forecast_revenue_change,
         "nation_trade_volume": q_nation_trade_volume,
         "basket_part_pairs": q_basket_part_pairs,
@@ -4078,27 +4049,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_chunk_spans": q_packed_chunk_spans,
         "doc_novelty": q_doc_novelty,
         "semantic_dedup": q_semantic_dedup,
-        # --- BLOCK C: high-churn re-gates — queries whose code this round
-        # touches (embedding-LSH auto-sizing, trace-path checkpoint policy,
-        # linker flagship) re-verify under the driver oracle ---
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "embedding_near_dup": q_embedding_near_dup,
-        "top_trace_paths": q_top_trace_paths,
-        "trace_depth_histogram": q_trace_depth_histogram,
-        "dependency_links": q_dependency_links,
-        "v1_links": q_v1_links,
-        "near_dup_clusters": q_near_dup_clusters,
-        "dedupe_near": q_dedupe_near,
-        "links_relational": q_links_relational,
-        "cosine_topk": q_cosine_topk,
-        "curation_pipeline": q_curation_pipeline,
-        "sessionize_events": q_sessionize_events,
-        "mixing_plan": q_mixing_plan,
-        "dedupe_exact": q_dedupe_exact,
-        # --- BLOCK D: driver-gated green in r01-r04; covered every round
-        # by the local sf0.01 replica gate (tests/test_entry_oracle.py) ---
+        # --- BLOCK C: r07-touched re-gates (auto_banding joint sizing ->
+        # dedupe_near_against + decontaminate_fuzzy; auto_salt_k auto path
+        # -> salted_segment_revenue; _await_drain -> every streaming entry) ---
+        "dedupe_near_against": q_dedupe_near_against,
+        "salted_segment_revenue": q_salted_segment_revenue,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "streaming_daily_links": q_streaming_daily_links,
+        "streaming_sessions_replay": q_streaming_sessions_replay,
+        "streaming_dedup_replay": q_streaming_dedup_replay,
         "streaming_funnel_replay": q_streaming_funnel_replay,
         "streaming_anomalies_replay": q_streaming_anomalies_replay,
+        "streaming_bursts_replay": q_streaming_bursts_replay,
+        "streaming_join_replay": q_streaming_join_replay,
+        # --- BLOCK D: oldest-evidence rotation — last driver row r03
+        # (links_relational, near_dup_clusters, ...) plus the r04 flagship ---
+        "links_relational": q_links_relational,
+        "near_dup_clusters": q_near_dup_clusters,
+        "dependency_links": q_dependency_links,
+        "dedupe_near": q_dedupe_near,
+        "dedupe_exact": q_dedupe_exact,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "curation_pipeline": q_curation_pipeline,
+        "dedupe_replayed_links": q_dedupe_replayed_links,
+        "links_heavy_isolated": q_links_heavy_isolated,
+        "links_two_phase": q_links_two_phase,
+        "links_bucketed": q_links_bucketed,
+        "multi_day_links": q_multi_day_links,
+        "json_spans_decode": q_json_spans_decode,
+        "trace_normalize": q_trace_normalize,
+        "s3_join_distinct": q_s3_join_distinct,
+        "a2_agg_lineitem": q_a2_agg_lineitem,
+        "local_supplier_volume": q_local_supplier_volume,
+        "f1_window_events": q_f1_window_events,
+        # --- BLOCK E: driver-gated green in r03-r06; covered every round
+        # by the local sf0.001 replica gate (tests/test_entry_oracle.py,
+        # all 164 queries) and the driver's own r-round windows ---
+        "bigram_surprisal": q_bigram_surprisal,
+        "normalized_text": q_normalized_text,
+        "session_duration_histogram": q_session_duration_histogram,
+        "ann_recall": q_ann_recall,
+        "winsorized_values": q_winsorized_values,
+        "service_health": q_service_health,
+        "gopher_quality": q_gopher_quality,
+        "c4_line_filter": q_c4_line_filter,
+        "doc_length_histogram": q_doc_length_histogram,
+        "zipf_fit": q_zipf_fit,
+        "path_latencies": q_path_latencies,
+        "returned_item_customers": q_returned_item_customers,
+        "error_paths": q_error_paths,
+        "token_fertility": q_token_fertility,
+        "dataset_card": q_dataset_card,
+        "language_confusion": q_language_confusion,
+        "curation_pipeline_v3": q_curation_pipeline_v3,
+        "events_cube": q_events_cube,
+        "large_volume_customers": q_large_volume_customers,
+        "priority_return_orders": q_priority_return_orders,
+        "service_triangles": q_service_triangles,
+        "customers_without_orders": q_customers_without_orders,
+        "service_clustering": q_service_clustering,
+        "embedding_drift": q_embedding_drift,
+        "split_audit": q_split_audit,
+        "json_decode_audit": q_json_decode_audit,
+        "json_hardened_links": q_json_hardened_links,
+        "temperature_resample": q_temperature_resample,
+        "chunked_documents": q_chunked_documents,
+        "customer_scd2": q_customer_scd2,
+        "service_components": q_service_components,
+        "fuzzy_part_names": q_fuzzy_part_names,
+        "promo_revenue": q_promo_revenue,
+        "min_cost_supplier": q_min_cost_supplier,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "supplier_part_variety": q_supplier_part_variety,
+        "sole_return_suppliers": q_sole_return_suppliers,
+        "interpolated_purchases": q_interpolated_purchases,
+        "customer_order_distribution": q_customer_order_distribution,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "bracketed_discount_revenue": q_bracketed_discount_revenue,
+        "nation_market_share": q_nation_market_share,
+        "product_type_profit": q_product_type_profit,
+        "winnowed_fingerprints": q_winnowed_fingerprints,
+        "ewma_event_value": q_ewma_event_value,
+        "top_trace_paths": q_top_trace_paths,
+        "trace_depth_histogram": q_trace_depth_histogram,
+        "v1_links": q_v1_links,
+        "sessionize_events": q_sessionize_events,
+        "mixing_plan": q_mixing_plan,
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "asof_attribution": q_asof_attribution,
         "funnel_events": q_funnel_events,
@@ -4131,8 +4169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "ngram_containment": q_ngram_containment,
         "link_error_rates": q_link_error_rates,
-        "streaming_bursts_replay": q_streaming_bursts_replay,
-        "streaming_join_replay": q_streaming_join_replay,
         "links_window_diff": q_links_window_diff,
         "heavy_hitter_users": q_heavy_hitter_users,
         "shipping_priority": q_shipping_priority,
@@ -4141,18 +4177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_reconstruct": q_v1_reconstruct,
         "links_strict128": q_links_strict128,
         "f3_day_partition_links": q_f3_day_partition_links,
-        "dedupe_replayed_links": q_dedupe_replayed_links,
-        "links_heavy_isolated": q_links_heavy_isolated,
-        "links_two_phase": q_links_two_phase,
-        "links_bucketed": q_links_bucketed,
-        "multi_day_links": q_multi_day_links,
-        "streaming_daily_links": q_streaming_daily_links,
-        "json_spans_decode": q_json_spans_decode,
-        "trace_normalize": q_trace_normalize,
-        "s3_join_distinct": q_s3_join_distinct,
-        "a2_agg_lineitem": q_a2_agg_lineitem,
-        "local_supplier_volume": q_local_supplier_volume,
-        "f1_window_events": q_f1_window_events,
         "sliding_window_events": q_sliding_window_events,
         "day_rollup_events": q_day_rollup_events,
         "text_stats": q_text_stats,
@@ -4178,7 +4202,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_idf": q_token_idf,
         "top_docs_per_source": q_top_docs_per_source,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     from zipkin_dependencies_spark.llm import oracles as llm_oracles

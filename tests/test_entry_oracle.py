@@ -99,29 +99,18 @@ def test_registry_gate_window_policy():
     import __spark_entry__ as e
 
     never_driver_gated = {
-        # r05 state: Block A (tier-L through r04 — their first driver row
-        # lands in CORRECTNESS_r05, which runs AFTER this round's work)
-        "bigram_surprisal", "normalized_text", "session_duration_histogram",
-        "ann_recall", "winsorized_values", "service_health",
-        "gopher_quality", "c4_line_filter", "doc_length_histogram",
-        "zipf_fit", "path_latencies", "returned_item_customers",
-        "error_paths", "token_fertility", "dataset_card",
-        "language_confusion", "streaming_sessions_replay",
-        "streaming_dedup_replay", "curation_pipeline_v3", "events_cube",
-        "large_volume_customers", "priority_return_orders",
-        "service_triangles", "customers_without_orders",
-        "service_clustering", "dedupe_near_against", "embedding_drift",
-        "split_audit",
-        # Block B (operators new in r05)
-        "json_decode_audit", "json_hardened_links", "temperature_resample",
-        "chunked_documents", "customer_scd2", "service_components",
-        "fuzzy_part_names", "decontaminate_fuzzy",
-        "salted_segment_revenue", "promo_revenue", "min_cost_supplier",
-        "small_quantity_revenue", "supplier_part_variety",
-        "sole_return_suppliers", "interpolated_purchases",
-        "customer_order_distribution", "top_supplier_revenue",
-        "bracketed_discount_revenue", "nation_market_share",
-        "product_type_profit", "winnowed_fingerprints", "ewma_event_value",
+        # r07 state: through CORRECTNESS_r06, these 20 (14 r05 Block-B2 +
+        # 6 r06 additions) have never held a driver row — their first
+        # lands in CORRECTNESS_r07, which runs AFTER this round's work
+        "forecast_revenue_change", "nation_trade_volume",
+        "basket_part_pairs", "referential_integrity_audit",
+        "daily_autocorrelation", "tfidf_keywords", "customer_spend_gini",
+        "cross_doc_span_dedup", "hard_negative_mining",
+        "important_part_share", "late_shipment_priority",
+        "dominant_part_suppliers", "vocab_growth", "mad_anomalies",
+        "prefix_filter_pairs", "streaming_links_stateful",
+        "part_basket_kcore", "packed_chunk_spans", "doc_novelty",
+        "semantic_dedup",
     }
     window = set(list(e.queries())[:50])
     missing = never_driver_gated - window

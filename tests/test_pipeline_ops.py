@@ -1023,6 +1023,66 @@ def test_distributed_prefix_sum_equals_single_window(spark):
         sorted(map(tuple, want.select("k", "w", "cum_before").collect()))
 
 
+def test_distributed_rank_null_values_match_window_nulls_first(spark):
+    """r06-advice hardening: NULLs in the value/order column route to a
+    dedicated pre-bucket instead of nulling the bucket expression (which
+    crashed the driver-side prefix sum with a None<int TypeError), and
+    the result still equals the naive window — Spark's asc ordering is
+    nulls-FIRST, so null rows rank ahead of every real value. Null
+    weights in the prefix sum count as 0, matching SQL SUM semantics."""
+    from pyspark.sql import Window
+
+    from zipkin_dependencies_spark.operators.rank import (
+        distributed_prefix_sum,
+        distributed_row_number,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.when(F.col("id") % 11 == 0, F.lit(None))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(30)))
+        .cast("long")
+        .alias("v"),
+        F.col("id").alias("k"),
+    )
+    got = distributed_row_number(
+        df, partition_by=["g"], value_col="v", tiebreak_cols=["k"],
+        n_buckets=8,
+    )
+    w = Window.partitionBy("g").orderBy("v", "k")
+    want = df.withColumn("i", F.row_number().over(w).cast("long"))
+    got_m = {r["k"]: (r["g"], r["v"], r["i"]) for r in got.collect()}
+    want_m = {r["k"]: (r["g"], r["v"], r["i"]) for r in want.collect()}
+    assert got_m == want_m
+
+    # prefix sum: null order values first, null weights as zero
+    df2 = spark.range(400).select(
+        F.when(F.col("id") % 13 == 0, F.lit(None))
+        .otherwise(F.col("id"))
+        .cast("long")
+        .alias("o"),
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 5 == 0, F.lit(None))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(9)))
+        .cast("long")
+        .alias("w"),
+    )
+    got2 = distributed_prefix_sum(
+        df2, order_col="o", weight_col="w", tiebreak_cols=["k"], n_buckets=8
+    )
+    w2 = (
+        Window.orderBy("o", "k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wv = F.coalesce(F.col("w"), F.lit(0))
+    want2 = df2.withColumn("cum_before", (F.sum(wv).over(w2) - wv).cast("long"))
+    got2_m = {r["k"]: (r["o"], r["w"], r["cum_before"]) for r in got2.collect()}
+    want2_m = {
+        r["k"]: (r["o"], r["w"], r["cum_before"]) for r in want2.collect()
+    }
+    assert got2_m == want2_m
+
+
 def test_kcore_known_graph(spark):
     """kcore on a hand-built graph: triangle {1,2,3} + chain 3-4-5 (+
     isolated edge 6-7). 2-core = the triangle only (4 peels, then 5, and
@@ -1055,6 +1115,50 @@ def test_semantic_dedup_drops_higher_id_in_cluster_dup(spark):
     assert got[0]["keep"] is True
     assert got[5]["keep"] is False and got[5]["max_cos9"] >= 0.95
     assert got[9]["keep"] is True
+
+
+def test_semantic_dedup_zero_norm_vector_cross_engine(spark, tmp_path):
+    """r06-advice parity hardening: a ZERO-norm embedding sharing a
+    cluster with a duplicate pair must not flip any keep decision between
+    engines (the oracle used to divide by nrm=0 where the Spark side
+    filtered norm>0). Runs BOTH engines on the same parquet and compares
+    the full (vec_id -> keep) map."""
+    import duckdb
+
+    from zipkin_dependencies_spark.llm.dedup import semantic_dedup
+    from zipkin_dependencies_spark.llm.oracles import semantic_dedup_sql
+
+    dim = 16
+    base = [1.0] + [0.0] * (dim - 1)
+    zero = [0.0] * dim
+    other = [0.0] * (dim - 1) + [1.0]
+    rows = [(0, base), (5, base), (7, zero), (9, other)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    emb.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    got = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            emb, threshold=0.95, rounds=1, stride=1
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    oracle = {
+        vid: keep
+        for vid, _cluster, keep, _mc in con.execute(
+            semantic_dedup_sql(threshold=0.95, rounds=1, stride=1, dim=dim)
+        ).fetchall()
+    }
+    con.close()
+    assert got == oracle, (got, oracle)
+    # and specifically: the zero vector survives on both sides
+    assert got.get(7) is True
 
 
 def test_doc_novelty_first_appearance_semantics(spark):

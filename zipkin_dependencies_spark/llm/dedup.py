@@ -16,6 +16,8 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -803,45 +805,58 @@ def _shingle_digests(
 
 def auto_banding(
     store_rows: int,
-    bands: int = 4,
+    threshold: float = 0.5,
+    min_bands: int = 4,
     base_rows_per_band: int = 4,
+    max_rows_per_band: int = 6,
     target_store: int = 8192,
     growth_similarity: float = 0.5,
+    recall_floor: float = 0.75,
 ) -> tuple[int, int]:
-    """(num_hashes, bands) that holds false-positive candidate volume per
-    scored doc ~constant as the store grows — the ``auto_planes``
-    treatment applied to MinHash banding (the ONE measured superlinear
-    wall term in the sf10 scaling tier: fixed 16/4 banding drove
-    ``dedupe_near_against`` to 13.1× at 10× data, SCALING.md third tier).
+    """(num_hashes, bands) jointly sized so false-positive candidate
+    volume per scored doc stays ~flat as the store grows AND banding
+    recall at the caller's threshold never silently collapses — the
+    ``auto_planes`` treatment applied to MinHash banding (the ONE
+    measured superlinear wall term in the sf10 scaling tier: fixed 16/4
+    banding drove ``dedupe_near_against`` to 13.1× at 10× data,
+    SCALING.md third tier), hardened against the r06-advice recall
+    finding.
 
-    The physics: a non-duplicate pair collides in one r-row band with
-    probability J_bg^r (J_bg = background shingle Jaccard of unrelated
-    docs — NOT small for char-3 shingles of natural text, where every
-    document shares ' th'/'ing'/'he '). Expected false candidates per
-    scored doc ≈ bands · store · J_bg^r, so holding the term flat while
-    the store grows means J_bg^r must shrink ∝ 1/store:
+    The physics, two coupled terms:
 
-        rows_per_band = base + ceil(log_{1/J_bg}(store / target_store))
+    - **FP suppression** (rows per band, r): a non-duplicate pair
+      collides in one r-row band with probability J_bg^r (J_bg =
+      background shingle Jaccard of unrelated docs — NOT small for
+      char-3 shingles of natural text). Expected false candidates per
+      scored doc ≈ bands · store · J_bg^r, so flat volume means J_bg^r
+      shrinking ∝ 1/store:  r = base + ceil(log_{1/J_bg}(store/target)).
+    - **Recall restoration** (bands, b): a TRUE pair at Jaccard J
+      survives with p = 1-(1-J^r)^b; growing r alone drives the S-curve
+      midpoint (1/b)^(1/r) toward 1 and silently misses pairs barely
+      above the threshold (the r06 advice finding: fixed b=4 at r=10 put
+      midpoint ~0.87 — a J=0.8 true pair had ~36% candidate-recall).
+      So after choosing r, b is DERIVED from a recall floor at the
+      anchor J_a = (1+threshold)/2 (the midpoint of the qualifying
+      range):  b = ceil(log(1-recall_floor) / log(1-J_a^r)).
 
-    ``growth_similarity`` is the J_bg the sizing defends against; the
-    default 0.5 adds one band row per store DOUBLING — pessimistic for
-    k=3 text (measured corpus J_bg is lower), so candidate volume can
-    only shrink relative to the target point, never outgrow it. ``bands``
-    stays fixed: the verify step re-checks every candidate with exact
-    digest-array Jaccard, so banding governs COST (and probabilistic
-    recall), not correctness of surviving pairs.
+    r is capped at ``max_rows_per_band`` (default 6): past the cap,
+    recall-restoring bands would grow exponentially in r, so the sizing
+    stops trading recall for suppression and accepts candidate volume
+    growing ∝ store/2^(cap-base) instead — the verify step keeps
+    correctness either way; cost grows linearly, recall holds. (The
+    uncapped r05 design held cost flat by sacrificing recall — the
+    wrong trade for a dedup operator whose OUTPUT is the recalled
+    pairs.)
 
-    The trade (same contract as auto_planes): each +1 row per band
-    multiplies a true pair's per-band retention by its Jaccard — recall
-    at the low end of the threshold drifts down as the store grows.
-    Callers with a recall gate raise ``target_store`` (more candidates,
-    flatter recall) or pass explicit num_hashes/bands to pin a plan.
-
+    ``growth_similarity`` is the J_bg the suppression defends against;
+    0.5 adds one band row per store doubling — pessimistic for k=3 text.
     ``target_store`` = 8192 is sized so every gated fixture resolves to
     the historical (16, 4) — sf0.01 stores ≈ 4·10², sf0.1 ≈ 4·10³ — and
     the static DuckDB oracles stay valid; the derived sf1 tier (≈43k
-    store) resolves to (28, 4) and sf10 (≈430k) to (40, 4), which is
-    where the superlinear term lived."""
+    store) and sf10 (≈430k) both resolve to (48, 8): r capped at 6,
+    bands doubled to hold anchor recall ≥ 0.75 (vs 0.44 under the r06
+    fixed-band scheme at sf1). Callers with a hard recall gate pass
+    explicit num_hashes/bands to pin a plan."""
     import math
 
     extra = max(
@@ -851,7 +866,25 @@ def auto_banding(
             / math.log(1.0 / growth_similarity)
         ),
     )
-    rpb = base_rows_per_band + extra
+    rpb = min(base_rows_per_band + extra, max_rows_per_band)
+    anchor = (1.0 + threshold) / 2.0
+    p_band = anchor**rpb
+    bands = max(
+        min_bands,
+        math.ceil(math.log(1.0 - recall_floor) / math.log(1.0 - p_band)),
+    )
+    if base_rows_per_band + extra > max_rows_per_band:
+        logging.getLogger(__name__).info(
+            "auto_banding: suppression capped at r=%d for store=%d "
+            "(uncapped would be r=%d); candidate volume grows ~%.0fx over "
+            "the target point, recall floor %.2f at J=%.2f holds",
+            rpb,
+            store_rows,
+            base_rows_per_band + extra,
+            growth_similarity ** (rpb - base_rows_per_band - extra),
+            recall_floor,
+            anchor,
+        )
     return rpb * bands, bands
 
 
@@ -888,7 +921,9 @@ def dedupe_near_against(
     pinned-parameter oracles do exactly that).
     """
     if num_hashes is None or bands is None:
-        a_nh, a_b = auto_banding(max(new_docs.count(), corpus.count()))
+        a_nh, a_b = auto_banding(
+            max(new_docs.count(), corpus.count()), threshold=threshold
+        )
         num_hashes = a_nh if num_hashes is None else num_hashes
         bands = a_b if bands is None else bands
     nb = band_bucket_rows(
@@ -1092,13 +1127,24 @@ def prefix_filter_pairs(
             - F.ceil(F.round(F.lit(float(threshold)) * F.col("n"), 9))
             + 1
         )
-        .select("id", "x")
+        .select("id", "n", "x")
+    )
+    # PPJoin LENGTH filter (Xiao et al. WWW'08 §3, same exact-recall
+    # theorem family): J = |∩|/|∪| ≤ min(n_a,n_b)/max(n_a,n_b), so J ≥ t
+    # forces min ≥ t·max — length-incompatible pairs prune from the
+    # candidate join itself with ZERO recall loss. Same round-to-9
+    # product hygiene as the prefix bound (an ULP-high t·n would drop a
+    # boundary pair).
+    len_ok = F.least(F.col("a.n"), F.col("b.n")) >= F.round(
+        F.lit(float(threshold)) * F.greatest(F.col("a.n"), F.col("b.n")), 9
     )
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.x") == F.col("b.x")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.x") == F.col("b.x"))
+            & (F.col("a.id") < F.col("b.id"))
+            & len_ok,
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])

@@ -1402,8 +1402,11 @@ cos AS (
   FROM pairs p
   JOIN flat fa ON fa.id = p.id_a
   JOIN flat fb ON fb.id = p.id_b AND fb.i = fa.i
-  JOIN norms na ON na.id = p.id_a
-  JOIN norms nb ON nb.id = p.id_b
+  -- norm > 0 mirrors the Spark side's _with_norm filter: zero-norm
+  -- vectors never enter pair scoring (r06-advice: an unguarded 0-norm
+  -- divides to NaN/inf here and can flip keep between engines)
+  JOIN norms na ON na.id = p.id_a AND na.nrm > 0
+  JOIN norms nb ON nb.id = p.id_b AND nb.nrm > 0
   GROUP BY p.id_a, p.id_b, na.nrm, nb.nrm
 ),
 dup AS (

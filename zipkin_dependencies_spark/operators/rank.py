@@ -65,17 +65,18 @@ def distributed_row_number(
     a multi-TB group)."""
     # 1. split points from a bounded sample; duplicates collapse so a
     # heavily-tied value column degrades to fewer (fatter) buckets,
-    # never to wrong ranks
+    # never to wrong ranks. NULL values route to bucket -1: it sorts
+    # before every real bucket, matching the window twin's nulls-first
+    # default (approxQuantile ignores nulls, and a null comparison
+    # would otherwise null out the bucket expression entirely).
     qs = [i / n_buckets for i in range(1, n_buckets)]
     splits = sorted(
         set(df.stat.approxQuantile(value_col, qs, 0.001))
     )
-    if splits:
-        bucket = F.lit(0)
-        for s in splits:
-            bucket = bucket + (F.col(value_col) > F.lit(s)).cast("int")
-    else:
-        bucket = F.lit(0)
+    bucket = F.lit(0)
+    for s in splits:
+        bucket = bucket + (F.col(value_col) > F.lit(s)).cast("int")
+    bucket = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(bucket)
     bucketed = df.withColumn("__bkt", bucket)
 
     # 2. per-(group, bucket) counts -> driver prefix sum -> offsets.
@@ -144,6 +145,8 @@ def distributed_prefix_sum(
     bucket = F.lit(0)
     for s in splits:
         bucket = bucket + (F.col(order_col) > F.lit(s)).cast("int")
+    # NULL order values -> bucket -1 (nulls-first, same as the window twin)
+    bucket = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(bucket)
     bucketed = df.withColumn("__bkt", bucket)
 
     counts = (
@@ -164,12 +167,12 @@ def distributed_prefix_sum(
         .orderBy(F.col(order_col), *[F.col(c) for c in tiebreak_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    running_incl = F.sum(F.col(weight_col).cast("long")).over(w)
+    # null weights count as 0 (SQL SUM skips nulls — coalescing keeps the
+    # exclusive form from nulling out rows the window twin would fill)
+    wv = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    running_incl = F.sum(wv).over(w)
     return (
         bucketed.join(F.broadcast(offsets), "__bkt")
-        .withColumn(
-            out_col,
-            (running_incl - F.col(weight_col).cast("long") + F.col("__off")),
-        )
+        .withColumn(out_col, (running_incl - wv + F.col("__off")))
         .drop("__bkt", "__off")
     )

@@ -120,13 +120,26 @@ def salted_join(
 
 
 def segment_revenue(
-    events: DataFrame, customer: DataFrame, n_salts: int = 8
+    events: DataFrame,
+    customer: DataFrame,
+    n_salts: int | None = None,
+    target_partition_rows: int = 5_000_000,
 ) -> DataFrame:
     """Per-market-segment event value rollup through the salted join:
     events (big, user-skewed at production shape) meet the customer dim
     (too wide a slice to broadcast at 100 TB scale) on user_id =
     c_custkey, salted by event_id. Values integer-scaled ×1000 so the
-    sums hash exactly against the unsalted DuckDB twin."""
+    sums hash exactly against the unsalted DuckDB twin.
+
+    ``n_salts=None`` (default) derives k from a head-key probe via
+    ``auto_salt_k`` — the auto path the r06 verdict asked the gate to
+    exercise; ``target_partition_rows`` is its per-task row budget
+    (gated fixtures pass a small budget so the probe derives a real
+    k > 1 from the fixture's own head key)."""
+    if n_salts is None:
+        n_salts = auto_salt_k(
+            events, "user_id", target_partition_rows=target_partition_rows
+        )
     joined = salted_join(
         events,
         customer.select("c_custkey", "c_mktsegment"),
