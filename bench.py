@@ -111,6 +111,13 @@ def main() -> None:
             "streaming_join_replay",
             "streaming_sessions_replay",
             "streaming_dedup_replay",
+            # r07 (r06 verdict #6): the stateful linker joins the class —
+            # its 16.3 s r06 cost was three maxFilesPerTrigger=1 batches +
+            # state-store round-trips + awaitTermination, identical in
+            # KIND to the seven above. The value-hash oracle gate still
+            # runs it every round — the gate is the point; the bench
+            # headline measures engine plans
+            "streaming_links_stateful",
         )
     ]
     # optional subset (scaling-tier runs measure the expensive scale-path
