@@ -3559,6 +3559,117 @@ def q_part_basket_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, k=3)
 
 
+def q_part_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label-propagation communities on the part co-purchase
+    graph (edges = part pairs co-ordered in ≥2 distinct orders, weight =
+    co-order count): 3 synchronous unrolled rounds, argmax-weight label
+    with min-label tie-break — the community pass that runs after the
+    k-core cohesion filter (same edge builder as part_basket_kcore; the
+    lineitem table is touched once). Fixed rounds, integer labels, no
+    floats: bit-exact by construction, and the DuckDB twin unrolls the
+    identical rounds so the gate compares the same fixpoint-or-not
+    state. Each round is edge-cardinality (join + map-side-combined
+    weight sum + max_by argmax) — never a window, never a collect."""
+    from zipkin_dependencies_spark.operators.graph import lpa_communities
+    from zipkin_dependencies_spark.testdata import load
+
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(
+            F.col("p1").alias("a"), F.col("p2").alias("b"), F.col("n").alias("w")
+        )
+    )
+    return lpa_communities(edges, rounds=3, weight_col="w")
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection importance (hashed-bigram log-likelihood
+    ratio of the src0 target domain vs the rest — Xie et al. 2023,
+    public method): the pretraining-curation ranking that scores a crawl
+    against a quality target with two hashed count profiles and one
+    broadcast join. Text collapses to (doc_id, bucket) in the scan
+    stage; profiles are bucket-cardinality aggregates; per-bucket ln
+    weights quantize to integers before any per-document sum
+    (fold-order-free — the bigram_surprisal recipe)."""
+    from zipkin_dependencies_spark.llm.importance import dsir_importance
+    from zipkin_dependencies_spark.testdata import load
+
+    return dsir_importance(
+        load(spark, sf_dir, "documents"), target_source="src0"
+    )
+
+
+def q_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user counts per event type,
+    next to the exact counts (the eval-harness shape): the md5-pinned,
+    integer-harmonic-sum HLL whose ESTIMATE the value-hash gate holds —
+    Spark's own approx_count_distinct is the same algorithm but not
+    engine-reproducible. The shuffle carries at most 2^10 register rows
+    per group whatever the event volume; registers are max()-mergeable
+    across executors, days, and streams — THE distributed distinct
+    counter at 100 TB."""
+    from zipkin_dependencies_spark.llm.sketches import hll_distinct
+    from zipkin_dependencies_spark.testdata import load
+
+    return hll_distinct(
+        load(spark, sf_dir, "events"), "event_type", "user_id", p=10
+    )
+
+
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch token-count estimates for the corpus's exact
+    top-20 tokens, next to the exact counts: 4×1024 integer cells
+    (map-side combined, sum-mergeable), estimate = min over a token's 4
+    md5-salted cells, overcount ≥ 0 by the sketch's one-sided contract
+    — pure integers, bit-exact cross-engine for free. At 100 TB the
+    sketch state is 4096 longs regardless of corpus size."""
+    from zipkin_dependencies_spark.llm.sketches import cms_topk_counts
+    from zipkin_dependencies_spark.testdata import load
+
+    return cms_topk_counts(load(spark, sf_dir, "documents"), k=20)
+
+
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement, made
+    deterministic (u from the doc id's md5, not a RNG): the 50 documents
+    selected with probability ∝ n_chars, ranked by the integer-quantized
+    A-ES key −ln(u)/w. One pass, TakeOrderedAndProject (per-partition
+    top-k + driver merge of partitions·k rows — no global sort); the
+    reproducible weighted subsampler df.sample cannot be."""
+    from zipkin_dependencies_spark.llm.sketches import es_weighted_sample
+    from zipkin_dependencies_spark.testdata import load
+
+    return es_weighted_sample(
+        load(spark, sf_dir, "documents"), k=50, weight_col="n_chars"
+    )
+
+
+def q_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5 (Jégou et al. 2011, ADC variant):
+    each corpus vector compresses to 8 sub-codes against a
+    deterministic stride-sampled codebook (32× working-set reduction —
+    the FAISS-PQ memory economics); queries score against the CODES
+    table through a broadcast LUT of integer-quantized sub-dot-products
+    (score additive over subspaces, fold-order-free). The corpus is
+    scanned once to encode and never shuffled as vectors — at 100 TB
+    the only data-sized state in motion is 8 small ints per vector."""
+    from zipkin_dependencies_spark.llm.pq import pq_topk
+    from zipkin_dependencies_spark.testdata import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 32), k=5, n_sub=8, dim=64)
+
+
 def q_packed_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-split packing map (capacity 256 tokens, doc_id order):
     for every document, its exclusive corpus prefix token sum and the
@@ -3612,16 +3723,19 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: k-means (the gated
-    kmeans_clusters kernel, 2 rounds / stride-97 init) buckets the
+    kmeans_clusters kernel, 2 rounds, AUTO stride = ceil(sqrt(N)) — the
+    r07 resize; both engines derive it from their own count) buckets the
     corpus; cosine ≥ 0.8 prunes WITHIN clusters only — the clustering
     localizes the quadratic pair scan, which is the method's entire
-    point at web scale. keep=false marks vectors with a lower-id
-    in-cluster near-duplicate."""
+    point at web scale. The sqrt stride balances assignment (N²/stride)
+    against the in-cluster scan (N·stride) at N^1.5: the old fixed
+    stride measured QUADRATIC (~158× wall at 10× data, SCALING.md).
+    keep=false marks vectors with a lower-id in-cluster near-duplicate."""
     from zipkin_dependencies_spark.llm.dedup import semantic_dedup
     from zipkin_dependencies_spark.testdata import load
 
     return semantic_dedup(
-        load(spark, sf_dir, "embeddings"), threshold=0.8, rounds=2, stride=97
+        load(spark, sf_dir, "embeddings"), threshold=0.8, rounds=2
     )
 
 
@@ -4049,6 +4163,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_chunk_spans": q_packed_chunk_spans,
         "doc_novelty": q_doc_novelty,
         "semantic_dedup": q_semantic_dedup,
+        # --- BLOCK B: new-in-r07 queries (gate the round they appear) ---
+        "part_communities_lpa": q_part_communities_lpa,
+        "dsir_importance": q_dsir_importance,
+        "hll_user_counts": q_hll_user_counts,
+        "cms_token_counts": q_cms_token_counts,
+        "weighted_doc_sample": q_weighted_doc_sample,
+        "pq_cosine_topk": q_pq_cosine_topk,
         # --- BLOCK C: r07-touched re-gates (auto_banding joint sizing ->
         # dedupe_near_against + decontaminate_fuzzy; auto_salt_k auto path
         # -> salted_segment_revenue; _await_drain -> every streaming entry) ---
@@ -4082,11 +4203,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_normalize": q_trace_normalize,
         "s3_join_distinct": q_s3_join_distinct,
         "a2_agg_lineitem": q_a2_agg_lineitem,
-        "local_supplier_volume": q_local_supplier_volume,
-        "f1_window_events": q_f1_window_events,
         # --- BLOCK E: driver-gated green in r03-r06; covered every round
         # by the local sf0.001 replica gate (tests/test_entry_oracle.py,
-        # all 164 queries) and the driver's own r-round windows ---
+        # all entries) and the driver's own r-round windows ---
+        "local_supplier_volume": q_local_supplier_volume,
+        "f1_window_events": q_f1_window_events,
         "bigram_surprisal": q_bigram_surprisal,
         "normalized_text": q_normalized_text,
         "session_duration_histogram": q_session_duration_histogram,
@@ -4256,7 +4377,17 @@ def oracle_sql() -> dict[str, str]:
         reachability_sql as _reachability_sql,
         service_components_sql as _service_components_sql,
         kcore_sql as _kcore_sql,
+        lpa_sql as _lpa_sql,
         trace_size_percentiles_sql as _trace_size_percentiles_sql,
+    )
+    from zipkin_dependencies_spark.llm.importance import (
+        dsir_importance_sql as _dsir_importance_sql,
+    )
+    from zipkin_dependencies_spark.llm.pq import pq_topk_sql as _pq_topk_sql
+    from zipkin_dependencies_spark.llm.sketches import (
+        cms_topk_sql as _cms_topk_sql,
+        es_weighted_sample_sql as _es_weighted_sample_sql,
+        hll_distinct_sql as _hll_distinct_sql,
     )
     from zipkin_dependencies_spark.operators.sessionize import (
         SESSIONIZE_SQL as _SESSIONIZE_SQL_RAW,
@@ -4593,7 +4724,7 @@ GROUP BY 1, 2, 3
         "doc_novelty": llm_oracles.doc_novelty_sql(n=3),
         "packed_chunk_spans": llm_oracles.packed_chunk_spans_sql(capacity=256),
         "semantic_dedup": llm_oracles.semantic_dedup_sql(
-            threshold=0.8, rounds=2, stride=97, dim=64
+            threshold=0.8, rounds=2, stride=None, dim=64
         ),
         "part_basket_kcore": _kcore_sql(
             """
@@ -4608,6 +4739,32 @@ SELECT p1 AS a, p2 AS b FROM prs WHERE n >= 2
 """,
             k=3,
             rounds=16,
+        ),
+        "part_communities_lpa": _lpa_sql(
+            """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+prs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p1 AS a, p2 AS b, CAST(n AS BIGINT) AS w FROM prs WHERE n >= 2
+""",
+            rounds=3,
+        ),
+        "dsir_importance": _dsir_importance_sql(
+            target_source="src0", n_buckets=4096
+        ),
+        "hll_user_counts": _hll_distinct_sql(
+            "events", "event_type", "user_id", p=10
+        ),
+        "cms_token_counts": _cms_topk_sql(k=20),
+        "weighted_doc_sample": _es_weighted_sample_sql(
+            "documents", k=50, weight_col="n_chars"
+        ),
+        "pq_cosine_topk": _pq_topk_sql(
+            k=5, n_sub=8, dim=64, query_pred="vec_id < 32"
         ),
         "near_dup_clusters": llm_oracles.near_dup_clusters_lsh_sql(
             num_hashes=16, bands=4, k=3, threshold=0.5, id_mod=5

@@ -111,6 +111,10 @@ def test_registry_gate_window_policy():
         "prefix_filter_pairs", "streaming_links_stateful",
         "part_basket_kcore", "packed_chunk_spans", "doc_novelty",
         "semantic_dedup",
+        # new in r07 (Block B — gate the round they appear)
+        "part_communities_lpa", "dsir_importance",
+        "hll_user_counts", "cms_token_counts", "weighted_doc_sample",
+        "pq_cosine_topk",
     }
     window = set(list(e.queries())[:50])
     missing = never_driver_gated - window

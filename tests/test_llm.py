@@ -872,6 +872,84 @@ def test_auto_banding_candidate_volume_flat_across_scales(spark):
     assert auto_big <= auto_small * 3.0 + 1.0, (auto_small, auto_big)
 
 
+def test_auto_banding_recall_beats_uncapped_rows_on_true_pairs(spark):
+    """The r06-advice recall claim, MEASURED: plant true near-dup pairs
+    (J in the qualifying band just above threshold 0.5) in a corpus,
+    then compare banding candidate-recall under the r07 joint sizing
+    (rows capped at 6, bands grown to 8 — what auto_banding returns for
+    large stores) against the r06 uncapped scheme ((40, 4) at the sf10
+    store size). The uncapped scheme's per-band retention J^10 starves
+    true pairs; the capped scheme must recall MORE of the planted pairs
+    and at least the 0.6 floor the sizing models (anchor-J retention
+    1-(1-J^6)^8 ≈ 0.79 at J=0.75; planted pairs span J ~0.62-0.88 so
+    the aggregate sits near the anchor point).
+
+    Fixture care: the banding operates on CHAR-3 shingles, so mutated
+    tokens must be char-disjoint from their originals (a shared hash
+    suffix would leave the twins ~90% shingle-identical and hide the
+    collapse) and the vocabulary is hex md5 slices (low, stable
+    background Jaccard — decimal digits would saturate the 10^3 trigram
+    universe)."""
+    from zipkin_dependencies_spark.llm.dedup import band_bucket_rows
+
+    # 120 base docs of 30 hex tokens; each gets a twin keeping the first
+    # 23-28 tokens and replacing the rest with char-disjoint tokens
+    # (different md5 input) — token-level J = m/(60-m) spans 0.62-0.88
+    def tok(prefix: str, i):
+        return F.substring(
+            F.md5(
+                F.concat_ws("_", F.lit(prefix), F.col("id").cast("string"),
+                            i.cast("string"))
+            ),
+            1,
+            8,
+        )
+
+    base = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(29)), lambda i: tok("o", i)),
+            " ",
+        ).alias("text"),
+    )
+    twins = spark.range(120).select(
+        (F.col("id") + 10_000).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda i: F.when(
+                    i < 23 + F.pmod(F.col("id"), F.lit(6)), tok("o", i)
+                ).otherwise(tok("m", i)),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    docs = base.unionByName(twins)
+
+    def candidate_recall(nh: int, b: int) -> float:
+        rows = band_bucket_rows(docs, nh, b)
+        hits = (
+            rows.alias("a")
+            .join(
+                rows.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") + 10_000 == F.col("b.id")),
+            )
+            .select("a.id")
+            .distinct()
+            .count()
+        )
+        return hits / 120.0
+
+    capped = candidate_recall(48, 8)    # r07 auto_banding at sf10 store
+    uncapped = candidate_recall(40, 4)  # r06 scheme at the same store
+    assert capped > uncapped, (capped, uncapped)
+    assert capped >= 0.6, capped  # recall floor holds in the aggregate
+    # and the r06 scheme really was collapsing (the advice's point)
+    assert uncapped < 0.5, uncapped
+
+
 def test_prefix_filter_exact_recall_vs_all_pairs(spark):
     """prefix_filter_pairs' advertised no-missed-pairs guarantee, checked
     against brute force: on a high-overlap corpus (short docs, tiny
@@ -1121,3 +1199,89 @@ def test_vocab_growth_first_appearance_curve(spark):
     assert [rows[b]["cum_vocab"] for b in (0, 1, 2, 4)] == [2, 3, 4, 5]
     assert [rows[b]["n_token_occurrences"] for b in (0, 1, 2, 4)] == [3, 2, 2, 1]
     assert [rows[b]["cum_tokens"] for b in (0, 1, 2, 4)] == [3, 5, 7, 8]
+
+
+def test_hll_distinct_accuracy_and_small_range(spark):
+    """HLL estimate quality pinned: a ~3000-distinct group must land
+    within ±10% (3σ of the 1.04/√1024 ≈ 3.3% standard error), and a
+    5-distinct group must be near-exact (the linear-counting small-range
+    branch: with 1019/1024 empty registers, m·ln(m/V) ≈ V)."""
+    from zipkin_dependencies_spark.llm.sketches import hll_distinct
+
+    df = spark.range(3000).select(
+        F.lit("big").alias("g"), F.col("id").alias("v")
+    ).unionByName(
+        spark.range(5).select(F.lit("tiny").alias("g"), (F.col("id") + 50_000).alias("v"))
+    )
+    got = {r["g"]: r for r in hll_distinct(df, "g", "v", p=10).collect()}
+    assert got["big"]["n_exact"] == 3000
+    assert abs(got["big"]["err_pct2"]) <= 10.0, got["big"]
+    assert got["tiny"]["n_exact"] == 5
+    assert abs(got["tiny"]["hll_est4"] - 5) < 0.2, got["tiny"]
+
+
+def test_cms_overcount_is_one_sided_and_tight_on_sparse_vocab(spark):
+    """Count-Min's provable contract: cms_n ≥ n_exact ALWAYS; and with a
+    3-token vocabulary in 4×1024 cells (no collisions possible at that
+    load factor except by md5 accident across 4 independent rows),
+    every estimate is exact."""
+    from zipkin_dependencies_spark.llm.sketches import cms_topk_counts
+
+    docs = spark.createDataFrame(
+        [(0, "apple apple pear"), (1, "apple plum plum plum"), (2, "pear")],
+        "doc_id long, text string",
+    )
+    got = {r["token"]: r for r in cms_topk_counts(docs, k=3).collect()}
+    assert {t: r["n_exact"] for t, r in got.items()} == {
+        "apple": 3, "plum": 3, "pear": 2,
+    }
+    for r in got.values():
+        assert r["overcount"] >= 0
+        assert r["cms_n"] == r["n_exact"], r
+
+
+def test_es_weighted_sample_matches_bruteforce_and_excludes_nonpositive(spark):
+    """The A-ES selection replayed in plain Python (hashlib md5, same
+    quantized key): the Spark top-10 must be the identical id set in the
+    identical order, and zero/negative weights never appear."""
+    import hashlib
+    import math
+
+    from zipkin_dependencies_spark.llm.sketches import es_weighted_sample
+
+    rows = [(i, "s", (i * 37) % 90 + 1) for i in range(60)]
+    rows += [(100, "s", 0), (101, "s", -5)]  # excluded
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+    def key(i, w):
+        d = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (d + 1) / 4294967296.0
+        return round(-math.log(u) / w * 1e9)
+
+    want = sorted(
+        ((key(i, w), i) for i, _, w in rows if w > 0)
+    )[:10]
+    got = es_weighted_sample(docs, k=10).collect()
+    assert [(r["key_q9"], r["doc_id"]) for r in got] == want
+    assert all(r["w"] > 0 for r in got)
+
+
+def test_pq_topk_recovers_planted_neighbors(spark, vectors):
+    """PQ/ADC quality pinned on the perturbation fixture: vectors 1-4 are
+    tiny perturbations of vector 0, so even after quantizing to 8
+    sub-codes the top-4 for query 0 must be exactly that planted set
+    (quantization error ≪ the planted/random similarity gap), ranks
+    dense 1..4, scores descending."""
+    from zipkin_dependencies_spark.llm.pq import pq_topk
+
+    emb, dim = vectors
+    got = sorted(
+        pq_topk(
+            emb, emb.filter(F.col("vec_id") == 0), k=4, n_sub=4, dim=dim, stride=3
+        ).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert {r["neighbor_id"] for r in got} == {1, 2, 3, 4}, got
+    assert [r["rank"] for r in got] == [1, 2, 3, 4]
+    scores = [r["adc_q9"] for r in got]
+    assert scores == sorted(scores, reverse=True)

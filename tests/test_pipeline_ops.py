@@ -1181,3 +1181,107 @@ def test_doc_novelty_first_appearance_semantics(spark):
     assert got[1]["novelty9"] == 0.0 and got[1]["n_ngrams"] == 2
     assert got[2]["n_ngrams"] == 0 and got[2]["novelty9"] == 0.0
     assert got[3]["novelty9"] == 1.0
+
+
+def test_lpa_communities_two_cliques_weak_bridge(spark):
+    """lpa_communities on a hand-traced graph: two triangles (edge weight
+    5) joined by ONE weight-1 bridge. Weighted argmax keeps the bridge
+    from merging the communities; after 3 synchronous rounds every node
+    carries its clique's min label (trace in the test body comments)."""
+    from zipkin_dependencies_spark.operators.graph import lpa_communities
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 5), (2, 3, 5), (1, 3, 5),      # clique A
+            (10, 11, 5), (11, 12, 5), (10, 12, 5),  # clique B
+            (3, 10, 1),                              # weak bridge
+        ],
+        "a long, b long, w long",
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in lpa_communities(edges, rounds=3, weight_col="w").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_lpa_communities_cross_engine(spark, tmp_path):
+    """lpa_sql unrolls the identical synchronous rounds: run both engines
+    on the same random-ish co-occurrence graph and compare the full
+    (node -> community) map (fixed rounds — compares the same
+    fixpoint-or-not state even if the graph oscillates)."""
+    import duckdb
+
+    from zipkin_dependencies_spark.operators.graph import (
+        lpa_communities,
+        lpa_sql,
+    )
+
+    edges = spark.range(300).select(
+        F.pmod(F.xxhash64("id"), F.lit(40)).alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(40)).alias("b"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(7)) + 1).alias("w"),
+    ).filter(F.col("a") != F.col("b"))
+    edges.write.mode("overwrite").parquet(f"{tmp_path}/edges.parquet")
+
+    got = {
+        r["node"]: r["community"]
+        for r in lpa_communities(edges, rounds=3, weight_col="w").collect()
+    }
+    con = duckdb.connect()
+    sql = lpa_sql(
+        f"SELECT a, b, w FROM read_parquet('{tmp_path}/edges.parquet/*.parquet')",
+        rounds=3,
+    )
+    want = dict(con.execute(sql).fetchall())
+    con.close()
+    assert got == want
+
+
+def test_dsir_importance_signs_and_cross_engine(spark, tmp_path):
+    """dsir_importance: target-looking docs score positive, off-target
+    negative, short docs stay at 0.0 — and the DuckDB twin reproduces
+    the full table bit-for-bit (hashing, smoothing, quantized ln)."""
+    import duckdb
+
+    from zipkin_dependencies_spark.llm.importance import (
+        dsir_importance,
+        dsir_importance_sql,
+    )
+
+    rows = []
+    for i in range(30):  # target: "quality" bigrams
+        rows.append((i, "alpha beta gamma alpha beta", "en", "tgt", 27))
+    for i in range(30, 90):  # background: disjoint vocabulary
+        rows.append((i, "noise junk filler noise junk", "en", "bg", 27))
+    rows.append((90, "alpha beta gamma", "en", "bg", 16))  # looks like target
+    rows.append((91, "tok", "en", "bg", 3))  # < 2 tokens -> 0.0
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = dsir_importance(docs, target_source="tgt", n_buckets=512)
+    gm = {r["doc_id"]: r for r in got.collect()}
+    assert gm[0]["importance6"] > 0       # target doc scores positive
+    assert gm[35]["importance6"] < 0      # background scores negative
+    assert gm[90]["importance6"] > 0      # target-looking background doc
+    assert gm[91]["n_bigrams"] == 0 and gm[91]["importance6"] == 0.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: r
+        for r in con.execute(
+            dsir_importance_sql(target_source="tgt", n_buckets=512)
+        ).fetchall()
+    }
+    con.close()
+    for did, r in gm.items():
+        w = want[did]
+        assert (
+            r["source"], r["n_bigrams"], r["importance6"], r["avg_importance6"]
+        ) == (w[1], w[2], w[3], w[4]), (did, tuple(r), w)

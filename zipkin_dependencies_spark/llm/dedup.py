@@ -1177,7 +1177,7 @@ def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.8,
     rounds: int = 2,
-    stride: int = 97,
+    stride: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1197,14 +1197,20 @@ def semantic_dedup(
     the similarity paths (round-9 before the threshold compare, so an
     ULP can't flip a keep decision between engines).
 
-    Scale (100 TB): the pair join is per-cluster — Σ occupancy², held
-    linear by raising the centroid count with the corpus (stride is the
-    knob; the auto_planes/auto_banding sizing discipline applies: pick
-    stride ≈ corpus/target_cluster_size). Vectors shuffle once keyed by
-    cluster; AQE splits a hot cluster's probe side."""
-    from .kmeans import kmeans_assign
+    Scale (100 TB): TWO terms share the stride knob — k-means assignment
+    scores every vector against every centroid (N²/stride distance
+    folds) and the in-cluster pair scan is Σ occupancy² ≈ N·stride.
+    ``stride=None`` (default) derives stride = ceil(sqrt(N)) via
+    ``kmeans.auto_stride``, putting both terms at N^1.5 — the r07 sf1
+    measurement showed the old fixed-stride default was QUADRATIC in the
+    assignment term (~158× wall at 10× data; SCALING.md fourth tier).
+    Vectors shuffle once keyed by cluster; AQE splits a hot cluster's
+    probe side."""
+    from .kmeans import auto_stride, kmeans_assign
     from .similarity import _dot, _with_norm
 
+    if stride is None:
+        stride = auto_stride(emb.count())
     assign = kmeans_assign(
         emb, rounds=rounds, stride=stride, id_col=id_col, vec_col=vec_col
     )

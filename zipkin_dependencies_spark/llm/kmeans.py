@@ -25,8 +25,28 @@ rounds × (scan + tiny shuffle) — the textbook distributed k-means layout.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def auto_stride(n_rows: int) -> int:
+    """Centroid-stride = ceil(sqrt(N)) — the balance point of the two
+    costs a stride controls (r07 sf1 measurement, SCALING.md fourth
+    tier): assignment is N·k = N²/stride distance folds (every vector
+    scores every centroid), the downstream in-cluster pair scan is
+    N·stride. A FIXED stride holds occupancy flat but makes assignment
+    quadratic — measured ~158× wall at 10× data on semantic_dedup. stride
+    = √N makes both terms N^1.5 (the sub-quadratic SemDeDup shape; the
+    paper's web-scale runs use approximate assignment to go below that,
+    which trades the bit-exact oracle this engine gates on).
+
+    Uses float sqrt + ceil so the DuckDB twin (CEIL(SQRT(COUNT(*)))) is
+    bit-identical: for N < 2^52 the correctly-rounded IEEE sqrt cannot
+    cross an integer boundary (gap to the next integer ≥ 1/(2√N) ≫ ulp),
+    so both engines derive the same stride."""
+    return max(1, math.ceil(math.sqrt(max(n_rows, 1))))
 
 
 def _sq_dist(v: str, c: str):
@@ -105,10 +125,16 @@ def kmeans_assign(
 
 
 def kmeans_assign_sql(
-    rounds: int = 2, stride: int = 97, scale_bits: int = 20, dim: int = 64
+    rounds: int = 2,
+    stride: int | str = 97,
+    scale_bits: int = 20,
+    dim: int = 64,
 ) -> str:
     """DuckDB twin: the same unrolled rounds over the flat (id, i, x)
-    representation; ordered distance sums, integer-scaled centroid means."""
+    representation; ordered distance sums, integer-scaled centroid means.
+    ``stride`` may be an int literal or a SQL scalar expression string
+    (e.g. a subquery deriving ceil(sqrt(count(*))) — the auto_stride
+    twin), interpolated verbatim into the centroid-init predicate."""
     scale = 1 << scale_bits
     ctes = [
         f"""flat AS (

@@ -1370,18 +1370,27 @@ FROM ps
 def semantic_dedup_sql(
     threshold: float = 0.8,
     rounds: int = 2,
-    stride: int = 97,
+    stride: int | None = None,
     scale_bits: int = 20,
     dim: int = 64,
 ) -> str:
     """Oracle for llm/dedup.py::semantic_dedup: the kmeans_assign twin as
     a subquery CTE, then within-cluster ordered-sum cosine on id-ordered
-    pairs, drop = exists lower-id in-cluster neighbor with cos9 ≥ t."""
+    pairs, drop = exists lower-id in-cluster neighbor with cos9 ≥ t.
+    ``stride=None`` mirrors the Spark auto_stride default — the SQL
+    derives ceil(sqrt(count(*))) itself (bit-identical for N < 2^52,
+    see kmeans.auto_stride)."""
     from .kmeans import kmeans_assign_sql
 
+    stride_sql: int | str = (
+        stride
+        if stride is not None
+        else "(SELECT GREATEST(1, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))"
+        " FROM embeddings)"
+    )
     return f"""
 WITH assign AS (
-  {kmeans_assign_sql(rounds=rounds, stride=stride, scale_bits=scale_bits, dim=dim)}
+  {kmeans_assign_sql(rounds=rounds, stride=stride_sql, scale_bits=scale_bits, dim=dim)}
 ),
 flat AS (
   SELECT vec_id AS id, CAST(u.i AS INT) - 1 AS i,

@@ -1,0 +1,359 @@
+"""Deterministic sketch operators — HyperLogLog distinct counting,
+Count-Min heavy-hitter estimation, and Efraimidis-Spirakis weighted
+sampling (all public algorithms: Flajolet et al. 2007 "HyperLogLog";
+Cormode & Muthukrishnan 2005 "An improved data stream summary";
+Efraimidis & Spirakis 2006 "Weighted random sampling with a
+reservoir").
+
+Sketches ARE the 100 TB story: a fixed-size, MERGEABLE state per group
+(m registers / d×w counters / k reservoir keys) that map-side combines
+and never grows with the data — the tool a pipeline reaches for when
+exact distinct/top-k state would be data-sized. Spark's own
+approx_count_distinct is the same HLL idea but its output is not
+engine-reproducible; these variants pin the hash function (md5, the
+repo-wide oracle digest) and quantize every float through ONE
+rounding, so a DuckDB twin replays the sketch bit-for-bit and the
+value-hash gate can hold the ESTIMATES, not just row counts.
+
+Determinism engineering (the house recipe):
+- all hashes are md5 slices (the `('0x'||substring(md5(s),1,k))::BIGINT`
+  ≡ `F.conv(F.substring(F.md5(s),1,k),16,10)` equivalence both engines
+  share); the HLL register split uses a 60-bit slice so the value fits
+  signed-64 in both engines without wrap;
+- HLL's Σ 2^(-M_j) harmonic sum is computed as an INTEGER sum of
+  2^(51-M_j) (every term exact, fold-order-free) and the α·m²·2^51
+  numerator is pre-folded into ONE Python double literal embedded in
+  both engines — the estimate is a single double division (+ a single
+  ln on the linear-counting branch), then round(4);
+- Count-Min is pure integers end to end;
+- the E-S sampler's key is the quantized-ln form round(−ln(u)/w · 1e9)
+  (one division, one ln, one rounding), ties broken by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HLL_SLICE_BITS = 60  # md5 hex chars 1..15 — fits signed 64 both engines
+_HLL_LOW_BITS = 50  # low bits used for the rho (leading-zeros) field
+
+
+def _digest60(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def _digest32(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def _hll_numerator(m: int) -> float:
+    """α_m · m² · 2^51 pre-folded to one double — BOTH engines embed this
+    exact literal so the estimate is a single division away from the
+    integer register sum (no cross-engine float-fold ambiguity)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << (_HLL_LOW_BITS + 1))
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """→ (group, n_exact, hll_est4, err_pct2): per-group HyperLogLog
+    distinct-count estimate next to the exact count — the eval-harness
+    shape (like ann_recall): the gate pins the sketch's arithmetic AND
+    the row shows its accuracy.
+
+    Register assignment: a 60-bit md5 slice splits into a p-bit register
+    index (top bits) and a 50-bit rho field; rho = leading zeros + 1 via
+    binary-string length (``bin`` / ``format('{:b}')`` — identical
+    minimal-binary semantics in both engines, no float log2 at power-of-
+    two boundaries). Registers aggregate as max(rho) — the mergeable
+    state — then the harmonic mean is an exact integer sum of
+    2^(51-M_j); the only doubles are one division (+ one ln on the
+    linear-counting small-range branch) and one round(4).
+
+    Scale (100 TB): the shuffle carries (group, register) pairs — at
+    most m=2^p rows per group whatever the data volume; max() is
+    map-side combined. This is the distributed distinct counter whose
+    state merges across executors, days, and streams."""
+    m = 1 << p
+    num = _hll_numerator(m)
+    low_mask = (1 << _HLL_LOW_BITS) - 1
+    h = _digest60(F.col(value_col).cast("string"))
+    regs = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.shiftright(h, _HLL_LOW_BITS).alias("idx"),
+            (h.bitwiseAND(F.lit(low_mask))).alias("low"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("low") == 0, F.lit(_HLL_LOW_BITS + 1)).otherwise(
+                F.lit(_HLL_LOW_BITS + 1) - F.length(F.expr("bin(low)"))
+            ),
+        )
+        .groupBy("grp", "idx")
+        .agg(F.max("rho").alias("M"))
+    )
+    sums = regs.groupBy("grp").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_LOW_BITS + 1} - M)")
+        ).alias("s_obs"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(value_col).alias("n_exact")
+    )
+    v = F.lit(m) - F.col("n_obs")
+    s_total = F.col("s_obs") + v * F.lit(1 << (_HLL_LOW_BITS + 1))
+    e_raw = F.lit(num) / s_total
+    e_lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    est = F.when((e_raw <= F.lit(2.5 * m)) & (v > 0), e_lc).otherwise(e_raw)
+    return (
+        exact.join(sums, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_exact",
+            F.round(est, 4).alias("hll_est4"),
+            F.round(
+                (F.round(est, 4) - F.col("n_exact")) * 100.0 / F.col("n_exact"), 2
+            ).alias("err_pct2"),
+        )
+    )
+
+
+def hll_distinct_sql(
+    table: str, group_col: str, value_col: str, p: int = 10
+) -> str:
+    """DuckDB twin of ``hll_distinct`` — identical register split,
+    integer harmonic sum, single-division estimate."""
+    m = 1 << p
+    num = repr(_hll_numerator(m))
+    lb = _HLL_LOW_BITS
+    low_mask = (1 << lb) - 1
+    return f"""
+WITH h AS (
+  SELECT {group_col} AS grp,
+         ('0x' || substring(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM {table}
+),
+regs AS (
+  SELECT grp, hv >> {lb} AS idx,
+         max(CASE WHEN (hv & {low_mask}) = 0 THEN {lb + 1}
+                  ELSE {lb + 1} - length(format('{{:b}}', hv & {low_mask}))
+             END) AS M
+  FROM h GROUP BY grp, idx
+),
+sums AS (
+  SELECT grp,
+         CAST(sum(1::BIGINT << ({lb + 1} - M)) AS BIGINT) AS s_obs,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM regs GROUP BY grp
+),
+exact AS (
+  SELECT {group_col} AS grp, CAST(count(DISTINCT {value_col}) AS BIGINT) AS n_exact
+  FROM {table} GROUP BY 1
+),
+est AS (
+  SELECT e.grp, e.n_exact,
+         CASE WHEN ({num} / (s.s_obs + ({m} - s.n_obs) * (1::BIGINT << {lb + 1})))
+                   <= {2.5 * m}
+               AND ({m} - s.n_obs) > 0
+              THEN {float(m)!r} * ln({float(m)!r} / ({m} - s.n_obs))
+              ELSE {num} / (s.s_obs + ({m} - s.n_obs) * (1::BIGINT << {lb + 1}))
+         END AS e
+  FROM exact e JOIN sums s USING (grp)
+)
+SELECT grp AS {group_col}, n_exact,
+       round(e, 4) AS hll_est4,
+       round((round(e, 4) - n_exact) * 100.0 / n_exact, 2) AS err_pct2
+FROM est
+"""
+
+
+def cms_topk_counts(
+    docs: DataFrame,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (token, n_exact, cms_n, overcount): Count-Min-sketch token-count
+    estimates for the corpus's exact top-``k`` tokens, next to the exact
+    counts (the eval-harness shape — the gate pins the sketch cells AND
+    the row shows CM's one-sided error: overcount ≥ 0 always, the
+    sketch's provable contract).
+
+    The sketch is ``depth`` independent md5-salted hash rows of
+    ``width`` counters; a token's estimate is the MIN over its d cells.
+    All integers — bit-exact cross-engine for free.
+
+    Scale (100 TB): the sketch aggregate carries (row, cell) pairs —
+    d·w = 4096 cells total whatever the corpus, map-side combined and
+    mergeable (sum cells to merge sketches across days/streams). The
+    exact side exists only because this is the eval harness; a
+    production pipeline keeps the 4096-cell state and drops the
+    data-sized exact aggregation."""
+    from .text import tokens
+
+    toks = docs.select(F.explode(tokens(text_col)).alias("token"))
+
+    def cell_idx(row: int, tok: Column) -> Column:
+        return F.pmod(
+            _digest32(F.concat_ws("|", F.lit(str(row)), tok)), F.lit(width)
+        )
+
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    cell_idx(r, F.col("token")).alias("idx"),
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+    cells = (
+        toks.select(rows.alias("rc"))
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.idx").alias("idx"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    topk = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("token"))
+        .limit(k)
+    )
+    probes = topk.select(
+        "token",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        cell_idx(r, F.col("token")).alias("idx"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("token", "n_exact", F.col("rc.r").alias("r"), F.col("rc.idx").alias("idx"))
+    return (
+        probes.join(F.broadcast(cells), ["r", "idx"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("c").alias("cms_n"))
+        .select(
+            "token",
+            "n_exact",
+            "cms_n",
+            (F.col("cms_n") - F.col("n_exact")).alias("overcount"),
+        )
+    )
+
+
+def cms_topk_sql(
+    k: int = 20, depth: int = 4, width: int = 1024
+) -> str:
+    """DuckDB twin of ``cms_topk_counts`` over the ``documents`` view."""
+    from .oracles import TEXT_TOKENS
+
+    idx = (
+        lambda r, tok: f"(('0x' || substring(md5('{r}' || '|' || {tok}), 1, 8))"
+        f"::BIGINT % {width})"
+    )
+    probe_rows = "\n    UNION ALL\n".join(
+        f"  SELECT token, n_exact, {r} AS r, {idx(r, 'token')} AS idx FROM topk"
+        for r in range(depth)
+    )
+    cell_rows = "\n    UNION ALL\n".join(
+        f"  SELECT {r} AS r, {idx(r, 'token')} AS idx FROM toks"
+        for r in range(depth)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({TEXT_TOKENS}) AS token FROM documents
+),
+cells AS (
+  SELECT r, idx, CAST(count(*) AS BIGINT) AS c FROM (
+{cell_rows}
+  ) GROUP BY r, idx
+),
+topk AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+  FROM toks GROUP BY token
+  ORDER BY n_exact DESC, token ASC LIMIT {k}
+),
+probes AS (
+{probe_rows}
+)
+SELECT p.token, p.n_exact,
+       CAST(min(c.c) AS BIGINT) AS cms_n,
+       CAST(min(c.c) - p.n_exact AS BIGINT) AS overcount
+FROM probes p JOIN cells c USING (r, idx)
+GROUP BY p.token, p.n_exact
+"""
+
+
+def es_weighted_sample(
+    docs: DataFrame,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """→ k rows (id, *extra, w, key_q9): Efraimidis-Spirakis weighted
+    sampling without replacement — select k items with probability
+    proportional to weight, DETERMINISTICALLY (u comes from the id's md5,
+    not a RNG): rank every item by −ln(u)/w ascending (the A-ES key;
+    equivalent to max u^(1/w)) and keep the k smallest. The key is
+    integer-quantized (round(·1e9), the house ln recipe) with an id
+    tie-break, so both engines select the identical set.
+
+    Zero/negative weights are excluded (they have probability 0 in the
+    E-S scheme; ln is undefined at w ≤ 0 anyway).
+
+    Scale (100 TB): ONE pass — each partition keeps its local k smallest
+    keys (Spark compiles orderBy+limit to TakeOrderedAndProject), the
+    driver merges partitions·k candidate rows. No global sort, no
+    data-sized shuffle; this is THE distributed weighted sampler for
+    corpus subsampling where df.sample can't do weights and isn't
+    reproducible across repartitions."""
+    u = (_digest32(F.col(id_col).cast("string")) + 1) / F.lit(4294967296.0)
+    key = F.round(-F.log(u) / F.col(weight_col) * 1e9).cast("bigint")
+    return (
+        docs.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            *extra_cols,
+            F.col(weight_col).alias("w"),
+            key.alias("key_q9"),
+        )
+        .orderBy(F.asc("key_q9"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def es_weighted_sample_sql(
+    table: str,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = ("source",),
+) -> str:
+    """DuckDB twin of ``es_weighted_sample``."""
+    extras = "".join(f", {c}" for c in extra_cols)
+    return f"""
+SELECT {id_col}{extras}, {weight_col} AS w,
+       CAST(round(-ln((('0x' || substring(md5(CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT + 1)
+                      / 4294967296.0)
+                  / {weight_col} * 1e9) AS BIGINT) AS key_q9
+FROM {table}
+WHERE {weight_col} > 0
+ORDER BY key_q9 ASC, {id_col} ASC
+LIMIT {k}
+"""

@@ -424,3 +424,104 @@ e{r} AS MATERIALIZED (
         + f"\nSELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree "
         f"FROM {prev} GROUP BY a"
     )
+
+
+def lpa_communities(
+    edges: DataFrame,
+    rounds: int = 3,
+    id_a: str = "a",
+    id_b: str = "b",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """→ (node, community): weighted label propagation, ``rounds``
+    SYNCHRONOUS unrolled rounds — the community-detection pass a
+    co-occurrence graph runs after k-core peeling (Raghavan et al. 2007,
+    "Near linear time algorithm to detect community structures" — public
+    method; this is the deterministic fixed-round variant).
+
+    Every node starts labeled with itself; each round, every node adopts
+    the label with the LARGEST total incident edge weight among its
+    neighbors' current labels, ties broken by the SMALLEST label. Fixed
+    synchronous rounds — no convergence probe — because sync LPA can
+    oscillate on bipartite structures and a convergence loop would hang
+    there; a fixed unroll is deterministic on every input, and the DuckDB
+    twin (``lpa_sql``) unrolls the identical rounds, so the gate compares
+    the exact same fixpoint-or-not state. Labels are node ids and the
+    update is a pure argmax — no floats anywhere, bit-exact by
+    construction.
+
+    Scale: each round is one edge-cardinality join (labels attach to the
+    neighbor side) + one map-side-combinable (node, label) weight sum +
+    one ``max_by`` argmax per node — never a window, never a collect;
+    ``localCheckpoint`` per round truncates the lineage exactly like
+    ``connected_components``. Nodes derive from the edge list (an
+    isolated node never enters; callers coalesce like the components
+    operators)."""
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    half = edges.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b"), w.alias("w")
+    ).filter(F.col("a") != F.col("b"))
+    sym = (
+        half.unionByName(
+            half.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+            )
+        )
+        # parallel edges collapse (max weight) so both engines see one
+        # canonical weight per (a, b) whatever the caller's edge list held
+        .groupBy("a", "b")
+        .agg(F.max("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(rounds):
+        labels = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(sym.a.alias("node"), F.col("label"))
+            .agg(F.sum("w").alias("wt"))
+            .groupBy("node")
+            .agg(
+                F.expr("max_by(label, struct(wt, -label))").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def lpa_sql(edges_sql: str, rounds: int = 3) -> str:
+    """DuckDB twin of ``lpa_communities``: the same synchronous rounds
+    unrolled as a CTE chain (materialized — same 3^rounds inlining hazard
+    as ``kcore_sql``). ``edges_sql`` must yield (a, b, w)."""
+    ctes = [
+        f"raw AS MATERIALIZED ({edges_sql})",
+        """e AS MATERIALIZED (
+  SELECT a, b, max(w) AS w FROM (
+    SELECT a, b, w FROM raw WHERE a <> b
+    UNION ALL
+    SELECT b AS a, a AS b, w FROM raw WHERE a <> b
+  ) GROUP BY a, b
+)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM e)",
+    ]
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""l{r} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT e.a AS node, l.label, sum(e.w) AS wt,
+           row_number() OVER (
+             PARTITION BY e.a
+             ORDER BY sum(e.w) DESC, l.label ASC
+           ) AS rn
+    FROM e JOIN {prev} l ON e.b = l.node
+    GROUP BY e.a, l.label
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{r}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label AS community FROM {prev}"
+    )
