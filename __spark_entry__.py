@@ -3654,6 +3654,22 @@ def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability demonstrated in data: per-day register tables
+    (the state an incremental rollup persists) max-merged across days
+    yield the IDENTICAL distinct-user estimate as a direct whole-range
+    scan — merge_lossless must be true (max is associative/commutative).
+    This is why a 100 TB pipeline keeps registers instead of raw ids:
+    yesterday's state never re-scans; daily merge is an m-row max()."""
+    from zipkin_dependencies_spark.llm.sketches import hll_merge_audit
+    from zipkin_dependencies_spark.testdata import load
+
+    ev = load(spark, sf_dir, "events")
+    return hll_merge_audit(
+        ev, F.to_date(F.col("ts").cast("timestamp")), "user_id", p=10
+    )
+
+
 def q_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-5 (Jégou et al. 2011, ADC variant):
     each corpus vector compresses to 8 sub-codes against a
@@ -4170,6 +4186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_counts": q_cms_token_counts,
         "weighted_doc_sample": q_weighted_doc_sample,
         "pq_cosine_topk": q_pq_cosine_topk,
+        "hll_merge_audit": q_hll_merge_audit,
         # --- BLOCK C: r07-touched re-gates (auto_banding joint sizing ->
         # dedupe_near_against + decontaminate_fuzzy; auto_salt_k auto path
         # -> salted_segment_revenue; _await_drain -> every streaming entry) ---
@@ -4388,6 +4405,7 @@ def oracle_sql() -> dict[str, str]:
         cms_topk_sql as _cms_topk_sql,
         es_weighted_sample_sql as _es_weighted_sample_sql,
         hll_distinct_sql as _hll_distinct_sql,
+        hll_merge_audit_sql as _hll_merge_audit_sql,
     )
     from zipkin_dependencies_spark.operators.sessionize import (
         SESSIONIZE_SQL as _SESSIONIZE_SQL_RAW,
@@ -4765,6 +4783,9 @@ SELECT p1 AS a, p2 AS b, CAST(n AS BIGINT) AS w FROM prs WHERE n >= 2
         ),
         "pq_cosine_topk": _pq_topk_sql(
             k=5, n_sub=8, dim=64, query_pred="vec_id < 32"
+        ),
+        "hll_merge_audit": _hll_merge_audit_sql(
+            "events", "CAST(ts AS DATE)", "user_id", p=10
         ),
         "near_dup_clusters": llm_oracles.near_dup_clusters_lsh_sql(
             num_hashes=16, bands=4, k=3, threshold=0.5, id_mod=5

@@ -1285,3 +1285,23 @@ def test_pq_topk_recovers_planted_neighbors(spark, vectors):
     assert [r["rank"] for r in got] == [1, 2, 3, 4]
     scores = [r["adc_q9"] for r in got]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_hll_merge_audit_lossless_and_accurate(spark):
+    """The mergeability contract: per-day registers max-merged must give
+    the IDENTICAL estimate as the direct scan (max is associative), and
+    the estimate tracks the exact distinct count within the HLL error
+    band on a 2000-distinct two-day fixture."""
+    from zipkin_dependencies_spark.llm.sketches import hll_merge_audit
+
+    df = spark.range(2000).select(
+        F.when(F.col("id") < 1200, F.lit("2026-01-01"))
+        .otherwise(F.lit("2026-01-02"))
+        .alias("day"),
+        F.col("id").alias("uid"),
+    )
+    row = hll_merge_audit(df, F.col("day"), "uid", p=10).collect()[0]
+    assert row["n_days"] == 2 and row["n_exact"] == 2000
+    assert row["merge_lossless"] is True
+    assert row["hll_merged4"] == row["hll_direct4"]
+    assert abs(row["hll_direct4"] - 2000) / 2000 <= 0.10, row

@@ -16,8 +16,10 @@ Determinism engineering (the house recipe):
   stride-sampled normalized corpus rows (``vec_id % stride == 0``,
   code = rank among sampled ids) — the same deterministic-quantizer
   discipline as IVF's coarse sampler and kmeans' stride init; stride
-  auto-sizes to ceil(sqrt(N)) (``kmeans.auto_stride``) so codebook
-  size tracks the corpus and the encode join stays N^1.5;
+  auto-sizes to ceil(N/n_codes) so the codebook holds a FIXED ~256
+  codes per subspace whatever the corpus (the standard PQ contract;
+  encode stays linear in N — see pq_topk's docstring for the measured
+  comparison against a corpus-tracking √N codebook);
 - encode argmin: squared sub-distances are ordered folds rounded to 9
   decimals BEFORE the argmin, ties to the smallest code — both engines
   pick the identical code;
@@ -83,6 +85,7 @@ def pq_topk(
     n_sub: int = 8,
     dim: int = 64,
     stride: int | None = None,
+    n_codes: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -91,30 +94,45 @@ def pq_topk(
     product of the query with the neighbor's reconstructed (quantized)
     normalized vector; self-matches are excluded like ``cosine_topk``.
 
-    The codebook-sampling window (one tiny sort of N/stride ≈ √N ids)
-    is the only non-mergeable step; everything data-sized is broadcast
-    joins + map-side-combined aggregates + one per-query window."""
+    Codebook sizing: ``stride=None`` derives stride = ceil(N/n_codes)
+    (integer ceil — both engines compute it from their own count), so
+    the codebook holds ~``n_codes`` codes per subspace REGARDLESS of
+    corpus size — the standard PQ contract (FAISS trains K=256): encode
+    cost N·M·K stays LINEAR in N. (An earlier √N-codebook draft made
+    encode N^1.5 — measured 104 s at the sf10 tier vs this shape's
+    linear curve; PQ's quantization error depends on K vs the data
+    distribution, not on tracking the corpus size, so a fixed K is the
+    right trade — unlike LSH banding, where occupancy forces growth.)
+
+    The codebook-sampling window (one tiny sort of ~n_codes ids) is the
+    only non-mergeable step; everything data-sized is broadcast joins +
+    map-side-combined aggregates + one per-query window."""
     from pyspark.sql import Window
 
-    from .kmeans import auto_stride
     from .similarity import MAX_CENTROIDS
 
     assert dim % n_sub == 0, (dim, n_sub)
     subdim = dim // n_sub
     if stride is None:
-        stride = auto_stride(emb.count())
+        n = emb.count()
+        stride = max(1, (n + n_codes - 1) // n_codes)
     normed = _normalized(emb, id_col, vec_col)
     cb = pq_codebook(normed, n_sub, subdim, stride)
-    n_codes = cb.count() // n_sub
-    if n_codes > MAX_CENTROIDS:
+    k_actual = cb.count() // n_sub
+    if k_actual > MAX_CENTROIDS:
         raise ValueError(
-            f"codebook {n_codes} codes/subspace exceeds {MAX_CENTROIDS}; "
+            f"codebook {k_actual} codes/subspace exceeds {MAX_CENTROIDS}; "
             "raise stride"
         )
 
     # encode: per (corpus row, subspace) argmin over the broadcast
     # codebook — squared distance as an ordered fold, round(9) BEFORE
-    # the argmin, ties to the smallest code (cross-engine identical)
+    # the argmin, ties to the smallest code (cross-engine identical).
+    # The broadcast-join + map-side-combined min_by shape measured 2-5×
+    # faster than an unrolled literal-codebook projection at both scale
+    # tiers (literal expression trees of K·M arrays evaluate per-row
+    # without constant folding — 24 vs 9 s at sf1, 510 vs 104 s at
+    # sf10); with K fixed at ~``n_codes`` the encode is LINEAR in N.
     corpus_sub = normed.select(
         "id",
         F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
@@ -173,16 +191,18 @@ def pq_topk_sql(
     n_sub: int = 8,
     dim: int = 64,
     stride: int | None = None,
+    n_codes: int = 256,
     query_pred: str = "vec_id < 32",
 ) -> str:
     """DuckDB twin of ``pq_topk`` over the ``embeddings`` view: identical
-    normalization, stride sampling, round-9 argmin encode, quantized ADC
-    partials, integer score sum, (score desc, id asc) ranking."""
+    normalization, stride sampling (integer-ceil N/n_codes — exact in
+    both engines), round-9 argmin encode, quantized ADC partials,
+    integer score sum, (score desc, id asc) ranking."""
     subdim = dim // n_sub
     stride_sql = (
         str(stride)
         if stride is not None
-        else "(SELECT GREATEST(1, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))"
+        else f"(SELECT GREATEST(1, (COUNT(*) + {n_codes - 1}) // {n_codes})"
         " FROM embeddings)"
     )
     return f"""
