@@ -3670,6 +3670,24 @@ def q_hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via theta/KMV sketches: estimated distinct-user
+    INTERSECTION for every event-type pair next to the exact count —
+    the set-expression capability HLL lacks (registers union but cannot
+    intersect; k-min-value SAMPLES intersect). Integer thresholds end
+    to end: θ is the k-th smallest 60-bit hash, the estimate one double
+    multiply+divide+round. Per-set rank via the two-phase distributed
+    row_number (bounded sorts); sketches are ≤256 rows per set, so
+    every pairwise intersection joins KB-sized tables at any corpus
+    size."""
+    from zipkin_dependencies_spark.llm.sketches import theta_intersections
+    from zipkin_dependencies_spark.testdata import load
+
+    return theta_intersections(
+        load(spark, sf_dir, "events"), "event_type", "user_id", k=256
+    )
+
+
 def q_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-5 (Jégou et al. 2011, ADC variant):
     each corpus vector compresses to 8 sub-codes against a
@@ -4187,6 +4205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_doc_sample": q_weighted_doc_sample,
         "pq_cosine_topk": q_pq_cosine_topk,
         "hll_merge_audit": q_hll_merge_audit,
+        "theta_user_overlap": q_theta_user_overlap,
         # --- BLOCK C: r07-touched re-gates (auto_banding joint sizing ->
         # dedupe_near_against + decontaminate_fuzzy; auto_salt_k auto path
         # -> salted_segment_revenue; _await_drain -> every streaming entry) ---
@@ -4406,6 +4425,7 @@ def oracle_sql() -> dict[str, str]:
         es_weighted_sample_sql as _es_weighted_sample_sql,
         hll_distinct_sql as _hll_distinct_sql,
         hll_merge_audit_sql as _hll_merge_audit_sql,
+        theta_intersections_sql as _theta_intersections_sql,
     )
     from zipkin_dependencies_spark.operators.sessionize import (
         SESSIONIZE_SQL as _SESSIONIZE_SQL_RAW,
@@ -4786,6 +4806,9 @@ SELECT p1 AS a, p2 AS b, CAST(n AS BIGINT) AS w FROM prs WHERE n >= 2
         ),
         "hll_merge_audit": _hll_merge_audit_sql(
             "events", "CAST(ts AS DATE)", "user_id", p=10
+        ),
+        "theta_user_overlap": _theta_intersections_sql(
+            "events", "event_type", "user_id", k=256
         ),
         "near_dup_clusters": llm_oracles.near_dup_clusters_lsh_sql(
             num_hashes=16, bands=4, k=3, threshold=0.5, id_mod=5

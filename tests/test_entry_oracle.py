@@ -114,7 +114,7 @@ def test_registry_gate_window_policy():
         # new in r07 (Block B — gate the round they appear)
         "part_communities_lpa", "dsir_importance",
         "hll_user_counts", "cms_token_counts", "weighted_doc_sample",
-        "pq_cosine_topk", "hll_merge_audit",
+        "pq_cosine_topk", "hll_merge_audit", "theta_user_overlap",
     }
     window = set(list(e.queries())[:50])
     missing = never_driver_gated - window

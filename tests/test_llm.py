@@ -1305,3 +1305,27 @@ def test_hll_merge_audit_lossless_and_accurate(spark):
     assert row["merge_lossless"] is True
     assert row["hll_merged4"] == row["hll_direct4"]
     assert abs(row["hll_direct4"] - 2000) / 2000 <= 0.10, row
+
+
+def test_theta_intersections_exact_mode_and_estimate(spark):
+    """Theta/KMV contract on a planted overlap: sets below k stay in
+    exact mode (estimate == true intersection, err 0), and a saturated
+    pair's estimate lands within the KMV error band (~3σ of 1/√k)."""
+    from zipkin_dependencies_spark.llm.sketches import theta_intersections
+
+    # small sets: |A|=60, |B|=50, overlap 30 -> exact mode at k=256
+    small = spark.range(60).select(F.lit("A").alias("s"), F.col("id").alias("v")).unionByName(
+        spark.range(30, 80).select(F.lit("B").alias("s"), F.col("id").alias("v"))
+    )
+    row = theta_intersections(small, "s", "v", k=256).collect()[0]
+    assert (row["set_a"], row["set_b"]) == ("A", "B")
+    assert row["n_exact"] == 30
+    assert row["theta_est4"] == 30.0 and row["err_pct2"] == 0.0
+
+    # saturated: |C|=4000, |D|=4000, overlap 2000, k=256
+    big = spark.range(4000).select(F.lit("C").alias("s"), F.col("id").alias("v")).unionByName(
+        spark.range(2000, 6000).select(F.lit("D").alias("s"), F.col("id").alias("v"))
+    )
+    row = theta_intersections(big, "s", "v", k=256).collect()[0]
+    assert row["n_exact"] == 2000
+    assert abs(row["err_pct2"]) <= 25.0, row  # ~3.9σ at k=256

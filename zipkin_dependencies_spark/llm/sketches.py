@@ -421,6 +421,159 @@ GROUP BY p.token, p.n_exact
 """
 
 
+def theta_intersections(
+    df: DataFrame,
+    set_col: str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """→ (set_a, set_b, n_exact, theta_est4, err_pct2) for every set
+    pair: estimated distinct-value INTERSECTION via KMV/theta sketches
+    (Beyer et al. 2007 "On synopses for distinct-value estimation";
+    the DataSketches Theta family) next to the exact intersection — the
+    eval-harness shape. This is the set-expression capability HLL lacks:
+    HLL registers union cleanly but cannot intersect; theta sketches
+    keep the k smallest hash SAMPLES, and samples intersect.
+
+    Deterministic variant, integer thresholds end to end: per set, keep
+    the k smallest distinct 60-bit md5 values. Saturated sets get
+    θ = the k-th smallest hash (an INTEGER — no float rank boundary to
+    disagree on) and retain the k−1 below it; small sets get θ = 2^60
+    and retain everything (exact mode). A pair's estimate is
+    |R_a ∩ R_b below min(θ_a, θ_b)| · 2^60 / min(θ_a, θ_b) — the count
+    and θ are exact integers, the estimate is one double multiply +
+    one divide + round(4), identical in both engines; exact-mode pairs
+    divide by 2^60 and return the true count.
+
+    Scale (100 TB): the per-set rank uses the two-phase distributed
+    row_number (bounded per-task sorts — never a data-sized single
+    window); retained sketches are ≤ k rows per set, so every pairwise
+    intersection joins KB-sized sketch tables. The exact side exists
+    only for the eval column."""
+    from ..operators.rank import distributed_row_number
+
+    full = 1 << _HLL_SLICE_BITS
+    distinct = (
+        df.select(
+            F.col(set_col).alias("s"),
+            _digest60(F.col(value_col).cast("string")).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds rank, theta, and exact
+    )
+    ranked = distributed_row_number(
+        distinct, partition_by=["s"], value_col="h", tiebreak_cols=[],
+        out_col="rk",
+    )
+    theta = ranked.groupBy("s").agg(
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("kth"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "s",
+        F.when(F.col("n") >= k, F.col("kth"))
+        .otherwise(F.lit(full))
+        .alias("theta"),
+    )
+    retained = ranked.join(theta, "s").filter(
+        F.col("h") < F.col("theta")
+    ).select("s", "h", "theta")
+    pairs = (
+        retained.alias("a")
+        .join(
+            retained.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(
+            F.col("a.s").alias("set_a"),
+            F.col("b.s").alias("set_b"),
+            F.col("a.h").alias("h"),
+            F.least("a.theta", "b.theta").alias("th"),
+        )
+        .filter(F.col("h") < F.col("th"))
+        .groupBy("set_a", "set_b", "th")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        distinct.alias("a")
+        .join(
+            distinct.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("set_a"), F.col("b.s").alias("set_b"))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    est = F.round(
+        F.col("cnt").cast("double") * F.lit(float(full)) / F.col("th").cast("double"),
+        4,
+    )
+    return (
+        exact.join(pairs, ["set_a", "set_b"], "left_outer")
+        .select(
+            "set_a",
+            "set_b",
+            "n_exact",
+            F.coalesce(est, F.lit(0.0)).alias("theta_est4"),
+            F.round(
+                (F.coalesce(est, F.lit(0.0)) - F.col("n_exact"))
+                * 100.0
+                / F.col("n_exact"),
+                2,
+            ).alias("err_pct2"),
+        )
+    )
+
+
+def theta_intersections_sql(
+    table: str, set_col: str, value_col: str, k: int = 256
+) -> str:
+    """DuckDB twin of ``theta_intersections`` — identical integer
+    thresholds, retained samples, and single-rounded estimates."""
+    full = 1 << _HLL_SLICE_BITS
+    return f"""
+WITH distinct_ AS (
+  SELECT DISTINCT {set_col} AS s,
+         ('0x' || substring(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM {table}
+),
+ranked AS (
+  SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rk
+  FROM distinct_
+),
+theta AS (
+  SELECT s,
+         CASE WHEN count(*) >= {k}
+              THEN max(CASE WHEN rk = {k} THEN h END)
+              ELSE {full} END AS theta
+  FROM ranked GROUP BY s
+),
+retained AS (
+  SELECT r.s, r.h, t.theta
+  FROM ranked r JOIN theta t USING (s)
+  WHERE r.h < t.theta
+),
+pairs AS (
+  SELECT a.s AS set_a, b.s AS set_b,
+         LEAST(a.theta, b.theta) AS th,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM retained a JOIN retained b
+    ON a.h = b.h AND a.s < b.s AND a.h < LEAST(a.theta, b.theta)
+  GROUP BY 1, 2, 3
+),
+exact AS (
+  SELECT a.s AS set_a, b.s AS set_b, CAST(count(*) AS BIGINT) AS n_exact
+  FROM distinct_ a JOIN distinct_ b ON a.h = b.h AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT e.set_a, e.set_b, e.n_exact,
+       COALESCE(round(CAST(p.cnt AS DOUBLE) * {float(full)!r}
+                      / CAST(p.th AS DOUBLE), 4), 0.0) AS theta_est4,
+       round((COALESCE(round(CAST(p.cnt AS DOUBLE) * {float(full)!r}
+                             / CAST(p.th AS DOUBLE), 4), 0.0) - e.n_exact)
+             * 100.0 / e.n_exact, 2) AS err_pct2
+FROM exact e LEFT JOIN pairs p USING (set_a, set_b)
+"""
+
+
 def es_weighted_sample(
     docs: DataFrame,
     k: int = 50,
