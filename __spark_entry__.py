@@ -247,6 +247,65 @@ def q_multi_day_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_links_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-rollup equivalence for the FLAGSHIP job, exact-count
+    edition of ``hll_merge_audit``: per-day link tables (what the daily
+    cron persists — each trace attributed to its ROOT day, the F2
+    contract) summed across days must equal an independent whole-window
+    recompute. ``merge_lossless`` must be true on every edge: a trace
+    has exactly one root day, so the day-partitioned pipeline counts it
+    exactly once — THE property that makes the reference's daily job
+    compose into a backfill without double counting.
+
+    Two genuinely different physical plans feed the comparison: the
+    daily side joins a per-trace root-day table (one extra
+    trace-cardinality exchange this audit pays that a real daily run
+    does not — its F2 window IS the attribution) and links per
+    (root_day, trace); the direct side is the plain one-shuffle
+    pipeline. Green means the kernel, the day grouping, and the
+    aggregation all commute."""
+    from zipkin_dependencies_spark.functions import normalize_spans
+    from zipkin_dependencies_spark.operators.aggregate import aggregate_links
+    from zipkin_dependencies_spark.operators.link import (
+        links_from_spans,
+        trace_links_partitioned,
+    )
+    from zipkin_dependencies_spark.testdata import derived_spans
+
+    normalized = normalize_spans(derived_spans(spark, sf_dir))
+    rootday = normalized.groupBy("trace_key").agg(
+        F.to_date(F.timestamp_micros(F.min("timestamp"))).alias("rday")
+    )
+    daily = aggregate_links(
+        trace_links_partitioned(normalized.join(rootday, "trace_key"), day_col="rday"),
+        extra_keys=["rday"],
+    )
+    merged = daily.groupBy("parent", "child").agg(
+        F.sum("call_count").alias("calls_merged"),
+        F.sum("error_count").alias("errors_merged"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    direct = links_from_spans(normalized).select(
+        "parent",
+        "child",
+        F.col("call_count").alias("calls_direct"),
+        F.col("error_count").alias("errors_direct"),
+    )
+    return merged.join(direct, ["parent", "child"], "full_outer").select(
+        "parent",
+        "child",
+        "n_days",
+        "calls_merged",
+        "errors_merged",
+        "calls_direct",
+        "errors_direct",
+        (
+            F.col("calls_merged").eqNullSafe(F.col("calls_direct"))
+            & F.col("errors_merged").eqNullSafe(F.col("errors_direct"))
+        ).alias("merge_lossless"),
+    )
+
+
 def q_streaming_daily_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming parity mode, oracle-checked end to end: the span table is
     staged as two files → ≥2 micro-batches; the foreachBatch incremental job
@@ -3688,6 +3747,96 @@ def q_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantile ESTIMATES from a deterministic bottom-k
+    (KMV) uniform sample next to the exact quantiles — the sketch
+    family's fourth answer (HLL: distinct, CMS: frequency, theta:
+    intersection, KMV sample: QUANTILES; same k-minimum-hash state read
+    as a uniform sample). Nearest-rank percentile_disc on integer-
+    quantized values — no interpolation arithmetic for engines to
+    disagree on. The sample is ≤128 rows/group at any data volume; the
+    exact side exists only as the eval column."""
+    from zipkin_dependencies_spark.llm.sketches import kmv_quantile_sketch
+    from zipkin_dependencies_spark.testdata import load
+
+    return kmv_quantile_sketch(
+        load(spark, sf_dir, "events"), "event_type", "event_id", "value", k=128
+    )
+
+
+def q_bloom_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter cross-corpus membership (the 1-in-3 "new crawl"
+    slice probed against the rest) next to the exact answer: the
+    anti-join's cheaper sibling when the store dwarfs the delta — the
+    store collapses to ≤2^18 set bit positions (~32 KB as a bitmap)
+    however many petabytes it holds, broadcast once; the delta never
+    shuffles. One-sided error by construction: a missed duplicate is
+    impossible, false positives are exposed per row (the gate pins the
+    bit arithmetic AND the FP behavior)."""
+    from zipkin_dependencies_spark.llm.dedup import bloom_dedupe_against
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    return bloom_dedupe_against(
+        docs.filter(F.col("doc_id") % 3 == 1),
+        docs.filter(F.col("doc_id") % 3 != 1),
+    )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier (Joulin et al.
+    2016) — the model-based filter modern curation stacks run after the
+    rule gates (DCLM / FineWeb-Edu shape). Tokens hash to 2^16 feature
+    buckets; the doc's logit is the mean bucket weight (deterministic
+    md5 pseudo-weights standing in for trained ones — a production
+    caller broadcasts its weight table, same plan). Embarrassingly
+    parallel: text collapses to one integer sum per doc inside the
+    scan; keep = logit ≥ 0 (sigmoid is monotone — the decision without
+    an exp for engines to disagree on)."""
+    from zipkin_dependencies_spark.llm.quality import hashed_classifier_scores
+    from zipkin_dependencies_spark.testdata import load
+
+    return hashed_classifier_scores(load(spark, sf_dir, "documents"))
+
+
+def q_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document embeddings (Weinberger et al. 2009):
+    each token occurrence adds ±1 to one of 16 cells (index and sign
+    from independent md5 slices) — the signed random projection of the
+    bag-of-words vector, an in-engine text vectorizer with zero model
+    dependencies whose inner products approximate token overlap (feeds
+    the ANN family when no learned embedding exists). All-integer
+    cells; text collapses in-scan to 16 conditional sums per doc.
+    Exploded to (doc_id, dim_idx, cell) for engine-agnostic value
+    hashing (the minhash_signatures convention)."""
+    from zipkin_dependencies_spark.llm.text import hashed_embeddings
+    from zipkin_dependencies_spark.testdata import load
+
+    emb = hashed_embeddings(load(spark, sf_dir, "documents"), dim=16)
+    return emb.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode("embedding").alias("dim_idx", "cell"),
+        "sq_norm",
+    ).select("doc_id", "n_tokens", "dim_idx", "cell", "sq_norm")
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal decomposition of the daily event-value series
+    (centered 7-day MA trend + ISO-day-of-week seasonal means +
+    residual — the moving-average decomposition underlying STL): the
+    monitoring primitive that separates "weekends are always low" from
+    "this Tuesday is anomalous". The only data-sized work is the
+    per-day cents sum; the ordered window and seasonal profile run at
+    DAY cardinality (bounded by the calendar, not the data)."""
+    from zipkin_dependencies_spark.operators.events_analytics import (
+        seasonal_decompose,
+    )
+    from zipkin_dependencies_spark.testdata import load
+
+    return seasonal_decompose(load(spark, sf_dir, "events"))
+
+
 def q_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-5 (Jégou et al. 2011, ADC variant):
     each corpus vector compresses to 8 sub-codes against a
@@ -4206,6 +4355,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_cosine_topk": q_pq_cosine_topk,
         "hll_merge_audit": q_hll_merge_audit,
         "theta_user_overlap": q_theta_user_overlap,
+        "kmv_quantiles": q_kmv_quantiles,
+        "bloom_dedupe": q_bloom_dedupe,
+        "quality_classifier": q_quality_classifier,
+        "hashed_embeddings": q_hashed_embeddings,
+        "seasonal_decompose": q_seasonal_decompose,
+        "links_rollup_merge": q_links_rollup_merge,
         # --- BLOCK C: r07-touched re-gates (auto_banding joint sizing ->
         # dedupe_near_against + decontaminate_fuzzy; auto_salt_k auto path
         # -> salted_segment_revenue; _await_drain -> every streaming entry) ---
@@ -4220,7 +4375,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_bursts_replay": q_streaming_bursts_replay,
         "streaming_join_replay": q_streaming_join_replay,
         # --- BLOCK D: oldest-evidence rotation — last driver row r03
-        # (links_relational, near_dup_clusters, ...) plus the r04 flagship ---
+        # (links_relational, near_dup_clusters, ...) plus the r04 flagship.
+        # With Block B at 14 entries, the 50-row window covers Block D only
+        # through `cosine_topk` (position 50); everything after holds its
+        # r03/r04 driver evidence + the every-round local gate, and fronts
+        # in the r08 rotation (new-queries-gate-their-round outranks
+        # oldest-evidence refresh — standing policy) ---
         "links_relational": q_links_relational,
         "near_dup_clusters": q_near_dup_clusters,
         "dependency_links": q_dependency_links,
@@ -4425,7 +4585,20 @@ def oracle_sql() -> dict[str, str]:
         es_weighted_sample_sql as _es_weighted_sample_sql,
         hll_distinct_sql as _hll_distinct_sql,
         hll_merge_audit_sql as _hll_merge_audit_sql,
+        kmv_quantile_sketch_sql as _kmv_quantile_sketch_sql,
         theta_intersections_sql as _theta_intersections_sql,
+    )
+    from zipkin_dependencies_spark.llm.dedup import (
+        bloom_dedupe_against_sql as _bloom_dedupe_against_sql,
+    )
+    from zipkin_dependencies_spark.llm.quality import (
+        hashed_classifier_sql as _hashed_classifier_sql,
+    )
+    from zipkin_dependencies_spark.llm.text import (
+        hashed_embeddings_sql as _hashed_embeddings_sql,
+    )
+    from zipkin_dependencies_spark.operators.events_analytics import (
+        SEASONAL_DECOMPOSE_SQL as _SEASONAL_DECOMPOSE_SQL,
     )
     from zipkin_dependencies_spark.operators.sessionize import (
         SESSIONIZE_SQL as _SESSIONIZE_SQL_RAW,
@@ -4809,6 +4982,70 @@ SELECT p1 AS a, p2 AS b, CAST(n AS BIGINT) AS w FROM prs WHERE n >= 2
         ),
         "theta_user_overlap": _theta_intersections_sql(
             "events", "event_type", "user_id", k=256
+        ),
+        "kmv_quantiles": _kmv_quantile_sketch_sql(
+            "events", "event_type", "event_id", "value", k=128
+        ),
+        "bloom_dedupe": _bloom_dedupe_against_sql(
+            new_pred="doc_id % 3 = 1", existing_pred="doc_id % 3 <> 1"
+        ),
+        "quality_classifier": _hashed_classifier_sql(),
+        "hashed_embeddings": _hashed_embeddings_sql(dim=16),
+        "seasonal_decompose": _SEASONAL_DECOMPOSE_SQL,
+        "links_rollup_merge": (
+            "WITH "
+            + SPANS_SQL_CTE.strip()
+            + """,
+rootday AS (
+  SELECT trace_id, min(day) AS rday FROM spans GROUP BY 1
+),
+edges AS (
+  SELECT r.rday,
+         CASE WHEN s.kind = 'SERVER' THEN s.remote_service
+              ELSE s.local_service END AS parent,
+         CASE WHEN s.kind = 'SERVER' THEN s.local_service
+              ELSE s.remote_service END AS child,
+         s.is_error
+  FROM spans s JOIN rootday r USING (trace_id)
+),
+daily AS (
+  SELECT rday, parent, child,
+         CAST(count(*) AS BIGINT) AS calls,
+         CAST(coalesce(sum(CASE WHEN is_error THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS errs
+  FROM edges WHERE parent IS NOT NULL AND child IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT parent, child,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(calls) AS BIGINT) AS calls_merged,
+         CAST(sum(errs) AS BIGINT) AS errors_merged
+  FROM daily GROUP BY 1, 2
+),
+direct AS (
+  SELECT parent, child,
+         CAST(count(*) AS BIGINT) AS calls_direct,
+         CAST(coalesce(sum(CASE WHEN is_error THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS errors_direct
+  FROM (
+    SELECT CASE WHEN kind = 'SERVER' THEN remote_service
+                ELSE local_service END AS parent,
+           CASE WHEN kind = 'SERVER' THEN local_service
+                ELSE remote_service END AS child,
+           is_error
+    FROM spans
+  ) WHERE parent IS NOT NULL AND child IS NOT NULL
+  GROUP BY parent, child
+)
+SELECT parent, child, m.n_days,
+       m.calls_merged, m.errors_merged,
+       d.calls_direct, d.errors_direct,
+       (m.calls_merged IS NOT DISTINCT FROM d.calls_direct)
+         AND (m.errors_merged IS NOT DISTINCT FROM d.errors_direct)
+         AS merge_lossless
+FROM merged m FULL OUTER JOIN direct d USING (parent, child)
+"""
         ),
         "near_dup_clusters": llm_oracles.near_dup_clusters_lsh_sql(
             num_hashes=16, bands=4, k=3, threshold=0.5, id_mod=5

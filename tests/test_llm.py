@@ -1329,3 +1329,108 @@ def test_theta_intersections_exact_mode_and_estimate(spark):
     row = theta_intersections(big, "s", "v", k=256).collect()[0]
     assert row["n_exact"] == 2000
     assert abs(row["err_pct2"]) <= 25.0, row  # ~3.9σ at k=256
+
+
+def test_kmv_quantile_small_group_is_exact_and_sample_bounded(spark):
+    """A group smaller than k is sampled whole, so every estimate must
+    EQUAL the exact quantile; a bigger group's estimates must stay
+    within the sample's plausible band (p50 of a uniform 0..9999 column
+    from a 128-row sample lands within ±15 points of 50% at 3σ)."""
+    from zipkin_dependencies_spark.llm.sketches import kmv_quantile_sketch
+
+    df = spark.range(3000).select(
+        F.lit("big").alias("g"), F.col("id").alias("i"),
+        (F.col("id") % 10_000).cast("double").alias("v"),
+    ).unionByName(
+        spark.range(40).select(
+            F.lit("tiny").alias("g"), (F.col("id") + 90_000).alias("i"),
+            (F.col("id") * 2.5).alias("v"),
+        )
+    )
+    got = {r["g"]: r for r in
+           kmv_quantile_sketch(df, "g", "i", "v", k=128).collect()}
+    tiny = got["tiny"]
+    assert tiny["n"] == 40
+    for q in (50, 90, 99):
+        assert tiny[f"p{q}_est"] == tiny[f"p{q}_exact"], (q, tiny)
+    big = got["big"]
+    assert big["n"] == 3000
+    assert abs(big["p50_est"] - big["p50_exact"]) <= 1500.0, big
+
+
+def test_bloom_dedupe_never_misses_and_flags_fp_honestly(spark):
+    """Bloom's one-sided contract in data: every exact duplicate is
+    bloom_dup (a false NEGATIVE is impossible by construction — all k
+    positions of an inserted digest are set), and false_positive is
+    exactly bloom_dup AND NOT exact_dup. With 3 store docs in 2^18 bits
+    there is no room for an accidental FP, so the verdicts are exact."""
+    from zipkin_dependencies_spark.llm.dedup import bloom_dedupe_against
+
+    store = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma"), (2, "delta eps")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "gamma"), (12, "fresh one"), (13, "delta eps")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bloom_dedupe_against(delta, store).collect()}
+    assert got[10]["bloom_dup"] and got[10]["exact_dup"]
+    assert got[11]["bloom_dup"] and got[11]["exact_dup"]
+    assert got[13]["bloom_dup"] and got[13]["exact_dup"]
+    assert not got[12]["exact_dup"]
+    for r in got.values():
+        assert r["false_positive"] == (r["bloom_dup"] and not r["exact_dup"])
+        if r["exact_dup"]:
+            assert r["bloom_dup"], "false negative — impossible by contract"
+        assert 0 <= r["hits"] <= 3
+
+
+def test_hashed_classifier_handcheck_and_empty_doc(spark):
+    """One doc's logit replayed in plain Python (hashlib md5, same
+    bucket and weight derivation); the empty doc keeps n_tokens=0,
+    null logit, keep=false."""
+    import hashlib
+
+    from zipkin_dependencies_spark.llm.quality import hashed_classifier_scores
+
+    def w(tok: str) -> int:
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % (1 << 16)
+        return int(hashlib.md5(f"{b}|w".encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    docs = spark.createDataFrame(
+        [(0, "Red Fox red"), (1, ""), (2, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in hashed_classifier_scores(docs).collect()}
+    toks = ["red", "fox", "red"]
+    expect = round(sum(w(t) for t in toks) / 3 / 1000.0, 4)
+    assert got[0]["n_tokens"] == 3
+    assert abs(got[0]["logit4"] - expect) < 1e-9
+    assert got[0]["keep"] == (expect >= 0)
+    for d in (1, 2):
+        assert got[d]["n_tokens"] == 0
+        assert got[d]["logit4"] is None
+        assert got[d]["keep"] is False
+
+
+def test_hashed_embeddings_zero_doc_and_integer_cells(spark):
+    """The empty doc embeds as the exact zero vector (kept, not
+    dropped); sq_norm equals the integer sum of squared cells; a
+    repeated token adds its ±1 twice (occurrences, not distinct)."""
+    import hashlib
+
+    from zipkin_dependencies_spark.llm.text import hashed_embeddings
+
+    docs = spark.createDataFrame(
+        [(0, "word word"), (1, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in hashed_embeddings(docs, dim=16).collect()}
+    assert got[1]["n_tokens"] == 0
+    assert list(got[1]["embedding"]) == [0] * 16
+    assert got[1]["sq_norm"] == 0
+    idx = int(hashlib.md5(b"word").hexdigest()[:8], 16) % 16
+    sgn = 1 if int(hashlib.md5(b"word|s").hexdigest()[:8], 16) % 2 == 0 else -1
+    emb = list(got[0]["embedding"])
+    assert emb[idx] == 2 * sgn
+    assert sum(v * v for v in emb) == got[0]["sq_norm"] == 4

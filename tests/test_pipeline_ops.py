@@ -1285,3 +1285,69 @@ def test_dsir_importance_signs_and_cross_engine(spark, tmp_path):
         assert (
             r["source"], r["n_bigrams"], r["importance6"], r["avg_importance6"]
         ) == (w[1], w[2], w[3], w[4]), (did, tuple(r), w)
+
+
+def test_seasonal_decompose_constant_series_and_edges(spark):
+    """A constant daily series decomposes to trend == the constant,
+    seasonal == 0, resid == 0; the 3 edge days on each side (no full
+    7-day window) are excluded."""
+    import datetime as dt
+
+    from zipkin_dependencies_spark.operators.events_analytics import (
+        seasonal_decompose,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 3, 1) + dt.timedelta(days=i), 10.0)
+        for i in range(14)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    got = seasonal_decompose(ev).orderBy("day").collect()
+    assert len(got) == 14 - 6
+    for r in got:
+        assert r["total_cents"] == 1000
+        assert r["trend4"] == 1000.0
+        assert r["seasonal4"] == 0.0
+        assert r["resid4"] == 0.0
+        assert 1 <= r["dow"] <= 7
+
+
+def test_seasonal_decompose_pure_weekly_signal_lands_in_seasonal(spark):
+    """A pure day-of-week signal over a flat base (base 100, +7 on
+    Mondays... pattern mean-zero over any 7-day window) must land
+    entirely in the seasonal component: trend == base, resid == 0."""
+    import datetime as dt
+
+    from zipkin_dependencies_spark.operators.events_analytics import (
+        seasonal_decompose,
+    )
+
+    # mean-zero weekly pattern keyed by ISO dow 1..7
+    pat = {1: 6.0, 2: -2.0, 3: 1.0, 4: -4.0, 5: 3.0, 6: -5.0, 7: 1.0}
+    rows = []
+    for i in range(21):
+        d = dt.datetime(2024, 3, 4) + dt.timedelta(days=i)  # starts a Monday
+        rows.append((i, d, 100.0 + pat[d.isoweekday()]))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    got = seasonal_decompose(ev).orderBy("day").collect()
+    assert len(got) == 21 - 6
+    for r in got:
+        assert r["trend4"] == 10000.0  # cents of the flat base
+        assert r["seasonal4"] == pat[r["dow"]] * 100
+        assert r["resid4"] == 0.0
+
+
+def test_links_rollup_merge_is_lossless_on_fixture(spark):
+    """The flagship incremental-rollup audit: per-root-day link tables
+    summed across days equal the whole-window recompute on every edge
+    of the sf0.001 forest (a trace has exactly ONE root day)."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["links_rollup_merge"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    assert all(r["merge_lossless"] for r in rows)
+    assert all(
+        r["calls_merged"] == r["calls_direct"]
+        and r["errors_merged"] == r["errors_direct"]
+        for r in rows
+    )

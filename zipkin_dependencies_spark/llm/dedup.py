@@ -105,6 +105,137 @@ def dedupe_against(
     return new_hashed.join(existing_hashes, "text_hash", "left_anti")
 
 
+def bloom_dedupe_against(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 1 << 18,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """→ (id, hits, bloom_dup, exact_dup, false_positive): Bloom-filter
+    cross-corpus membership (Bloom 1970) next to the exact answer — the
+    eval-harness shape: the gate pins the filter's bit arithmetic AND
+    the row exposes its one-sided error (``bloom_dup`` may be a false
+    positive; ``NOT bloom_dup`` is never wrong — ``false_positive =
+    bloom_dup AND NOT exact_dup``, and ``exact_dup AND NOT bloom_dup``
+    is impossible by construction).
+
+    The store collapses to its DISTINCT set bit positions: each content
+    digest sets ``n_hashes`` md5-salted positions in an ``n_bits`` space;
+    a new doc is ``bloom_dup`` iff all its positions are set (counted via
+    one broadcast join + ``hits == n_hashes``). Positions-as-rows is the
+    oracle-exact representation; a production variant packs them into a
+    bitmap via a bit-OR aggregate — the DECISIONS are identical, and the
+    rows form is what a cross-engine gate can replay.
+
+    Scale (100 TB): this is the anti-join's cheaper sibling when the
+    store dwarfs the delta — ``dedupe_against`` shuffles a digest join
+    keyed by the store's full digest space, while the Bloom side is
+    bounded by min(store·k, n_bits) positions ≈ n_bits/8 BYTES however
+    many petabytes the store holds (size n_bits ≈ store_count·10 for
+    ~1% FP; 10 bits/doc vs a 16-byte digest row + shuffle machinery).
+    The delta never shuffles: positions explode in-scan, the filter
+    broadcasts, and the verdict is a map-side count. The exact column
+    exists only as the eval harness."""
+    def positions(digest):
+        return [
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("|", F.lit(str(i)), digest)), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(n_bits),
+            )
+            for i in range(n_hashes)
+        ]
+
+    store_bits = (
+        existing.select(F.md5(F.col(text_col)).alias("d"))
+        .distinct()
+        .select(F.explode(F.array(*positions(F.col("d")))).alias("pos"))
+        .distinct()
+    )
+    delta = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("d")
+    )
+    probes = delta.select(
+        id_col, F.explode(F.array(*positions(F.col("d")))).alias("pos")
+    )
+    hits = (
+        probes.join(F.broadcast(store_bits), "pos", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    exact = existing.select(F.md5(F.col(text_col)).alias("d")).distinct()
+    return (
+        delta.join(hits, id_col, "left_outer")
+        .join(exact.withColumn("x", F.lit(True)), "d", "left_outer")
+        .select(
+            id_col,
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) == n_hashes).alias("bloom_dup"),
+            F.coalesce(F.col("x"), F.lit(False)).alias("exact_dup"),
+            (
+                (F.coalesce(F.col("hits"), F.lit(0)) == n_hashes)
+                & ~F.coalesce(F.col("x"), F.lit(False))
+            ).alias("false_positive"),
+        )
+    )
+
+
+def bloom_dedupe_against_sql(
+    new_pred: str,
+    existing_pred: str,
+    n_bits: int = 1 << 18,
+    n_hashes: int = 3,
+) -> str:
+    """DuckDB twin of ``bloom_dedupe_against`` over the ``documents``
+    view, split by the given doc_id predicates — identical salted
+    positions, membership rule, and false-positive exposure."""
+    def pos(i, d):
+        return (
+            f"(('0x' || substring(md5('{i}' || '|' || {d}), 1, 8))::BIGINT"
+            f" % {n_bits})"
+        )
+
+    store_rows = "\n    UNION\n".join(
+        f"  SELECT {pos(i, 'd')} AS pos FROM store" for i in range(n_hashes)
+    )
+    probe_rows = "\n    UNION ALL\n".join(
+        f"  SELECT doc_id, {pos(i, 'd')} AS pos FROM delta"
+        for i in range(n_hashes)
+    )
+    return f"""
+WITH store AS (
+  SELECT DISTINCT md5(text) AS d FROM documents WHERE {existing_pred}
+),
+store_bits AS (
+{store_rows}
+),
+delta AS (
+  SELECT doc_id, md5(text) AS d FROM documents WHERE {new_pred}
+),
+probes AS (
+{probe_rows}
+),
+hits AS (
+  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS hits
+  FROM probes p
+  WHERE p.pos IN (SELECT pos FROM store_bits)
+  GROUP BY p.doc_id
+)
+SELECT dl.doc_id,
+       COALESCE(h.hits, 0) AS hits,
+       COALESCE(h.hits, 0) = {n_hashes} AS bloom_dup,
+       dl.d IN (SELECT d FROM store) AS exact_dup,
+       (COALESCE(h.hits, 0) = {n_hashes})
+         AND NOT (dl.d IN (SELECT d FROM store)) AS false_positive
+FROM delta dl LEFT JOIN hits h USING (doc_id)
+"""
+
+
 # --- shingling / n-gram Jaccard ---------------------------------------------
 
 def char_shingles(text: str, k: int = 3) -> Column:

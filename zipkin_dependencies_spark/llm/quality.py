@@ -534,3 +534,113 @@ SELECT source, n_docs, n_langs, total_tokens, total_chars,
        round(CAST(q_sum AS DOUBLE) / n_docs / 1e9, 9) AS mean_quality9
 FROM agg
 """
+
+
+def hashed_classifier_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 16,
+) -> DataFrame:
+    """→ (id, n_tokens, logit4, keep): fastText-style linear quality
+    classifier over hashed bag-of-words features (Joulin et al. 2016
+    "Bag of tricks for efficient text classification") — the
+    model-based quality filter modern curation pipelines run after the
+    rule-based gates (the DCLM / FineWeb-Edu shape: score every
+    document with a cheap linear model, keep above threshold).
+
+    Each token hashes to one of ``n_buckets`` feature buckets; the
+    document's logit is the mean bucket weight. Weights here are
+    deterministic pseudo-weights derived from the bucket's md5 (integers
+    in [-1000, 1000]) — a stand-in for trained weights so the
+    cross-engine gate can replay the arithmetic; a production caller
+    broadcasts its trained (bucket, weight) table instead and the plan
+    is unchanged (in-scan hash → integer bucket sums → one division).
+    ``keep`` thresholds the logit at 0 — the sigmoid is monotone, so
+    this IS the classifier's decision without an ``exp`` for engines
+    to disagree on; ``logit4`` = round(mean/1000, 4), one division and
+    one rounding over exact integer sums (fold-order-free).
+
+    Scale (100 TB): embarrassingly parallel scan-side work — text
+    collapses to one integer sum per document inside the scan stage,
+    nothing shuffles (composed upstream of a ``WHERE keep``, the whole
+    classifier pushes into the corpus scan like the Gopher/C4 gates).
+    Empty documents keep n_tokens = 0 and a null logit (no class
+    evidence), keep = false."""
+    w = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.pmod(
+                                F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast(
+                                    "bigint"
+                                ),
+                                F.lit(n_buckets),
+                            ),
+                            F.lit("w"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(2001),
+        )
+        - 1000
+    )
+    per_doc = (
+        docs.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("tok"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("tok")).alias("n_tokens"),
+            F.sum(F.when(F.col("tok").isNotNull(), w)).alias("sw"),
+        )
+    )
+    logit = F.round(F.col("sw") / F.col("n_tokens") / 1000.0, 4)
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0, logit).alias("logit4"),
+        F.coalesce(
+            F.when(F.col("n_tokens") > 0, logit >= 0), F.lit(False)
+        ).alias("keep"),
+    )
+
+
+def hashed_classifier_sql(n_buckets: int = 1 << 16) -> str:
+    """DuckDB twin of ``hashed_classifier_scores`` over ``documents`` —
+    identical bucket hash, pseudo-weights, and single-division logit."""
+    bucket = "(('0x' || substring(md5(tok), 1, 8))::BIGINT % {nb})".format(
+        nb=n_buckets
+    )
+    w = (
+        f"((('0x' || substring(md5(CAST({bucket} AS VARCHAR) || '|' || 'w'),"
+        f" 1, 8))::BIGINT % 2001) - 1000)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                    t -> t <> '')) AS tok
+  FROM documents
+),
+per_doc AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(t.n, 0) AS BIGINT) AS n_tokens,
+         t.sw AS sw
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS n, sum({w}) AS sw
+             FROM toks GROUP BY doc_id) t USING (doc_id)
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN n_tokens > 0
+            THEN round(sw / n_tokens / 1000.0, 4) END AS logit4,
+       COALESCE(CASE WHEN n_tokens > 0
+                     THEN round(sw / n_tokens / 1000.0, 4) >= 0 END,
+                FALSE) AS keep
+FROM per_doc
+"""

@@ -574,6 +574,131 @@ FROM exact e LEFT JOIN pairs p USING (set_a, set_b)
 """
 
 
+def kmv_quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    k: int = 128,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """→ (group, n, p{q}_exact, p{q}_est, ...): per-group quantile
+    ESTIMATES from a deterministic bottom-k (KMV) uniform sample, next
+    to the exact quantiles — the eval-harness shape. This completes the
+    sketch family: HLL answers distinct, Count-Min answers frequency,
+    theta answers set intersection, and the KMV sample answers
+    QUANTILES — the same k-minimum-hash state, read as a uniform sample
+    instead of a cardinality synopsis (Beyer et al. 2007's duality).
+
+    The sample is the k rows with the smallest md5(id) per group —
+    deterministic in row content (backfills reproduce it), mergeable
+    (the bottom-k of a union is the bottom-k of the per-part bottom-k
+    lists — the same property theta exploits). Quantiles are
+    nearest-rank (SQL-standard ``percentile_disc``: smallest value whose
+    cume_dist ≥ q) over integer-quantized values — no interpolation
+    arithmetic to disagree on, both engines return the identical
+    integer cell (verified: Spark's WITHIN GROUP percentile_disc ≡
+    DuckDB quantile_disc on integers).
+
+    Scale (100 TB): the rank uses the two-phase distributed row_number
+    (bounded per-task sorts); the retained sample is ≤ k rows per group,
+    so estimate-side state is KBs whatever the data volume. The exact
+    side (a sort-buffered percentile_disc per group) exists only as the
+    eval column — a production pipeline keeps the k-row sample and
+    drops it."""
+    from ..operators.rank import distributed_row_number
+
+    vq = F.round(F.col(value_col) * 1e6).cast("bigint")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        _digest60(F.col(id_col).cast("string")).alias("h"),
+        vq.alias("vq"),
+    ).localCheckpoint(eager=True)  # feeds both the rank and the exact side
+    sample = distributed_row_number(
+        base, partition_by=["grp"], value_col="h", tiebreak_cols=[],
+        out_col="rk",
+    ).filter(F.col("rk") <= k)
+
+    def disc(q: float) -> Column:
+        return F.expr(f"percentile_disc({q!r}) WITHIN GROUP (ORDER BY vq)")
+
+    exact = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(disc(q).cast("bigint") / 1e6, 4).alias(
+                f"p{int(q * 100)}_exact"
+            )
+            for q in qs
+        ],
+    )
+    est = sample.groupBy("grp").agg(
+        *[
+            F.round(disc(q).cast("bigint") / 1e6, 4).alias(
+                f"p{int(q * 100)}_est"
+            )
+            for q in qs
+        ],
+    )
+    cols = ["n"]
+    for q in qs:
+        cols += [f"p{int(q * 100)}_exact", f"p{int(q * 100)}_est"]
+    return (
+        exact.join(est, "grp")
+        .select(F.col("grp").alias(group_col), *cols)
+    )
+
+
+def kmv_quantile_sketch_sql(
+    table: str,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    k: int = 128,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB twin of ``kmv_quantile_sketch`` — identical bottom-k
+    selection (same md5 slice, same rank) and nearest-rank quantiles."""
+    exact_cols = ",\n         ".join(
+        f"round(CAST(quantile_disc(vq, {q!r}) AS BIGINT) / 1e6, 4)"
+        f" AS p{int(q * 100)}_exact"
+        for q in qs
+    )
+    est_cols = ",\n         ".join(
+        f"round(CAST(quantile_disc(vq, {q!r}) AS BIGINT) / 1e6, 4)"
+        f" AS p{int(q * 100)}_est"
+        for q in qs
+    )
+    out_cols = ", ".join(
+        f"p{int(q * 100)}_exact, p{int(q * 100)}_est" for q in qs
+    )
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS grp,
+         ('0x' || substring(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT AS h,
+         CAST(round({value_col} * 1e6) AS BIGINT) AS vq
+  FROM {table}
+),
+sample_ AS (
+  SELECT grp, vq
+  FROM (SELECT grp, vq, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+        FROM base)
+  WHERE rk <= {k}
+),
+exact AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         {exact_cols}
+  FROM base GROUP BY grp
+),
+est AS (
+  SELECT grp,
+         {est_cols}
+  FROM sample_ GROUP BY grp
+)
+SELECT e.grp AS {group_col}, e.n, {out_cols}
+FROM exact e JOIN est USING (grp)
+"""
+
+
 def es_weighted_sample(
     docs: DataFrame,
     k: int = 50,

@@ -616,3 +616,121 @@ def doc_novelty(
             .alias("novelty9"),
         )
     )
+
+
+def hashed_embeddings(
+    docs: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (id, n_tokens, embedding array<bigint>, sq_norm): feature-hashed
+    document embeddings (Weinberger et al. 2009 "Feature hashing for
+    large scale multitask learning") — each token occurrence adds ±1 to
+    one of ``dim`` cells (index and sign from independent md5 slices).
+    This is the signed random projection of the bag-of-words vector:
+    inner products approximate token-overlap similarity, so the output
+    feeds the repo's ANN/cosine family when no learned embedding exists
+    — an in-engine text vectorizer with zero model dependencies.
+
+    All-integer cells (sums of ±1) — bit-exact cross-engine for free;
+    ``sq_norm`` is the exact integer ‖v‖² downstream cosines need.
+    Empty documents embed as the zero vector (kept — vanishing rows
+    break joins against the corpus).
+
+    Scale (100 TB): text collapses IN-SCAN to ``dim`` conditional
+    integer sums per document (one hash-aggregate, map-side combined;
+    the explode never reaches the wire). The one exchange is keyed by
+    doc id and carries dim+2 integers per document — the embedding
+    table is ~130 bytes/doc whatever the text size."""
+    h_idx = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(dim),
+    )
+    sign = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("tok"), F.lit("|s"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(2),
+        )
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    cells = (
+        docs.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("tok"))
+        .select(
+            id_col,
+            F.col("tok"),
+            h_idx.alias("i"),
+            sign.alias("s"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("tok")).alias("n_tokens"),
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("i") == d, F.col("s"))), F.lit(0)
+                ).alias(f"c{d}")
+                for d in range(dim)
+            ],
+        )
+    )
+    emb = F.array(*[F.col(f"c{d}") for d in range(dim)])
+    sq = None
+    for d in range(dim):
+        term = F.col(f"c{d}") * F.col(f"c{d}")
+        sq = term if sq is None else sq + term
+    return cells.select(
+        id_col,
+        "n_tokens",
+        emb.alias("embedding"),
+        sq.cast("bigint").alias("sq_norm"),
+    )
+
+
+def hashed_embeddings_sql(dim: int = 16) -> str:
+    """DuckDB twin of ``hashed_embeddings`` over ``documents``, in the
+    gate's exploded (doc_id, n_tokens, dim_idx, cell, sq_norm) form —
+    identical index/sign hashes and integer cells."""
+    idx = "(('0x' || substring(md5(tok), 1, 8))::BIGINT % {d})".format(d=dim)
+    sgn = (
+        "(CASE WHEN ('0x' || substring(md5(tok || '|s'), 1, 8))::BIGINT % 2 = 0"
+        " THEN 1 ELSE -1 END)"
+    )
+    sum_cols = ",\n         ".join(
+        f"sum(CASE WHEN {idx} = {d} THEN {sgn} END) AS c{d}"
+        for d in range(dim)
+    )
+    zero_cols = ",\n         ".join(
+        f"CAST(COALESCE(a.c{d}, 0) AS BIGINT) AS c{d}" for d in range(dim)
+    )
+    sq = " + ".join(f"c{d} * c{d}" for d in range(dim))
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, n_tokens, {d} AS dim_idx, c{d} AS cell,"
+        f" CAST({sq} AS BIGINT) AS sq_norm FROM cells"
+        for d in range(dim)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                    t -> t <> '')) AS tok
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+         {sum_cols}
+  FROM toks GROUP BY doc_id
+),
+cells AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+         {zero_cols}
+  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+)
+SELECT doc_id, n_tokens, dim_idx, cell, sq_norm FROM (
+{unions}
+)
+"""

@@ -322,3 +322,100 @@ SELECT d.event_type, d.win_start_us, d.n_events, d.med2, a.mad4,
 FROM dev d JOIN mad a USING (event_type)
 WHERE a.mad4 > 0 AND d.dev2 * 2 > {int(mad_multiple)} * a.mad4
 """
+
+
+def seasonal_decompose(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """→ (day, total_cents, dow, trend4, seasonal4, resid4): classical
+    weekly seasonal decomposition of the daily value series — trend =
+    centered 7-day moving average, seasonal = mean detrended value per
+    ISO day-of-week, residual = what's left (the moving-average
+    decomposition underlying STL; Cleveland et al. 1990's baseline).
+    The monitoring primitive that separates "weekends are always low"
+    from "this Tuesday is anomalous" — feeds the same alerting shape as
+    ``window_anomalies`` but with seasonality removed.
+
+    Exactness recipe: values quantize to integer cents at the scan; the
+    trend's 7-day sum and the detrended numerator d7 = 7·total − trend7
+    stay integers; seasonal means divide exact integer sums once;
+    ``resid4`` subtracts the two ALREADY-ROUNDED doubles (identical
+    inputs → identical IEEE result, no float fold anywhere). Edge days
+    without a full 7-day window are excluded (both engines filter
+    count==7, no null-arith branches).
+
+    Scale (100 TB): the one data-sized operation is the per-day cents
+    sum (map-side combined). Everything after runs at DAY cardinality —
+    the ordered 7-row window and the 7-row seasonal profile are KBs at
+    any horizon, so the single-partition window over days is bounded by
+    the calendar, not the data."""
+    from pyspark.sql.window import Window
+
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    daily = (
+        events.select(day.alias("day"), cents.alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").alias("total_cents"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = (
+        daily.withColumn("trend7", F.sum("total_cents").over(w))
+        .withColumn("cnt7", F.count(F.lit(1)).over(w))
+        .filter(F.col("cnt7") == 7)
+        .withColumn("d7", F.lit(7) * F.col("total_cents") - F.col("trend7"))
+        .withColumn("dow", F.expr("weekday(day)") + 1)
+    )
+    seas = trended.groupBy("dow").agg(
+        F.sum("d7").alias("sd7"), F.count(F.lit(1)).alias("n_dow")
+    )
+    trend4 = F.round(F.col("trend7") / 7.0, 4)
+    seasonal4 = F.round(F.col("sd7") / (F.col("n_dow") * 7.0), 4)
+    return (
+        trended.join(F.broadcast(seas), "dow")
+        .select(
+            "day",
+            "total_cents",
+            F.col("dow").cast("int").alias("dow"),
+            trend4.alias("trend4"),
+            seasonal4.alias("seasonal4"),
+            F.round(
+                (F.col("total_cents") - trend4) - seasonal4, 4
+            ).alias("resid4"),
+        )
+    )
+
+
+SEASONAL_DECOMPOSE_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM events GROUP BY 1
+),
+trended AS (
+  SELECT day, total_cents,
+         sum(total_cents) OVER w AS trend7,
+         count(*) OVER w AS cnt7,
+         isodow(day) AS dow
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+full_ AS (
+  SELECT day, total_cents, dow, trend7,
+         7 * total_cents - trend7 AS d7
+  FROM trended WHERE cnt7 = 7
+),
+seas AS (
+  SELECT dow, CAST(sum(d7) AS BIGINT) AS sd7,
+         CAST(count(*) AS BIGINT) AS n_dow
+  FROM full_ GROUP BY dow
+)
+SELECT f.day, f.total_cents, CAST(f.dow AS INT) AS dow,
+       round(f.trend7 / 7.0, 4) AS trend4,
+       round(s.sd7 / (s.n_dow * 7.0), 4) AS seasonal4,
+       round((f.total_cents - round(f.trend7 / 7.0, 4))
+             - round(s.sd7 / (s.n_dow * 7.0), 4), 4) AS resid4
+FROM full_ f JOIN seas s USING (dow)
+"""
