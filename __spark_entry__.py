@@ -3950,6 +3950,138 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aqp_group_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (AQP): per-type mean event value
+    estimated from a deterministic 1-in-16 md5 sample, next to the
+    exact answer and a 95% CI — the eval-harness shape for the
+    sample-and-extrapolate pattern a 100 TB interactive layer runs
+    (scan 6% of the data, answer with error bars). All moments are
+    exact integer sums (cents; fold-order-free); the CI's sqrt is the
+    one guaranteed-correctly-rounded IEEE op, so both engines agree to
+    the bit. ``within_ci`` shows the estimator honest per row. The
+    sample predicate is scan-side — at scale it rides the parquet
+    row-group filter, which is the entire point."""
+    from zipkin_dependencies_spark.testdata import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(16),
+            )
+            == 0
+        ).alias("in_sample"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.round(F.sum("c") / F.count(F.lit(1)) / 100.0, 4).alias("mean_exact4"),
+    )
+    samp = (
+        ev.filter("in_sample")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+        .select(
+            "event_type",
+            "n_sample",
+            F.round(F.col("s1") / F.col("n_sample") / 100.0, 4).alias("mean_est4"),
+            F.round(
+                F.lit(1.96)
+                * F.sqrt(
+                    (
+                        (F.col("n_sample") * F.col("s2") - F.col("s1") * F.col("s1"))
+                        / (F.col("n_sample") * (F.col("n_sample") - F.lit(1)))
+                    )
+                    / F.col("n_sample")
+                )
+                / 100.0,
+                4,
+            ).alias("ci95_4"),
+        )
+    )
+    return exact.join(samp, "event_type").select(
+        "event_type",
+        "n_exact",
+        "mean_exact4",
+        "n_sample",
+        "mean_est4",
+        "ci95_4",
+        (
+            F.abs(F.col("mean_est4") - F.col("mean_exact4")) <= F.col("ci95_4")
+        ).alias("within_ci"),
+    )
+
+
+def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based multi-touch attribution (the 40/20/40 marketing
+    model): every purchase event's value is credited across the user's
+    touch events in the prior 7 days — first touch 40%, last 40%,
+    middles split 20% (one touch → 100%, two → 50/50). The shape is
+    one user-keyed exchange (touches × conversions range join per
+    user) + a per-conversion aggregate; first/last election is a
+    min/max over (ts, event_id) structs — no window sort, ties
+    deterministic. Credits quantize through ONE rounding into integer
+    credit units, so the per-type rollup is an exact integer sum.
+    Skew bound = one user's touch×conversion volume; an unkeyed
+    variant would use the bin-bucketed range join
+    (operators/range_join.py)."""
+    from zipkin_dependencies_spark.operators.events_analytics import (
+        multitouch_attribution,
+    )
+    from zipkin_dependencies_spark.testdata import load
+
+    return multitouch_attribution(load(spark, sf_dir, "events"))
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution on part names: blocked fuzzy match
+    (per-block Levenshtein ≤ 2, occupancy²-bounded candidates) →
+    undirected connected components (min-label propagation with a
+    convergence probe) → canonical-id election (the component's
+    lexicographically smallest name) — the dedup-entities pipeline
+    warehouses run before any dimension join. Names with no fuzzy
+    neighbor resolve to themselves; output adds the resolved cluster
+    size. Every stage is name-cardinality (the corpus never moves) and
+    the component rounds are diameter-bounded with a fail-loud cap."""
+    from zipkin_dependencies_spark.operators.fuzzy_join import blocked_fuzzy_pairs
+    from zipkin_dependencies_spark.operators.graph import service_components
+    from zipkin_dependencies_spark.testdata import load
+
+    part = load(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    pairs = blocked_fuzzy_pairs(
+        part,
+        "p_name",
+        F.substring(F.col("p_name"), 1, 6),
+        max_distance=2,
+    )
+    comp = service_components(
+        pairs.select(
+            F.col("name_a").alias("parent"), F.col("name_b").alias("child")
+        )
+    )
+    resolved = names.join(
+        comp.withColumnRenamed("service", "name"), "name", "left_outer"
+    ).select(
+        "name", F.coalesce(F.col("component"), F.col("name")).alias("canonical")
+    )
+    sizes = resolved.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return resolved.join(sizes, "canonical").select(
+        "name", "canonical", "cluster_size"
+    )
+
+
 def q_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-5 (Jégou et al. 2011, ADC variant):
     each corpus vector compresses to 8 sub-codes against a
@@ -4478,26 +4610,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_coreset": q_kcenter_coreset,
         "equidepth_histogram": q_equidepth_histogram,
         "vocab_encode": q_vocab_encode,
+        "aqp_group_means": q_aqp_group_means,
+        "attribution_multitouch": q_attribution_multitouch,
+        "entity_resolution": q_entity_resolution,
         # --- BLOCK C: r07-touched re-gates (auto_banding joint sizing ->
         # dedupe_near_against + decontaminate_fuzzy; auto_salt_k auto path
         # -> salted_segment_revenue; _await_drain -> the streaming entries.
-        # The sessions/dedup replay twins hold the FRESHEST streaming
-        # driver rows (r05+r06) and the drain change is identical across
-        # all seven, so those two yield their window slots to Block D and
-        # sit at 51+; the five in-window streaming entries cover the
-        # drain path under the driver gate) ---
+        # The drain change is identical across all seven streaming
+        # entries, so the driver gate covers it through THREE paths this
+        # round (streaming_links_stateful in Block A, daily_links +
+        # funnel_replay here); the other five replay twins — freshest
+        # streaming evidence r04-r06 — sit at 51+ and keep the local gate
+        # every round) ---
         "dedupe_near_against": q_dedupe_near_against,
         "salted_segment_revenue": q_salted_segment_revenue,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "streaming_daily_links": q_streaming_daily_links,
         "streaming_funnel_replay": q_streaming_funnel_replay,
-        "streaming_anomalies_replay": q_streaming_anomalies_replay,
-        "streaming_bursts_replay": q_streaming_bursts_replay,
-        "streaming_join_replay": q_streaming_join_replay,
         # --- BLOCK D: oldest-evidence rotation — last driver row r03
         # (links_relational, near_dup_clusters, dedupe_near) plus the r04
         # flagship dependency_links (explicitly called stale by the r06
-        # verdict). With Block B at 18 entries the 50-row window ends at
+        # verdict). With Block B at 21 entries the 50-row window ends at
         # `dedupe_near` (position 50); everything after holds its r03-r06
         # driver evidence + the every-round local gate, and fronts in the
         # r08 rotation (new-queries-gate-their-round outranks
@@ -4507,6 +4640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dependency_links": q_dependency_links,
         "dedupe_near": q_dedupe_near,
         # --- window boundary (position 50) ---
+        "streaming_anomalies_replay": q_streaming_anomalies_replay,
+        "streaming_bursts_replay": q_streaming_bursts_replay,
+        "streaming_join_replay": q_streaming_join_replay,
         "streaming_sessions_replay": q_streaming_sessions_replay,
         "streaming_dedup_replay": q_streaming_dedup_replay,
         "dedupe_exact": q_dedupe_exact,
@@ -5124,6 +5260,126 @@ SELECT p1 AS a, p2 AS b, CAST(n AS BIGINT) AS w FROM prs WHERE n >= 2
         "seasonal_decompose": _SEASONAL_DECOMPOSE_SQL,
         "zorder_layout": _zorder_file_stats_sql(),
         "kcenter_coreset": _kcenter_coreset_sql(k=8, dim=64),
+        "aqp_group_means": """
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+         (('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+          % 16) = 0 AS in_sample
+  FROM events
+),
+exact AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
+         round(CAST(sum(c) AS BIGINT) / count(*) / 100.0, 4) AS mean_exact4
+  FROM ev GROUP BY 1
+),
+moments AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM ev WHERE in_sample GROUP BY 1
+),
+samp AS (
+  SELECT event_type, n_sample,
+         round(s1 / n_sample / 100.0, 4) AS mean_est4,
+         round(1.96 * sqrt(((n_sample * s2 - s1 * s1)
+                            / (n_sample * (n_sample - 1))) / n_sample)
+               / 100.0, 4) AS ci95_4
+  FROM moments
+)
+SELECT e.event_type, e.n_exact, e.mean_exact4,
+       s.n_sample, s.mean_est4, s.ci95_4,
+       abs(s.mean_est4 - e.mean_exact4) <= s.ci95_4 AS within_ci
+FROM exact e JOIN samp s USING (event_type)
+""",
+        "attribution_multitouch": """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+conv AS (
+  SELECT event_id AS conv_id, user_id, tus AS ctus, cents AS ccents
+  FROM ev WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT event_id AS touch_id, user_id, event_type AS touch_type, tus AS ttus
+  FROM ev WHERE event_type <> 'purchase'
+),
+j AS (
+  SELECT t.touch_id, t.touch_type, t.ttus, c.conv_id, c.ccents
+  FROM touch t JOIN conv c USING (user_id)
+  WHERE t.ttus >= c.ctus - 604800000000 AND t.ttus < c.ctus
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY ttus, touch_id) AS rf,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY ttus DESC, touch_id DESC) AS rl,
+         CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS k
+  FROM j
+),
+pos AS (
+  SELECT touch_type, ccents, k,
+         CASE WHEN k = 1 THEN 'only'
+              WHEN rf = 1 THEN 'first'
+              WHEN rl = 1 THEN 'last'
+              ELSE 'middle' END AS position
+  FROM ranked
+),
+credited AS (
+  SELECT touch_type, position,
+         CAST(round(ccents
+                    * (CASE WHEN position = 'only' THEN 100
+                            WHEN k = 2 THEN 50
+                            WHEN position = 'middle' THEN 20
+                            ELSE 40 END)
+                    / (CASE WHEN position = 'middle'
+                            THEN (k - 2) * 100 ELSE 100 END)
+                    * 1e4) AS BIGINT) AS cq
+  FROM pos
+)
+SELECT touch_type, position,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(cq) AS BIGINT) AS credit_q4
+FROM credited GROUP BY 1, 2
+""",
+        "entity_resolution": """
+WITH RECURSIVE pnames AS (
+  SELECT DISTINCT p_name AS name FROM part
+),
+blocked AS (
+  SELECT name, substring(name, 1, 6) AS bk FROM pnames
+),
+pairs AS (
+  SELECT a.name AS na, b.name AS nb
+  FROM blocked a JOIN blocked b ON a.bk = b.bk AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 2
+),
+sym AS (
+  SELECT na AS a, nb AS b FROM pairs
+  UNION
+  SELECT nb AS a, na AS b FROM pairs
+),
+reach(v, u) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.v, s.b FROM reach r JOIN sym s ON s.a = r.u WHERE s.b <> r.v
+),
+comp AS (
+  SELECT v AS name, least(v, min(u)) AS canonical FROM reach GROUP BY v
+),
+resolved AS (
+  SELECT p.name, COALESCE(c.canonical, p.name) AS canonical
+  FROM pnames p LEFT JOIN comp c USING (name)
+),
+sizes AS (
+  SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM resolved GROUP BY 1
+)
+SELECT r.name, r.canonical, s.cluster_size
+FROM resolved r JOIN sizes s USING (canonical)
+""",
         "equidepth_histogram": """
 WITH ranked AS (
   SELECT event_type,

@@ -419,3 +419,95 @@ SELECT f.day, f.total_cents, CAST(f.dow AS INT) AS dow,
              - round(s.sd7 / (s.n_dow * 7.0), 4), 4) AS resid4
 FROM full_ f JOIN seas s USING (dow)
 """
+
+
+def multitouch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    window_us: int = 7 * 86_400 * 1_000_000,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """→ (touch_type, position, n_touches, credit_q4): position-based
+    multi-touch attribution (the 40/20/40 marketing model). Every
+    conversion event's value is credited across the same user's touch
+    events in the ``window_us`` before it: first touch 40%, last 40%,
+    middles split the 20% (one touch → 100% as position 'only',
+    two → 50/50).
+
+    First/last election is a min/max over (ts, event_id) structs — one
+    hash aggregate, no window sort, ties deterministic by event id.
+    Credits quantize through ONE rounding into integer credit units
+    (credit_q4 ≈ cents·1e4·share), so the rollup is an exact integer
+    sum; round-half never fires on an exact .5 except through the
+    middle split's division, where both engines round half away from
+    zero on positives.
+
+    Scale (100 TB): one user-keyed exchange (touches × conversions
+    join) + a conversion-keyed aggregate; skew bound = one user's
+    touch×conversion volume. An unkeyed variant would route through
+    the bin-bucketed range join (operators/range_join.py)."""
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("tus"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("cents"),
+    )
+    conv = ev.filter(F.col("event_type") == conversion_type).select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("tus").alias("ctus"),
+        F.col("cents").alias("ccents"),
+    )
+    touch = ev.filter(F.col("event_type") != conversion_type).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.col("tus").alias("ttus"),
+    )
+    j = touch.join(conv, "user_id").filter(
+        (F.col("ttus") >= F.col("ctus") - window_us)
+        & (F.col("ttus") < F.col("ctus"))
+    )
+    per_conv = j.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.min(F.struct("ttus", "touch_id")).alias("first_t"),
+        F.max(F.struct("ttus", "touch_id")).alias("last_t"),
+    )
+    jj = j.join(per_conv, "conv_id").select(
+        "touch_type",
+        "ccents",
+        "k",
+        F.when(F.col("k") == 1, F.lit("only"))
+        .when(
+            (F.col("ttus") == F.col("first_t.ttus"))
+            & (F.col("touch_id") == F.col("first_t.touch_id")),
+            F.lit("first"),
+        )
+        .when(
+            (F.col("ttus") == F.col("last_t.ttus"))
+            & (F.col("touch_id") == F.col("last_t.touch_id")),
+            F.lit("last"),
+        )
+        .otherwise(F.lit("middle"))
+        .alias("position"),
+    )
+    num = (
+        F.when(F.col("position") == "only", F.lit(100))
+        .when(F.col("k") == 2, F.lit(50))
+        .when(F.col("position") == "middle", F.lit(20))
+        .otherwise(F.lit(40))
+    )
+    den = F.when(
+        F.col("position") == "middle", (F.col("k") - 2) * 100
+    ).otherwise(F.lit(100))
+    credit_q = F.round(F.col("ccents") * num / den * 1e4).cast("bigint")
+    return (
+        jj.select("touch_type", "position", credit_q.alias("cq"))
+        .groupBy("touch_type", "position")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("cq").alias("credit_q4"),
+        )
+    )
