@@ -4082,6 +4082,141 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert merge (lakehouse MERGE INTO semantics): a
+    deterministic change batch — deletes (custkey%97=0), conflicting
+    double-updates (version 2 beats version 1 on custkey%14=3, proving
+    latest-wins IN DATA), and inserts (fresh keys) — applied to the
+    customer snapshot. Change compaction is a max_by hash aggregate
+    (no window sort); the apply is one key join that goes
+    shuffle-free on a bucketed base — exactly how a lakehouse lays
+    the table out."""
+    from zipkin_dependencies_spark.operators.merge import cdc_merge
+    from zipkin_dependencies_spark.testdata import load
+
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+        "c_mktsegment",
+    )
+    k = F.col("c_custkey")
+    deletes = base.filter(k % 97 == 0).select(
+        k.alias("c_custkey"),
+        F.lit("D").alias("op"),
+        F.lit(1).alias("version"),
+        "c_name",
+        "acctbal_cents",
+        "c_mktsegment",
+    )
+    upd_v2 = base.filter(k % 7 == 3).select(
+        k.alias("c_custkey"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("version"),
+        "c_name",
+        (F.col("acctbal_cents") + 100_000).alias("acctbal_cents"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    upd_v1 = base.filter(k % 14 == 3).select(
+        k.alias("c_custkey"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("version"),
+        "c_name",
+        (F.col("acctbal_cents") + 1).alias("acctbal_cents"),
+        F.lit("STALE").alias("c_mktsegment"),
+    )
+    inserts = base.filter(k % 31 == 5).select(
+        (k + 100_000_000).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("version"),
+        F.concat(F.lit("NEW#"), k.cast("string")).alias("c_name"),
+        F.lit(0).cast("bigint").alias("acctbal_cents"),
+        F.lit("FRESH").alias("c_mktsegment"),
+    )
+    changes = deletes.unionByName(upd_v2).unionByName(upd_v1).unionByName(inserts)
+    return cdc_merge(base, changes, "c_custkey")
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of orders under (minimize total
+    price, maximize recency): the "best tradeoff" set a WHERE clause
+    cannot express. The naive plan is the O(N²) dominance self-join;
+    this uses the sort-based identity (dominated ⟺ a strictly-cheaper
+    row has ≥ benefit, or a same-cost row has > benefit) computed with
+    the two-phase bucketing of the rank family — per-bucket maxima
+    prefix-max on the driver (n_buckets rows), bounded RANGE-frame
+    windows within buckets. The DuckDB oracle runs the single global
+    window the Spark side deliberately avoids; equality IS the
+    operator's contract. Duplicate (cost, benefit) points all stay
+    (no strict inequality — both engines must agree)."""
+    from zipkin_dependencies_spark.operators.skyline import pareto_frontier
+    from zipkin_dependencies_spark.testdata import load
+
+    pts = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cost_c"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("bigint")
+        .alias("benefit_d"),
+    )
+    return pareto_frontier(pts, "cost_c", "benefit_d")
+
+
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all
+    pairwise day-to-day slopes of the daily value series — the
+    outlier-proof regression line (Theil 1950 / Sen 1968; 29%
+    breakdown point where least squares has none). The series
+    collapses to DAY cardinality in one data-sized aggregate; the
+    pairwise slope join and the nearest-rank median run at days²
+    rows per type — bounded by the calendar, not the data. Slopes
+    quantize through ONE rounding into integer units so
+    percentile_disc is engine-exact."""
+    from zipkin_dependencies_spark.testdata import load
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.to_date(F.col("ts").cast("timestamp")), F.lit("1992-01-01")
+            )
+            .cast("bigint")
+            .alias("di"),
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "di")
+        .agg(F.sum("c").alias("v"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.di") < F.col("b.di")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.round(
+            (F.col("b.v") - F.col("a.v")) / (F.col("b.di") - F.col("a.di")) * 1e4
+        )
+        .cast("bigint")
+        .alias("slope_q"),
+    )
+    days = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    med = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_q)")
+        .cast("bigint")
+        .alias("slope_med_q4"),
+    )
+    return days.join(med, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        "slope_med_q4",
+        (F.col("slope_med_q4") > 0).alias("rising"),
+    )
+
+
 def q_pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-5 (Jégou et al. 2011, ADC variant):
     each corpus vector compresses to 8 sub-codes against a
@@ -4613,38 +4748,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aqp_group_means": q_aqp_group_means,
         "attribution_multitouch": q_attribution_multitouch,
         "entity_resolution": q_entity_resolution,
+        "cdc_merge": q_cdc_merge,
+        "pareto_frontier": q_pareto_frontier,
+        "theilsen_trend": q_theilsen_trend,
         # --- BLOCK C: r07-touched re-gates (auto_banding joint sizing ->
         # dedupe_near_against + decontaminate_fuzzy; auto_salt_k auto path
-        # -> salted_segment_revenue; _await_drain -> the streaming entries.
-        # The drain change is identical across all seven streaming
-        # entries, so the driver gate covers it through THREE paths this
-        # round (streaming_links_stateful in Block A, daily_links +
-        # funnel_replay here); the other five replay twins — freshest
-        # streaming evidence r04-r06 — sit at 51+ and keep the local gate
-        # every round) ---
+        # -> salted_segment_revenue; _await_drain -> the streaming
+        # entries. The drain change is identical across all seven
+        # streaming entries, so the driver gate covers it through TWO
+        # paths this round (streaming_links_stateful in Block A +
+        # daily_links here); the six replay twins — freshest streaming
+        # evidence r04-r06 — sit just past the window and keep the local
+        # gate every round) ---
         "dedupe_near_against": q_dedupe_near_against,
         "salted_segment_revenue": q_salted_segment_revenue,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "streaming_daily_links": q_streaming_daily_links,
-        "streaming_funnel_replay": q_streaming_funnel_replay,
-        # --- BLOCK D: oldest-evidence rotation — last driver row r03
-        # (links_relational, near_dup_clusters, dedupe_near) plus the r04
-        # flagship dependency_links (explicitly called stale by the r06
-        # verdict). With Block B at 21 entries the 50-row window ends at
-        # `dedupe_near` (position 50); everything after holds its r03-r06
-        # driver evidence + the every-round local gate, and fronts in the
-        # r08 rotation (new-queries-gate-their-round outranks
-        # oldest-evidence refresh — standing policy) ---
-        "links_relational": q_links_relational,
-        "near_dup_clusters": q_near_dup_clusters,
+        # --- BLOCK D: oldest-evidence rotation as far as the window
+        # allows with Block B at 24 entries: the r04 flagship
+        # dependency_links (explicitly called stale by the r06 verdict,
+        # position 49) and links_relational (r03, position 50). The rest
+        # of the r03 cohort (near_dup_clusters, dedupe_near,
+        # dedupe_exact, cosine_topk, ...) fronts the r08 rotation
+        # (new-queries-gate-their-round outranks oldest-evidence
+        # refresh — standing policy) ---
         "dependency_links": q_dependency_links,
-        "dedupe_near": q_dedupe_near,
+        "links_relational": q_links_relational,
         # --- window boundary (position 50) ---
+        "streaming_funnel_replay": q_streaming_funnel_replay,
         "streaming_anomalies_replay": q_streaming_anomalies_replay,
         "streaming_bursts_replay": q_streaming_bursts_replay,
         "streaming_join_replay": q_streaming_join_replay,
         "streaming_sessions_replay": q_streaming_sessions_replay,
         "streaming_dedup_replay": q_streaming_dedup_replay,
+        "near_dup_clusters": q_near_dup_clusters,
+        "dedupe_near": q_dedupe_near,
         "dedupe_exact": q_dedupe_exact,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -4865,6 +5003,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from zipkin_dependencies_spark.llm.coreset import (
         kcenter_coreset_sql as _kcenter_coreset_sql,
+    )
+    from zipkin_dependencies_spark.operators.skyline import (
+        pareto_frontier_sql as _pareto_frontier_sql,
     )
     from zipkin_dependencies_spark.operators.sessionize import (
         SESSIONIZE_SQL as _SESSIONIZE_SQL_RAW,
@@ -5343,6 +5484,86 @@ SELECT touch_type, position,
        CAST(count(*) AS BIGINT) AS n_touches,
        CAST(sum(cq) AS BIGINT) AS credit_q4
 FROM credited GROUP BY 1, 2
+""",
+        "cdc_merge": """
+WITH base AS (
+  SELECT c_custkey, c_name,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         c_mktsegment
+  FROM customer
+),
+changes AS (
+  SELECT c_custkey, 'D' AS op, 1 AS version,
+         c_name, acctbal_cents, c_mktsegment
+  FROM base WHERE c_custkey % 97 = 0
+  UNION ALL
+  SELECT c_custkey, 'U', 2, c_name,
+         acctbal_cents + 100000, 'UPDATED'
+  FROM base WHERE c_custkey % 7 = 3
+  UNION ALL
+  SELECT c_custkey, 'U', 1, c_name,
+         acctbal_cents + 1, 'STALE'
+  FROM base WHERE c_custkey % 14 = 3
+  UNION ALL
+  SELECT c_custkey + 100000000, 'I', 1,
+         'NEW#' || CAST(c_custkey AS VARCHAR),
+         CAST(0 AS BIGINT), 'FRESH'
+  FROM base WHERE c_custkey % 31 = 5
+),
+latest AS (
+  SELECT c_custkey, op, c_name, acctbal_cents, c_mktsegment
+  FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                     ORDER BY version DESC, op DESC) AS rn
+        FROM changes)
+  WHERE rn = 1
+),
+applied AS (
+  SELECT c_custkey, c_name, acctbal_cents, c_mktsegment
+  FROM latest WHERE op <> 'D'
+)
+SELECT b.c_custkey, b.c_name, b.acctbal_cents, b.c_mktsegment
+FROM base b WHERE b.c_custkey NOT IN (SELECT c_custkey FROM latest)
+UNION ALL
+SELECT c_custkey, c_name, acctbal_cents, c_mktsegment FROM applied
+""",
+        "pareto_frontier": _pareto_frontier_sql(
+            table_expr=(
+                "SELECT o_orderkey,"
+                " CAST(round(o_totalprice * 100) AS BIGINT) AS cost_c,"
+                " CAST(datediff('day', DATE '1992-01-01', o_orderdate)"
+                " AS BIGINT) AS benefit_d"
+                " FROM orders"
+            ),
+            key_cols="o_orderkey",
+            cost="cost_c",
+            benefit="benefit_d",
+        ),
+        "theilsen_trend": """
+WITH daily AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1992-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS di,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(round((b.v - a.v) / (b.di - a.di) * 1e4) AS BIGINT) AS slope_q
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.di < b.di
+),
+days_ AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+),
+med AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(quantile_disc(slope_q, 0.5) AS BIGINT) AS slope_med_q4
+  FROM pairs GROUP BY 1
+)
+SELECT d.event_type, d.n_days, m.n_pairs, m.slope_med_q4,
+       m.slope_med_q4 > 0 AS rising
+FROM days_ d JOIN med m USING (event_type)
 """,
         "entity_resolution": """
 WITH RECURSIVE pnames AS (
