@@ -3880,11 +3880,15 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.testdata import load
 
     n_b = 10
+    # the two-phase rank makes three passes (split sample, bucket
+    # counts, final window); materialize the 3-column projection once
+    # so passes 2-3 read columnar bytes instead of re-deriving from
+    # parquet (the kmv_quantiles recipe)
     ev = load(spark, sf_dir, "events").select(
         "event_type",
         F.col("event_id"),
         F.round(F.col("value") * 1e6).cast("bigint").alias("vq"),
-    )
+    ).localCheckpoint(eager=True)
     ranked = distributed_row_number(
         ev,
         partition_by=["event_type"],

@@ -461,3 +461,81 @@ def test_q11_q12_q20_analog_plan_shapes(spark):
     assert "CartesianProduct" not in q20
     assert "BroadcastNestedLoopJoin" not in q20
     assert len(_node_ids(q20, "BroadcastHashJoin")) >= 3
+
+
+def test_quality_classifier_is_scan_side_single_aggregate(spark):
+    """The hashed classifier's docstring claim: text collapses to one
+    integer sum per doc inside the scan stage — exactly one Exchange
+    (the doc-key aggregate), no join, no window."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_quality_classifier(spark, SF))
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange only
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_bloom_dedupe_broadcasts_filter_never_shuffles_delta(spark):
+    """Bloom membership's plan promise: the store collapses to a
+    broadcast position set; the delta's verdict join is broadcast,
+    never a shuffled (sort-merge) join."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_bloom_dedupe(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hashed_embeddings_single_doc_exchange(spark):
+    """Feature hashing's plan promise: the token explode never reaches
+    the wire — the only exchange carries (doc, 16 cells) aggregate
+    state (partial then final), and there is no join."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_hashed_embeddings(spark, SF))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_zorder_layout_no_join_no_window(spark):
+    """Layout audit: pure per-row bit math + a file-cardinality
+    aggregate per layout — no join, no window anywhere."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_zorder_layout(spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_pareto_frontier_windows_are_bucket_bounded(spark):
+    """The skyline's plan promise: its Window operators partition by
+    the cost bucket (never a global single-partition window), and the
+    per-bucket offset table joins in as a broadcast."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_pareto_frontier(spark, SF))
+    assert "Window" in plan
+    assert "__bkt" in plan  # bucket key reaches the window partitioning
+    assert "BroadcastExchange" in plan
+
+
+def test_cdc_merge_compaction_is_hash_aggregate_not_window(spark):
+    """Latest-wins compaction must be the max_by hash aggregate, not a
+    row_number window sort (the Spark-side contract; the oracle is
+    allowed the window)."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_cdc_merge(spark, SF))
+    assert "Window" not in plan
+    assert "max_by" in plan or "HashAggregate" in plan
+
+
+def test_aqp_sample_predicate_is_scan_side(spark):
+    """The AQP sample must be a filter under the aggregate — no join
+    between the sample and exact sides beyond the final 5-row merge
+    (both sides are aggregates of the same scan)."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_aqp_group_means(spark, SF))
+    # the only join merges two group-cardinality aggregates
+    assert plan.count("SortMergeJoin") <= 1
