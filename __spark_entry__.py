@@ -4104,6 +4104,70 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
         "c_mktsegment",
     )
+    return cdc_merge(base, _cdc_change_batch(base), "c_custkey")
+
+
+def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-replay twin of STREAMING CDC materialization: the change
+    batch from `cdc_merge` splits into two micro-batches (all version-1
+    changes, then all version-2), replays availableNow through a
+    foreachBatch incremental apply — each micro-batch merges into a
+    persistent parquet snapshot via the SAME `cdc_merge` kernel — and
+    the final snapshot must equal the ONE-SHOT compacted merge of all
+    changes (the oracle). Green proves the lakehouse invariant that
+    makes streaming CDC safe: per-batch sequential apply commutes with
+    global latest-wins compaction (a later-version update overrides an
+    earlier batch's write; a delete-then-insert across batches lands as
+    the insert). Snapshot alternates between two dirs (read-merge-write,
+    never in place)."""
+    import hashlib
+
+    from zipkin_dependencies_spark.operators.merge import cdc_merge
+    from zipkin_dependencies_spark.testdata import load
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/zds_cdc_replay/{tag}"
+
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+        "c_mktsegment",
+    )
+    changes = _cdc_change_batch(base)
+    src, _ = _stage_event_files(
+        spark,
+        [changes.filter(F.col("version") == 1), changes.filter(F.col("version") == 2)],
+        root,
+    )
+    base.write.mode("overwrite").parquet(f"{root}/state0")
+    state = {"i": 0}
+
+    def apply_batch(batch_df, batch_id):
+        cur = spark.read.parquet(f"{root}/state{state['i']}")
+        merged = cdc_merge(cur, batch_df, "c_custkey")
+        merged.write.mode("overwrite").parquet(f"{root}/state{state['i'] + 1}")
+        state["i"] += 1
+
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drain(q)
+    return spark.read.parquet(f"{root}/state{state['i']}")
+
+
+def _cdc_change_batch(base: DataFrame) -> DataFrame:
+    """The deterministic D/U/I change set shared by `cdc_merge` and its
+    streaming replay twin (one definition — the two queries must feed
+    the same changes or the equivalence proves nothing)."""
     k = F.col("c_custkey")
     deletes = base.filter(k % 97 == 0).select(
         k.alias("c_custkey"),
@@ -4137,8 +4201,7 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("acctbal_cents"),
         F.lit("FRESH").alias("c_mktsegment"),
     )
-    changes = deletes.unionByName(upd_v2).unionByName(upd_v1).unionByName(inserts)
-    return cdc_merge(base, changes, "c_custkey")
+    return deletes.unionByName(upd_v2).unionByName(upd_v1).unionByName(inserts)
 
 
 def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4785,6 +4848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join_replay": q_streaming_join_replay,
         "streaming_sessions_replay": q_streaming_sessions_replay,
         "streaming_dedup_replay": q_streaming_dedup_replay,
+        "streaming_cdc_replay": q_streaming_cdc_replay,
         "near_dup_clusters": q_near_dup_clusters,
         "dedupe_near": q_dedupe_near,
         "dedupe_exact": q_dedupe_exact,
@@ -4921,6 +4985,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_idf": q_token_idf,
         "top_docs_per_source": q_top_docs_per_source,
     }
+
+_CDC_MERGE_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_name,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         c_mktsegment
+  FROM customer
+),
+changes AS (
+  SELECT c_custkey, 'D' AS op, 1 AS version,
+         c_name, acctbal_cents, c_mktsegment
+  FROM base WHERE c_custkey % 97 = 0
+  UNION ALL
+  SELECT c_custkey, 'U', 2, c_name,
+         acctbal_cents + 100000, 'UPDATED'
+  FROM base WHERE c_custkey % 7 = 3
+  UNION ALL
+  SELECT c_custkey, 'U', 1, c_name,
+         acctbal_cents + 1, 'STALE'
+  FROM base WHERE c_custkey % 14 = 3
+  UNION ALL
+  SELECT c_custkey + 100000000, 'I', 1,
+         'NEW#' || CAST(c_custkey AS VARCHAR),
+         CAST(0 AS BIGINT), 'FRESH'
+  FROM base WHERE c_custkey % 31 = 5
+),
+latest AS (
+  SELECT c_custkey, op, c_name, acctbal_cents, c_mktsegment
+  FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                     ORDER BY version DESC, op DESC) AS rn
+        FROM changes)
+  WHERE rn = 1
+),
+applied AS (
+  SELECT c_custkey, c_name, acctbal_cents, c_mktsegment
+  FROM latest WHERE op <> 'D'
+)
+SELECT b.c_custkey, b.c_name, b.acctbal_cents, b.c_mktsegment
+FROM base b WHERE b.c_custkey NOT IN (SELECT c_custkey FROM latest)
+UNION ALL
+SELECT c_custkey, c_name, acctbal_cents, c_mktsegment FROM applied
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     from zipkin_dependencies_spark.llm import oracles as llm_oracles
@@ -5489,47 +5596,8 @@ SELECT touch_type, position,
        CAST(sum(cq) AS BIGINT) AS credit_q4
 FROM credited GROUP BY 1, 2
 """,
-        "cdc_merge": """
-WITH base AS (
-  SELECT c_custkey, c_name,
-         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
-         c_mktsegment
-  FROM customer
-),
-changes AS (
-  SELECT c_custkey, 'D' AS op, 1 AS version,
-         c_name, acctbal_cents, c_mktsegment
-  FROM base WHERE c_custkey % 97 = 0
-  UNION ALL
-  SELECT c_custkey, 'U', 2, c_name,
-         acctbal_cents + 100000, 'UPDATED'
-  FROM base WHERE c_custkey % 7 = 3
-  UNION ALL
-  SELECT c_custkey, 'U', 1, c_name,
-         acctbal_cents + 1, 'STALE'
-  FROM base WHERE c_custkey % 14 = 3
-  UNION ALL
-  SELECT c_custkey + 100000000, 'I', 1,
-         'NEW#' || CAST(c_custkey AS VARCHAR),
-         CAST(0 AS BIGINT), 'FRESH'
-  FROM base WHERE c_custkey % 31 = 5
-),
-latest AS (
-  SELECT c_custkey, op, c_name, acctbal_cents, c_mktsegment
-  FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
-                                     ORDER BY version DESC, op DESC) AS rn
-        FROM changes)
-  WHERE rn = 1
-),
-applied AS (
-  SELECT c_custkey, c_name, acctbal_cents, c_mktsegment
-  FROM latest WHERE op <> 'D'
-)
-SELECT b.c_custkey, b.c_name, b.acctbal_cents, b.c_mktsegment
-FROM base b WHERE b.c_custkey NOT IN (SELECT c_custkey FROM latest)
-UNION ALL
-SELECT c_custkey, c_name, acctbal_cents, c_mktsegment FROM applied
-""",
+        "cdc_merge": _CDC_MERGE_ORACLE,
+        "streaming_cdc_replay": _CDC_MERGE_ORACLE,
         "pareto_frontier": _pareto_frontier_sql(
             table_expr=(
                 "SELECT o_orderkey,"

@@ -118,6 +118,11 @@ def main() -> None:
             # runs it every round — the gate is the point; the bench
             # headline measures engine plans
             "streaming_links_stateful",
+            # r07: foreachBatch incremental CDC apply — same class
+            # (file staging + micro-batch choreography + snapshot
+            # read-merge-write per batch; the oracle gate holds the
+            # final snapshot)
+            "streaming_cdc_replay",
         )
     ]
     # optional subset (scaling-tier runs measure the expensive scale-path

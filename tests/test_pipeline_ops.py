@@ -1672,3 +1672,92 @@ def test_theilsen_median_slope_is_outlier_robust(spark):
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_q)").alias("m")
     ).collect()[0]["m"]
     assert med == 200 * 10**4
+
+
+def test_pareto_frontier_randomized_vs_bruteforce(spark):
+    """200 random integer points, heavy duplicate mass (cost/benefit
+    domains of 12 values each so ties and exact duplicates are common):
+    the two-phase frontier must equal the quadratic dominance
+    definition exactly. Seeded — deterministic across runs."""
+    import random
+
+    from zipkin_dependencies_spark.operators.skyline import pareto_frontier
+
+    rng = random.Random(40717)
+    pts = [(i, rng.randrange(12), rng.randrange(12)) for i in range(200)]
+    df = spark.createDataFrame(pts, "id long, c long, d long")
+    got = sorted(r["id"] for r in pareto_frontier(df, "c", "d").collect())
+
+    def dominated(b):
+        return any(
+            a[1] <= b[1] and a[2] >= b[2] and (a[1] < b[1] or a[2] > b[2])
+            for a in pts
+            if a[0] != b[0]
+        )
+
+    expect = sorted(p[0] for p in pts if not dominated(p))
+    assert got == expect
+
+
+def test_bloom_dedupe_randomized_no_false_negatives(spark):
+    """300 random docs with engineered overlap: across every delta row,
+    exact_dup ⇒ bloom_dup (the filter's one-sided contract can never
+    be violated, whatever the hash layout does)."""
+    import random
+
+    from zipkin_dependencies_spark.llm.dedup import bloom_dedupe_against
+
+    rng = random.Random(40718)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [
+        " ".join(rng.choices(words, k=rng.randrange(1, 5))) for _ in range(300)
+    ]
+    store = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts[:150])], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(texts[100:])],
+        "doc_id long, text string",
+    )
+    rows = bloom_dedupe_against(delta, store).collect()
+    assert len(rows) == 200
+    for r in rows:
+        if r["exact_dup"]:
+            assert r["bloom_dup"], r
+        assert r["false_positive"] == (r["bloom_dup"] and not r["exact_dup"])
+
+
+def test_kmv_quantile_merge_property(spark):
+    """The bottom-k sample is mergeable: the sketch of a union equals
+    the sketch computed from the per-part bottom-k lists (the theta
+    property read as a sample). Verified by computing the query on the
+    union vs on a pre-reduced union of per-half bottom-k rows — the
+    quantile estimates must be identical."""
+    from pyspark.sql import functions as F
+
+    from zipkin_dependencies_spark.llm.sketches import kmv_quantile_sketch
+
+    df = spark.range(4000).select(
+        F.lit("g").alias("grp"),
+        F.col("id").alias("i"),
+        ((F.col("id") * 37) % 1000).cast("double").alias("v"),
+    )
+    whole = kmv_quantile_sketch(df, "grp", "i", "v", k=64).collect()[0]
+
+    # per-half bottom-k by the same hash, then union and re-sketch
+    from zipkin_dependencies_spark.operators.rank import distributed_row_number
+
+    h = F.conv(F.substring(F.md5(F.col("i").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    halves = []
+    for pred in [F.col("i") % 2 == 0, F.col("i") % 2 == 1]:
+        part = df.filter(pred).withColumn("h", h)
+        ranked = distributed_row_number(
+            part, partition_by=["grp"], value_col="h", tiebreak_cols=[], out_col="rk"
+        )
+        halves.append(ranked.filter(F.col("rk") <= 64).drop("rk", "h"))
+    merged_input = halves[0].unionByName(halves[1])
+    merged = kmv_quantile_sketch(merged_input, "grp", "i", "v", k=64).collect()[0]
+    for q in (50, 90, 99):
+        assert merged[f"p{q}_est"] == whole[f"p{q}_est"], q
