@@ -3994,6 +3994,10 @@ def q_aqp_group_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").alias("s1"),
             F.sum(F.col("c") * F.col("c")).alias("s2"),
         )
+        # n_sample > 1: the CI divides by n(n-1); on a 1-row group
+        # Spark's x/0 is NULL while DuckDB's is NaN — the guard keeps
+        # the engines identical (and a 1-row CI is meaningless anyway)
+        .filter(F.col("n_sample") > 1)
         .select(
             "event_type",
             "n_sample",
@@ -5529,6 +5533,7 @@ moments AS (
          CAST(sum(c) AS BIGINT) AS s1,
          CAST(sum(c * c) AS BIGINT) AS s2
   FROM ev WHERE in_sample GROUP BY 1
+  HAVING count(*) > 1
 ),
 samp AS (
   SELECT event_type, n_sample,

@@ -55,13 +55,19 @@ def kcenter_coreset(
             lambda acc, x: acc + x,
         )
 
-    seed = base.orderBy("vid").limit(1).collect()[0]
+    seeds = base.orderBy("vid").limit(1).collect()
+    if not seeds:
+        raise ValueError("kcenter_coreset: empty input — nothing to select")
+    seed = seeds[0]
     centers = [(0, seed["vid"], 0)]
     cur = base.withColumn("min_d", dist_to(list(seed["qv"])))
     for r in range(1, k):
-        far = (
-            cur.orderBy(F.desc("min_d"), F.asc("vid")).limit(1).collect()[0]
-        )
+        fars = cur.orderBy(F.desc("min_d"), F.asc("vid")).limit(1).collect()
+        if not fars:
+            raise ValueError(
+                f"kcenter_coreset: corpus exhausted at round {r} (< k rows)"
+            )
+        far = fars[0]
         centers.append((r, far["vid"], far["min_d"]))
         if r < k - 1:
             cq = (
