@@ -63,7 +63,10 @@ def distributed_row_number(
     per (group, bucket) — tune n_buckets to the executor sort budget, it
     never needs to scale with the data (1024 buckets × 8 GB sorts covers
     a multi-TB group)."""
-    # 1. split points from a bounded sample; duplicates collapse so a
+    # 1. split points from a bounded sample (relativeError 0.01 — splits
+    # only LOAD-BALANCE the per-bucket sorts; ranks are exact whatever
+    # the splits, and the loose sketch is ~3x cheaper to build);
+    # duplicates collapse so a
     # heavily-tied value column degrades to fewer (fatter) buckets,
     # never to wrong ranks. NULL values route to bucket -1: it sorts
     # before every real bucket, matching the window twin's nulls-first
@@ -71,7 +74,7 @@ def distributed_row_number(
     # would otherwise null out the bucket expression entirely).
     qs = [i / n_buckets for i in range(1, n_buckets)]
     splits = sorted(
-        set(df.stat.approxQuantile(value_col, qs, 0.001))
+        set(df.stat.approxQuantile(value_col, qs, 0.01))
     )
     bucket = F.lit(0)
     for s in splits:
@@ -141,7 +144,7 @@ def distributed_prefix_sum(
     are the point — float weights reintroduce fold-order drift)."""
     tiebreak_cols = tiebreak_cols or []
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    splits = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
+    splits = sorted(set(df.stat.approxQuantile(order_col, qs, 0.01)))
     bucket = F.lit(0)
     for s in splits:
         bucket = bucket + (F.col(order_col) > F.lit(s)).cast("int")

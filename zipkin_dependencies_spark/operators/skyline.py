@@ -42,8 +42,21 @@ def pareto_frontier(
     maxima use a RANGE frame ordered by cost — bounded by the bucket,
     never a data-sized window. The dominance check is then a pure
     per-row predicate."""
+    # a small source can arrive in fewer partitions than cores (one
+    # parquet file ⇒ one task evaluating the bucket expression and the
+    # windows serially) AND this operator reads its input three times
+    # (split sample, bucket maxima, final windows). Small-source path:
+    # re-spread + materialize once so the three jobs read memory. A
+    # 100 TB scan is already wide — the condition never fires there, so
+    # no gratuitous exchange or materialization at scale (there,
+    # re-deriving from the columnar scan beats writing a copy).
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n_par:
+        df = df.repartition(n_par).localCheckpoint(eager=True)
+    # relativeError 0.01: splits only load-balance the buckets — the
+    # frontier is exact whatever the splits (the rank-family rule)
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    splits = sorted(set(df.stat.approxQuantile(cost_col, qs, 0.001)))
+    splits = sorted(set(df.stat.approxQuantile(cost_col, qs, 0.01)))
     bucket = F.lit(0)
     for s in splits:
         bucket = bucket + (F.col(cost_col) > F.lit(s)).cast("int")
