@@ -3906,8 +3906,10 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.min("vq") / 1e6, 4).alias("lo4"),
-            F.round(F.max("vq") / 1e6, 4).alias("hi4"),
+            # bounds emit as the quantized integers (micro-units) — no
+            # decimal re-rounding for engines to diverge on
+            F.min("vq").alias("lo_q6"),
+            F.max("vq").alias("hi_q6"),
         )
     )
 
@@ -3984,7 +3986,11 @@ def q_aqp_group_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_exact"),
-        F.round(F.sum("c") / F.count(F.lit(1)) / 100.0, 4).alias("mean_exact4"),
+        # means/CI emit as integers in 1e-2-cent units (suffix _q2):
+        # round-to-integer is the engine-safe form (see quality.py note)
+        F.round(F.sum("c") * 100.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("mean_exact_q2"),
     )
     samp = (
         ev.filter("in_sample")
@@ -4001,7 +4007,9 @@ def q_aqp_group_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_sample",
-            F.round(F.col("s1") / F.col("n_sample") / 100.0, 4).alias("mean_est4"),
+            F.round(F.col("s1") * 100.0 / F.col("n_sample"))
+            .cast("bigint")
+            .alias("mean_est_q2"),
             F.round(
                 F.lit(1.96)
                 * F.sqrt(
@@ -4011,20 +4019,21 @@ def q_aqp_group_means(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     / F.col("n_sample")
                 )
-                / 100.0,
-                4,
-            ).alias("ci95_4"),
+                * 100.0
+            )
+            .cast("bigint")
+            .alias("ci95_q2"),
         )
     )
     return exact.join(samp, "event_type").select(
         "event_type",
         "n_exact",
-        "mean_exact4",
+        "mean_exact_q2",
         "n_sample",
-        "mean_est4",
-        "ci95_4",
+        "mean_est_q2",
+        "ci95_q2",
         (
-            F.abs(F.col("mean_est4") - F.col("mean_exact4")) <= F.col("ci95_4")
+            F.abs(F.col("mean_est_q2") - F.col("mean_exact_q2")) <= F.col("ci95_q2")
         ).alias("within_ci"),
     )
 
@@ -5525,7 +5534,8 @@ WITH ev AS (
 ),
 exact AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
-         round(CAST(sum(c) AS BIGINT) / count(*) / 100.0, 4) AS mean_exact4
+         CAST(round(CAST(sum(c) AS BIGINT) * 100.0 / count(*)) AS BIGINT)
+           AS mean_exact_q2
   FROM ev GROUP BY 1
 ),
 moments AS (
@@ -5537,15 +5547,15 @@ moments AS (
 ),
 samp AS (
   SELECT event_type, n_sample,
-         round(s1 / n_sample / 100.0, 4) AS mean_est4,
-         round(1.96 * sqrt(((n_sample * s2 - s1 * s1)
-                            / (n_sample * (n_sample - 1))) / n_sample)
-               / 100.0, 4) AS ci95_4
+         CAST(round(s1 * 100.0 / n_sample) AS BIGINT) AS mean_est_q2,
+         CAST(round(1.96 * sqrt(((n_sample * s2 - s1 * s1)
+                                 / (n_sample * (n_sample - 1))) / n_sample)
+                    * 100.0) AS BIGINT) AS ci95_q2
   FROM moments
 )
-SELECT e.event_type, e.n_exact, e.mean_exact4,
-       s.n_sample, s.mean_est4, s.ci95_4,
-       abs(s.mean_est4 - e.mean_exact4) <= s.ci95_4 AS within_ci
+SELECT e.event_type, e.n_exact, e.mean_exact_q2,
+       s.n_sample, s.mean_est_q2, s.ci95_q2,
+       abs(s.mean_est_q2 - e.mean_exact_q2) <= s.ci95_q2 AS within_ci
 FROM exact e JOIN samp s USING (event_type)
 """,
         "attribution_multitouch": """
@@ -5692,8 +5702,8 @@ WITH ranked AS (
 SELECT event_type,
        CAST(((rk - 1) * 10) // n_t AS INT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_rows,
-       round(min(vq) / 1e6, 4) AS lo4,
-       round(max(vq) / 1e6, 4) AS hi4
+       min(vq) AS lo_q6,
+       max(vq) AS hi_q6
 FROM ranked GROUP BY 1, 2
 """,
         "vocab_encode": """

@@ -1352,10 +1352,10 @@ def test_kmv_quantile_small_group_is_exact_and_sample_bounded(spark):
     tiny = got["tiny"]
     assert tiny["n"] == 40
     for q in (50, 90, 99):
-        assert tiny[f"p{q}_est"] == tiny[f"p{q}_exact"], (q, tiny)
+        assert tiny[f"p{q}_est_q6"] == tiny[f"p{q}_exact_q6"], (q, tiny)
     big = got["big"]
     assert big["n"] == 3000
-    assert abs(big["p50_est"] - big["p50_exact"]) <= 1500.0, big
+    assert abs(big["p50_est_q6"] - big["p50_exact_q6"]) <= 1500 * 10**6, big
 
 
 def test_bloom_dedupe_never_misses_and_flags_fp_honestly(spark):
@@ -1404,13 +1404,14 @@ def test_hashed_classifier_handcheck_and_empty_doc(spark):
     )
     got = {r["doc_id"]: r for r in hashed_classifier_scores(docs).collect()}
     toks = ["red", "fox", "red"]
-    expect = round(sum(w(t) for t in toks) / 3 / 1000.0, 4)
+    sw = sum(w(t) for t in toks)
+    expect_q = round(sw * 10.0 / 3)
     assert got[0]["n_tokens"] == 3
-    assert abs(got[0]["logit4"] - expect) < 1e-9
-    assert got[0]["keep"] == (expect >= 0)
+    assert got[0]["logit_q4"] == expect_q
+    assert got[0]["keep"] == (sw >= 0)
     for d in (1, 2):
         assert got[d]["n_tokens"] == 0
-        assert got[d]["logit4"] is None
+        assert got[d]["logit_q4"] is None
         assert got[d]["keep"] is False
 
 

@@ -1442,7 +1442,7 @@ def test_equidepth_histogram_depth_and_order(spark):
         counts = [r["n_rows"] for r in rs]
         assert max(counts) - min(counts) <= 1, (t, counts)
         for a, b in zip(rs, rs[1:]):
-            assert a["hi4"] <= b["lo4"], (t, a, b)
+            assert a["hi_q6"] <= b["lo_q6"], (t, a, b)
         assert [r["bucket"] for r in rs] == list(range(10))
 
 
@@ -1550,7 +1550,7 @@ def test_aqp_group_means_ci_honest_on_fixture(spark):
     hits = 0
     for r in rows:
         assert 0 < r["n_sample"] < r["n_exact"]
-        assert r["ci95_4"] > 0
+        assert r["ci95_q2"] > 0
         hits += int(r["within_ci"])
     assert hits >= 3, [(r["event_type"], r["within_ci"]) for r in rows]
 
@@ -1760,4 +1760,4 @@ def test_kmv_quantile_merge_property(spark):
     merged_input = halves[0].unionByName(halves[1])
     merged = kmv_quantile_sketch(merged_input, "grp", "i", "v", k=64).collect()[0]
     for q in (50, 90, 99):
-        assert merged[f"p{q}_est"] == whole[f"p{q}_est"], q
+        assert merged[f"p{q}_est_q6"] == whole[f"p{q}_est_q6"], q

@@ -556,10 +556,15 @@ def hashed_classifier_scores(
     cross-engine gate can replay the arithmetic; a production caller
     broadcasts its trained (bucket, weight) table instead and the plan
     is unchanged (in-scan hash → integer bucket sums → one division).
-    ``keep`` thresholds the logit at 0 — the sigmoid is monotone, so
-    this IS the classifier's decision without an ``exp`` for engines
-    to disagree on; ``logit4`` = round(mean/1000, 4), one division and
-    one rounding over exact integer sums (fold-order-free).
+    ``keep`` thresholds the raw integer weight sum at 0 — the sigmoid
+    is monotone, so this IS the classifier's decision with NO float op
+    at all; ``logit_q4`` = round(sw·10/n) as a BIGINT (the logit scaled
+    by 1e4): one division and one round-to-INTEGER. Integer rounding is
+    the engine-safe form — round(x, 4) on doubles diverges cross-engine
+    at decimal half boundaries because DuckDB scales by 10^4 internally
+    (an extra multiply rounding) while Spark rounds the exact binary
+    value; round-to-integer has no internal multiply in either engine
+    (measured: the round(·,4) form reddened 2/500 docs at sf0.01).
 
     Scale (100 TB): embarrassingly parallel scan-side work — text
     collapses to one integer sum per document inside the scan stage,
@@ -601,13 +606,13 @@ def hashed_classifier_scores(
             F.sum(F.when(F.col("tok").isNotNull(), w)).alias("sw"),
         )
     )
-    logit = F.round(F.col("sw") / F.col("n_tokens") / 1000.0, 4)
+    logit_q = F.round(F.col("sw") * 10.0 / F.col("n_tokens")).cast("bigint")
     return per_doc.select(
         id_col,
         "n_tokens",
-        F.when(F.col("n_tokens") > 0, logit).alias("logit4"),
+        F.when(F.col("n_tokens") > 0, logit_q).alias("logit_q4"),
         F.coalesce(
-            F.when(F.col("n_tokens") > 0, logit >= 0), F.lit(False)
+            F.when(F.col("n_tokens") > 0, F.col("sw") >= 0), F.lit(False)
         ).alias("keep"),
     )
 
@@ -638,9 +643,8 @@ per_doc AS (
 )
 SELECT doc_id, n_tokens,
        CASE WHEN n_tokens > 0
-            THEN round(sw / n_tokens / 1000.0, 4) END AS logit4,
-       COALESCE(CASE WHEN n_tokens > 0
-                     THEN round(sw / n_tokens / 1000.0, 4) >= 0 END,
+            THEN CAST(round(sw * 10.0 / n_tokens) AS BIGINT) END AS logit_q4,
+       COALESCE(CASE WHEN n_tokens > 0 THEN sw >= 0 END,
                 FALSE) AS keep
 FROM per_doc
 """

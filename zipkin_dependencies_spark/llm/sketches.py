@@ -622,26 +622,25 @@ def kmv_quantile_sketch(
     def disc(q: float) -> Column:
         return F.expr(f"percentile_disc({q!r}) WITHIN GROUP (ORDER BY vq)")
 
+    # quantiles emit as the quantized integers themselves (micro-units,
+    # suffix _q6) — zero float ops after the scan-side quantization, so
+    # there is no decimal-rounding boundary for engines to disagree on
     exact = base.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.round(disc(q).cast("bigint") / 1e6, 4).alias(
-                f"p{int(q * 100)}_exact"
-            )
+            disc(q).cast("bigint").alias(f"p{int(q * 100)}_exact_q6")
             for q in qs
         ],
     )
     est = sample.groupBy("grp").agg(
         *[
-            F.round(disc(q).cast("bigint") / 1e6, 4).alias(
-                f"p{int(q * 100)}_est"
-            )
+            disc(q).cast("bigint").alias(f"p{int(q * 100)}_est_q6")
             for q in qs
         ],
     )
     cols = ["n"]
     for q in qs:
-        cols += [f"p{int(q * 100)}_exact", f"p{int(q * 100)}_est"]
+        cols += [f"p{int(q * 100)}_exact_q6", f"p{int(q * 100)}_est_q6"]
     return (
         exact.join(est, "grp")
         .select(F.col("grp").alias(group_col), *cols)
@@ -659,17 +658,17 @@ def kmv_quantile_sketch_sql(
     """DuckDB twin of ``kmv_quantile_sketch`` — identical bottom-k
     selection (same md5 slice, same rank) and nearest-rank quantiles."""
     exact_cols = ",\n         ".join(
-        f"round(CAST(quantile_disc(vq, {q!r}) AS BIGINT) / 1e6, 4)"
-        f" AS p{int(q * 100)}_exact"
+        f"CAST(quantile_disc(vq, {q!r}) AS BIGINT)"
+        f" AS p{int(q * 100)}_exact_q6"
         for q in qs
     )
     est_cols = ",\n         ".join(
-        f"round(CAST(quantile_disc(vq, {q!r}) AS BIGINT) / 1e6, 4)"
-        f" AS p{int(q * 100)}_est"
+        f"CAST(quantile_disc(vq, {q!r}) AS BIGINT)"
+        f" AS p{int(q * 100)}_est_q6"
         for q in qs
     )
     out_cols = ", ".join(
-        f"p{int(q * 100)}_exact, p{int(q * 100)}_est" for q in qs
+        f"p{int(q * 100)}_exact_q6, p{int(q * 100)}_est_q6" for q in qs
     )
     return f"""
 WITH base AS (
