@@ -582,9 +582,11 @@ def kmv_quantile_sketch(
     k: int = 128,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
 ) -> DataFrame:
-    """→ (group, n, p{q}_exact, p{q}_est, ...): per-group quantile
-    ESTIMATES from a deterministic bottom-k (KMV) uniform sample, next
-    to the exact quantiles — the eval-harness shape. This completes the
+    """→ (group, n, p{q}_exact_q6, p{q}_est_q6, ...): per-group
+    quantile ESTIMATES from a deterministic bottom-k (KMV) uniform
+    sample, next to the exact quantiles (both as the 1e6-quantized
+    integers — zero float ops after the scan-side quantization) — the
+    eval-harness shape. This completes the
     sketch family: HLL answers distinct, Count-Min answers frequency,
     theta answers set intersection, and the KMV sample answers
     QUANTILES — the same k-minimum-hash state, read as a uniform sample
