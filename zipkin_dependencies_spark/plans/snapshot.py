@@ -29,6 +29,12 @@ SNAPSHOT_QUERIES: tuple[str, ...] = (
     "gopher_quality",
     "shipping_priority",
     "dataset_card",
+    # r07 representatives: the two-phase skyline (bucket-bounded
+    # windows + broadcast offsets), the Bloom broadcast-membership
+    # shape, and the scan-side hashed classifier
+    "pareto_frontier",
+    "bloom_dedupe",
+    "quality_classifier",
 )
 
 HEADER = """# PLANS — captured physical plans (generated)
