@@ -4217,6 +4217,101 @@ def _cdc_change_batch(base: DataFrame) -> DataFrame:
     return deletes.unionByName(upd_v2).unionByName(upd_v1).unionByName(inserts)
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling surface (the dbt/Deequ-style column audit a
+    warehouse runs before trusting a feed): per column of ``orders`` —
+    null count, exact distinct count, and integer-quantized min/max
+    for the numeric/date columns (cents for money, day index for
+    dates; string columns profile nulls/distincts only — cross-engine
+    min/max string formatting is not contract-stable and a profiler
+    should not pretend it is). ONE scan: every statistic folds into a
+    single wide aggregate row that unpivots to (column, ...) rows —
+    at 100 TB this is the same one-pass profile, column-pruned to the
+    profiled set."""
+    from zipkin_dependencies_spark.testdata import load
+
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast("bigint")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            x
+            for c in [
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            ]
+            for x in (
+                F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+            )
+        ],
+        F.min("o_orderkey").alias("min_o_orderkey"),
+        F.max("o_orderkey").alias("max_o_orderkey"),
+        F.min("o_custkey").alias("min_o_custkey"),
+        F.max("o_custkey").alias("max_o_custkey"),
+        F.min(cents).alias("min_o_totalprice"),
+        F.max(cents).alias("max_o_totalprice"),
+        F.min(day).alias("min_o_orderdate"),
+        F.max(day).alias("max_o_orderdate"),
+    )
+    rows = []
+    for c in [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]:
+        has_mm = c not in ("o_orderstatus", "o_orderpriority")
+        rows.append(
+            f"'{c}', nn_{c}, nd_{c}, "
+            + (f"min_{c}, max_{c}" if has_mm else "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)")
+        )
+    stack = f"stack({len(rows)}, " + ", ".join(rows) + ") AS (column_name, n_nulls, n_distinct, min_q, max_q)"
+    return agg.select(F.col("n").alias("n_rows"), F.expr(stack))
+
+
+def q_top_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys (t1→t2→t3 over each user's
+    time-ordered event stream, ties broken by event id then
+    lexicographic path) — the sequence-mining rollup product analytics
+    runs beyond the Markov transition matrix (`event_transitions` is
+    the length-2 version). One user-keyed exchange feeds two `lead`
+    windows (bounded by per-user activity); the triple count is a
+    map-side-combined aggregate at |types|³ cardinality and the top-20
+    is TakeOrdered — never a global sort."""
+    from zipkin_dependencies_spark.testdata import load
+
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
+    )
+    triples = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return triples.orderBy(
+        F.desc("n"), F.asc("t1"), F.asc("t2"), F.asc("t3")
+    ).limit(20)
+
+
 def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D Pareto frontier (skyline) of orders under (minimize total
     price, maximize recency): the "best tradeoff" set a WHERE clause
@@ -4862,6 +4957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions_replay": q_streaming_sessions_replay,
         "streaming_dedup_replay": q_streaming_dedup_replay,
         "streaming_cdc_replay": q_streaming_cdc_replay,
+        "table_profile": q_table_profile,
+        "top_user_journeys": q_top_user_journeys,
         "near_dup_clusters": q_near_dup_clusters,
         "dedupe_near": q_dedupe_near,
         "dedupe_exact": q_dedupe_exact,
@@ -5613,6 +5710,57 @@ FROM credited GROUP BY 1, 2
 """,
         "cdc_merge": _CDC_MERGE_ORACLE,
         "streaming_cdc_replay": _CDC_MERGE_ORACLE,
+        "table_profile": """
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_k,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_k,
+         CAST(min(o_orderkey) AS BIGINT) AS mn_k,
+         CAST(max(o_orderkey) AS BIGINT) AS mx_k,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_c,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_c,
+         CAST(min(o_custkey) AS BIGINT) AS mn_c,
+         CAST(max(o_custkey) AS BIGINT) AS mx_c,
+         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_s,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_s,
+         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_p,
+         CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd_p,
+         CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mn_p,
+         CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mx_p,
+         CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_d,
+         CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd_d,
+         CAST(min(datediff('day', DATE '1992-01-01', o_orderdate)) AS BIGINT) AS mn_d,
+         CAST(max(datediff('day', DATE '1992-01-01', o_orderdate)) AS BIGINT) AS mx_d,
+         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_o,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_o
+  FROM orders
+)
+SELECT n_rows, 'o_orderkey' AS column_name, nn_k AS n_nulls, nd_k AS n_distinct, mn_k AS min_q, mx_k AS max_q FROM agg
+UNION ALL
+SELECT n_rows, 'o_custkey', nn_c, nd_c, mn_c, mx_c FROM agg
+UNION ALL
+SELECT n_rows, 'o_orderstatus', nn_s, nd_s, NULL, NULL FROM agg
+UNION ALL
+SELECT n_rows, 'o_totalprice', nn_p, nd_p, mn_p, mx_p FROM agg
+UNION ALL
+SELECT n_rows, 'o_orderdate', nn_d, nd_d, mn_d, mx_d FROM agg
+UNION ALL
+SELECT n_rows, 'o_orderpriority', nn_o, nd_o, NULL, NULL FROM agg
+""",
+        "top_user_journeys": """
+WITH seq AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, t1, t2, t3
+LIMIT 20
+""",
         "pareto_frontier": _pareto_frontier_sql(
             table_expr=(
                 "SELECT o_orderkey,"
