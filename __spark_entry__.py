@@ -4942,11 +4942,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- BLOCK D: oldest-evidence rotation as far as the window
         # allows with Block B at 24 entries: the r04 flagship
         # dependency_links (explicitly called stale by the r06 verdict,
-        # position 49) and links_relational (r03, position 50). The rest
-        # of the r03 cohort (near_dup_clusters, dedupe_near,
-        # dedupe_exact, cosine_topk, ...) fronts the r08 rotation
-        # (new-queries-gate-their-round outranks oldest-evidence
-        # refresh — standing policy) ---
+        # position 49) and links_relational (r03, position 50).
+        # r08 ROTATION FRONT-RUNNERS, in order: (1) the three r07
+        # additions that closed past the window — streaming_cdc_replay,
+        # table_profile, top_user_journeys (positions 57-59, tier L with
+        # sf0.001+sf0.01 oracle verification this round); (2) the r03
+        # cohort (near_dup_clusters, dedupe_near, dedupe_exact,
+        # cosine_topk, ...). New-queries-gate-their-round outranks
+        # oldest-evidence refresh — standing policy ---
         "dependency_links": q_dependency_links,
         "links_relational": q_links_relational,
         # --- window boundary (position 50) ---
