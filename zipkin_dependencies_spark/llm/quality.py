@@ -542,7 +542,7 @@ def hashed_classifier_scores(
     id_col: str = "doc_id",
     n_buckets: int = 1 << 16,
 ) -> DataFrame:
-    """→ (id, n_tokens, logit4, keep): fastText-style linear quality
+    """→ (id, n_tokens, logit_q4, keep): fastText-style linear quality
     classifier over hashed bag-of-words features (Joulin et al. 2016
     "Bag of tricks for efficient text classification") — the
     model-based quality filter modern curation pipelines run after the
