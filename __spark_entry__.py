@@ -4864,7 +4864,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the first 50 entries (verified: CORRECTNESS_rNN == first 50 of that
     # round's registry, exactly). Every entry past 50 is still value-hash
     # gated locally every round by tests/test_entry_oracle.py (all entries,
-    # sf0.01 DuckDB replica of the driver compare).
+    # sf0.001 DuckDB replica of the driver compare by default; the driver
+    # runs sf0.01, and — as packed_chunk_spans proved in r07 — the local
+    # Python-value compare cannot see engine-side dtype divergence, so the
+    # driver rotation is the only gate that counts for dtype-class bugs).
     #
     # r07 ROTATION (executes the r06 verdict's #1 ask — the rotation debt):
     # Block A fronts ALL 20 queries that have never held a driver row (the

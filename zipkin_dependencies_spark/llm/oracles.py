@@ -1353,16 +1353,22 @@ WITH base AS (
   FROM documents
 ),
 ps AS (
+  -- CAST the windowed sum: DuckDB widens sum(BIGINT) OVER to HUGEINT,
+  -- which the driver's value hasher represents differently than Spark's
+  -- LONG (the r07 red row). assign_shards_sql has always cast this; the
+  -- //-derived chunk columns inherit int128 too, so cast all three.
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (
+         CAST(coalesce(sum(n_tokens) OVER (
            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ), 0) AS cum_before
+         ), 0) AS BIGINT) AS cum_before
   FROM base
 )
 SELECT doc_id, n_tokens, cum_before,
-       CASE WHEN n_tokens > 0 THEN cum_before // {capacity} END AS start_chunk,
        CASE WHEN n_tokens > 0
-            THEN (cum_before + n_tokens - 1) // {capacity} END AS end_chunk
+            THEN CAST(cum_before // {capacity} AS BIGINT) END AS start_chunk,
+       CASE WHEN n_tokens > 0
+            THEN CAST((cum_before + n_tokens - 1) // {capacity} AS BIGINT)
+            END AS end_chunk
 FROM ps
 """
 
