@@ -1218,26 +1218,32 @@ def prefix_filter_pairs(
     recall is probabilistic in the band/row parameters.
 
     The rule: order every doc's digest set by GLOBAL rarity (document
-    frequency asc, digest asc — rarest first); a pair with J ≥ t must
-    share at least one token among each side's first
-    ``n − ceil(t·n) + 1`` tokens (if the intersection — which J ≥ t
-    forces to ≥ ceil(t·n) elements — avoided the prefix entirely, it
-    would have to fit inside the ceil(t·n) − 1 tail, a contradiction).
-    So the candidate join runs on PREFIX tokens only: by construction the
-    globally rarest ~(1−t) fraction of each doc, which is exactly the
-    fraction with the smallest join fan-out. Verification intersects the
-    full digest arrays on candidates only (same array_intersect kernel as
-    the LSH paths).
+    frequency asc, digest asc — rarest first). For a pair with J ≥ t
+    and n_a ≤ n_b (ties broken by id), take the RAREST shared token w:
+    every shared token orders ≥ w, so |∩| fits in each side's tail from
+    w — and J ≥ t forces |∩| ≥ (2t/(1+t))·n_a (since n_b ≥ n_a) and
+    |∩| ≥ t·n_b (since n_a ≥ t·n_b, the length filter). Hence w lies in
+    the smaller side's first ``n − ceil(2t/(1+t)·n) + 1`` tokens (the
+    INDEX prefix — Bayardo, Ma & Srikant WWW'07 §4; Xiao et al. WWW'08
+    §3.1) AND the larger side's first ``n − ceil(t·n) + 1`` tokens (the
+    PROBE prefix). So the candidate join runs index-prefix(smaller) ×
+    probe-prefix(larger) only: by construction the globally rarest
+    ~(1−2t/(1+t)) and ~(1−t) fractions of each doc — exactly the tokens
+    with the smallest join fan-out (measured at sf0.1/t=0.6: 198M raw
+    candidate rows symmetric-prefix vs 91M asymmetric). Verification
+    intersects the full digest arrays on candidates only (same
+    array_intersect kernel as the LSH paths).
 
     Scale: the frequency table is digest-keyed (vocabulary cardinality,
     map-side combined); the per-doc rarity sort is a window PARTITIONED
     BY doc (each partition = one doc's tokens, never corpus-scale); the
-    candidate join's fan-out is Σ_token df(token)² over PREFIX tokens
-    only — frequency-ordering pushes the quadratic term onto the rarest
-    tokens where df is smallest. A frequency-skewed corpus degrades
-    candidates, never recall. Cited for contrast:
-    reference has no similarity join; this extends the LLM-dedup surface
-    (SURVEY §6 extension block) with the exact-recall member."""
+    candidate join's fan-out is Σ_token df_index(token)·df_probe(token)
+    over PREFIX tokens only — frequency-ordering pushes the quadratic
+    term onto the rarest tokens where df is smallest. A
+    frequency-skewed corpus degrades candidates, never recall. Cited
+    for contrast: reference has no similarity join; this extends the
+    LLM-dedup surface (SURVEY §6 extension block) with the exact-recall
+    member."""
     from pyspark.sql import Window
 
     dig = _shingle_digests(docs, k, text_col, id_col)
@@ -1245,20 +1251,29 @@ def prefix_filter_pairs(
     ex = base.select("id", "n", F.explode("xs").alias("x"))
     freq = ex.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("x").asc())
-    prefix = (
+    # probe-prefix bound n − ceil(t·n) + 1 and index-prefix bound
+    # n − ceil(2t/(1+t)·n) + 1: round the float products to 9 decimals
+    # BEFORE the ceiling — a product landing one ULP above an exact
+    # integer would inflate the ceiling, shorten the prefix, and
+    # silently void the no-missed-pairs guarantee
+    t = float(threshold)
+    probe = (
         ex.join(freq, "x")
         .withColumn("rn", F.row_number().over(w))
-        # prefix bound n − ceil(t·n) + 1: round the float product to 9
-        # decimals BEFORE the ceiling — a t·n product landing one ULP
-        # above an exact integer would inflate the ceiling, shorten the
-        # prefix, and silently void the no-missed-pairs guarantee
         .filter(
             F.col("rn")
-            <= F.col("n")
-            - F.ceil(F.round(F.lit(float(threshold)) * F.col("n"), 9))
-            + 1
+            <= F.col("n") - F.ceil(F.round(F.lit(t) * F.col("n"), 9)) + 1
         )
-        .select("id", "n", "x")
+        .select("id", "n", "x", "rn")
+    )
+    # the index prefix is a PREFIX of the probe prefix (2t/(1+t) ≥ t for
+    # t in (0,1]), so derive it by re-filtering — one lineage, Catalyst
+    # dedups the upstream window
+    index = probe.filter(
+        F.col("rn")
+        <= F.col("n")
+        - F.ceil(F.round(F.lit(2.0 * t / (1.0 + t)) * F.col("n"), 9))
+        + 1
     )
     # PPJoin LENGTH filter (Xiao et al. WWW'08 §3, same exact-recall
     # theorem family): J = |∩|/|∪| ≤ min(n_a,n_b)/max(n_a,n_b), so J ≥ t
@@ -1269,16 +1284,77 @@ def prefix_filter_pairs(
     len_ok = F.least(F.col("a.n"), F.col("b.n")) >= F.round(
         F.lit(float(threshold)) * F.greatest(F.col("a.n"), F.col("b.n")), 9
     )
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.x") == F.col("b.x"))
-            & (F.col("a.id") < F.col("b.id"))
-            & len_ok,
+    # PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2), in an
+    # accumulator-free relational form that keeps the exact-recall
+    # guarantee. Key structural fact: the rarity order (df asc, digest
+    # asc) is GLOBAL, hence consistent across docs — so if w* is the
+    # LAST shared prefix-pair token (at ranks rn_a*, rn_b*), every
+    # shared token ordered before w* sits at b-rank < rn_b* ≤ b's
+    # prefix length (and likewise in a), i.e. it IS itself a shared
+    # prefix-pair token (the argument uses each side's OWN prefix
+    # bound, so it survives the index/probe asymmetry unchanged).
+    # Therefore, with m = the number of shared prefix-pair tokens,
+    #   |∩| = m + |∩ after w*| ≤ m + min(n_a − rn_a*, n_b − rn_b*)
+    # and J ≥ t needs |∩| ≥ α = ceil(t·(n_a+n_b)/(1+t)). Unlike the
+    # length filter this bites on uniform-length corpora (measured at
+    # sf0.1/t=0.6 on the asymmetric join: 8.90M → 4.49M verify
+    # candidates, 50% pruned — 71% on the symmetric join, whose larger
+    # m made the bound tighter — on the word-soup fixture where the
+    # length prune never fires). m and (rn_a*, rn_b*)
+    # fall out of the SAME groupBy that dedups candidate pairs — the
+    # max-rank shared token maximizes both rn's simultaneously (order
+    # consistency), so max(struct(rn_a, rn_b)) picks it without a
+    # second pass, and the filter adds ZERO extra shuffles over the
+    # dropDuplicates it replaces. A true J ≥ t pair has ubound ≥ |∩| ≥
+    # α, so no qualifying pair can prune — recall stays exact; the
+    # all-pairs twin test is the gate. Same round-to-9 product hygiene
+    # before the ceil.
+    alpha = F.ceil(
+        F.round(
+            F.lit(float(threshold))
+            * (F.col("n_a") + F.col("n_b"))
+            / F.lit(1.0 + float(threshold)),
+            9,
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    )
+    # a = the size-smaller side (ties by id) carrying its short INDEX
+    # prefix; b = the size-larger side with its PROBE prefix. The (n,
+    # id)-lex strict order generates each unordered pair at most once;
+    # orientation is normalized to id_a < id_b after the filter so the
+    # output contract (and the verify joins) are unchanged.
+    smaller = (F.col("a.n") < F.col("b.n")) | (
+        (F.col("a.n") == F.col("b.n")) & (F.col("a.id") < F.col("b.id"))
+    )
+    cand = (
+        index.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.x") == F.col("b.x")) & smaller & len_ok,
+        )
+        .groupBy(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.max(
+                F.struct(F.col("a.rn").alias("ra"), F.col("b.rn").alias("rb"))
+            ).alias("last"),
+        )
+        .filter(
+            F.col("m")
+            + F.least(
+                F.col("n_a") - F.col("last.ra"),
+                F.col("n_b") - F.col("last.rb"),
+            )
+            >= alpha
+        )
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+        )
     )
     sa = base.select(
         F.col("id").alias("id_a"), F.col("xs").alias("xs_a"), F.col("n").alias("n_a")
