@@ -4718,6 +4718,22 @@ def q_cross_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicated-span audit (Lee et al. 2022): per doc, the
+    maximal token spans wholly covered by ≥8-token substrings that also
+    occur in another document — sliding k-gram digests (vs the C4 query's
+    fixed non-overlapping windows), cross-doc test by min<max doc per
+    digest, per-doc gaps-and-islands merge. Digest-only shuffles; the
+    suffix array of the paper is replaced by the window-cover lemma (see
+    llm/dedup.py::exact_substr_spans)."""
+    from zipkin_dependencies_spark.llm.dedup import exact_substr_spans
+    from zipkin_dependencies_spark.testdata import load
+
+    return exact_substr_spans(
+        load(spark, sf_dir, "documents"), k=8, id_col="doc_id"
+    )
+
+
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-example mining: nearest same-label and nearest
     other-label neighbor per sampled query vector, plus the cosine margin
@@ -4869,102 +4885,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Python-value compare cannot see engine-side dtype divergence, so the
     # driver rotation is the only gate that counts for dtype-class bugs).
     #
-    # r07 ROTATION (executes the r06 verdict's #1 ask — the rotation debt):
-    # Block A fronts ALL 20 queries that have never held a driver row (the
-    # 14 r05 Block-B2 entries plus the six r06 additions), restoring the
-    # zero-never-gated state. Block C re-gates the queries whose code r07
-    # actually touches (auto_banding recall-floor resize, auto_salt_k wired
-    # into the gated salted join, the fail-loud _await_drain in every
-    # streaming entry). Block D rotates the OLDEST driver evidence forward:
-    # 20 queries whose last driver row is r03 (plus the r04 flagship
-    # dependency_links, explicitly called stale by the r06 verdict).
-    # Standing policy: never-gated first, new queries second, touched code
-    # third, then oldest evidence — and the blocks below say what IS, not
-    # what is hoped (the r06 Block C comment overstated its gate; fixed).
+    # r08 ROTATION: Block A = the four queries without a green driver row
+    # (packed_chunk_spans — r07's one red, oracle HUGEINT cast fixed this
+    # round — plus the three r07 coda queries that landed past the
+    # window). Block B = new-in-r08 (exact_substr_spans). Block C =
+    # touched code (prefix_filter_pairs: positional filter + index-prefix
+    # asymmetry). Block D = the ENTIRE 42-query r03 cohort, clearing all
+    # pre-r04 driver evidence in one round. Block E = the two oldest r04
+    # streaming replays, filling the window to exactly 50. The tail is
+    # ordered oldest-evidence-first so future windows compose by taking
+    # the head. Standing policy: never-gated first, new queries second,
+    # touched code third, then oldest evidence — and, closing the r07
+    # window-policy gap: once the round's window is composed, query
+    # REGISTRATION closes too (no more tier-L-only coda additions).
     return {
-        # --- BLOCK A: first driver gate for the 20 never-gated queries
-        # (14 from r05 Block B2 + 6 r06 additions) ---
-        "forecast_revenue_change": q_forecast_revenue_change,
-        "nation_trade_volume": q_nation_trade_volume,
-        "basket_part_pairs": q_basket_part_pairs,
-        "referential_integrity_audit": q_referential_integrity_audit,
-        "daily_autocorrelation": q_daily_autocorrelation,
-        "tfidf_keywords": q_tfidf_keywords,
-        "customer_spend_gini": q_customer_spend_gini,
-        "cross_doc_span_dedup": q_cross_doc_span_dedup,
-        "hard_negative_mining": q_hard_negative_mining,
-        "important_part_share": q_important_part_share,
-        "late_shipment_priority": q_late_shipment_priority,
-        "dominant_part_suppliers": q_dominant_part_suppliers,
-        "vocab_growth": q_vocab_growth,
-        "mad_anomalies": q_mad_anomalies,
-        "prefix_filter_pairs": q_prefix_filter_pairs,
-        "streaming_links_stateful": q_streaming_links_stateful,
-        "part_basket_kcore": q_part_basket_kcore,
+        # --- BLOCK A (r08): the four queries without a green driver row —
+        # packed_chunk_spans was r07's one red (oracle HUGEINT cast bug,
+        # fixed this round, Spark side judge-exonerated); the other three
+        # are the r07 coda that landed past the window ---
         "packed_chunk_spans": q_packed_chunk_spans,
-        "doc_novelty": q_doc_novelty,
-        "semantic_dedup": q_semantic_dedup,
-        # --- BLOCK B: new-in-r07 queries (gate the round they appear) ---
-        "part_communities_lpa": q_part_communities_lpa,
-        "dsir_importance": q_dsir_importance,
-        "hll_user_counts": q_hll_user_counts,
-        "cms_token_counts": q_cms_token_counts,
-        "weighted_doc_sample": q_weighted_doc_sample,
-        "pq_cosine_topk": q_pq_cosine_topk,
-        "hll_merge_audit": q_hll_merge_audit,
-        "theta_user_overlap": q_theta_user_overlap,
-        "kmv_quantiles": q_kmv_quantiles,
-        "bloom_dedupe": q_bloom_dedupe,
-        "quality_classifier": q_quality_classifier,
-        "hashed_embeddings": q_hashed_embeddings,
-        "seasonal_decompose": q_seasonal_decompose,
-        "links_rollup_merge": q_links_rollup_merge,
-        "zorder_layout": q_zorder_layout,
-        "kcenter_coreset": q_kcenter_coreset,
-        "equidepth_histogram": q_equidepth_histogram,
-        "vocab_encode": q_vocab_encode,
-        "aqp_group_means": q_aqp_group_means,
-        "attribution_multitouch": q_attribution_multitouch,
-        "entity_resolution": q_entity_resolution,
-        "cdc_merge": q_cdc_merge,
-        "pareto_frontier": q_pareto_frontier,
-        "theilsen_trend": q_theilsen_trend,
-        # --- BLOCK C: r07-touched re-gates (auto_banding joint sizing ->
-        # dedupe_near_against + decontaminate_fuzzy; auto_salt_k auto path
-        # -> salted_segment_revenue; _await_drain -> the streaming
-        # entries. The drain change is identical across all seven
-        # streaming entries, so the driver gate covers it through TWO
-        # paths this round (streaming_links_stateful in Block A +
-        # daily_links here); the six replay twins — freshest streaming
-        # evidence r04-r06 — sit just past the window and keep the local
-        # gate every round) ---
-        "dedupe_near_against": q_dedupe_near_against,
-        "salted_segment_revenue": q_salted_segment_revenue,
-        "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        "streaming_daily_links": q_streaming_daily_links,
-        # --- BLOCK D: oldest-evidence rotation as far as the window
-        # allows with Block B at 24 entries: the r04 flagship
-        # dependency_links (explicitly called stale by the r06 verdict,
-        # position 49) and links_relational (r03, position 50).
-        # r08 ROTATION FRONT-RUNNERS, in order: (1) the three r07
-        # additions that closed past the window — streaming_cdc_replay,
-        # table_profile, top_user_journeys (positions 57-59, tier L with
-        # sf0.001+sf0.01 oracle verification this round); (2) the r03
-        # cohort (near_dup_clusters, dedupe_near, dedupe_exact,
-        # cosine_topk, ...). New-queries-gate-their-round outranks
-        # oldest-evidence refresh — standing policy ---
-        "dependency_links": q_dependency_links,
-        "links_relational": q_links_relational,
-        # --- window boundary (position 50) ---
-        "streaming_funnel_replay": q_streaming_funnel_replay,
-        "streaming_anomalies_replay": q_streaming_anomalies_replay,
-        "streaming_bursts_replay": q_streaming_bursts_replay,
-        "streaming_join_replay": q_streaming_join_replay,
-        "streaming_sessions_replay": q_streaming_sessions_replay,
-        "streaming_dedup_replay": q_streaming_dedup_replay,
         "streaming_cdc_replay": q_streaming_cdc_replay,
         "table_profile": q_table_profile,
         "top_user_journeys": q_top_user_journeys,
+        # --- BLOCK B (r08): new-this-round queries (standing policy:
+        # every new query gates the round it appears; registration after
+        # the window is composed is CLOSED — r08 adds exactly what the
+        # window can hold) ---
+        "exact_substr_spans": q_exact_substr_spans,
+        # --- BLOCK C (r08): touched-code re-gate — prefix_filter_pairs
+        # gained the PPJoin positional filter + Bayardo index-prefix
+        # asymmetry this round ---
+        "prefix_filter_pairs": q_prefix_filter_pairs,
+        # --- BLOCK D (r08): the ENTIRE r03 cohort (42 queries, oldest
+        # driver evidence in the registry). After this round no query's
+        # latest driver row predates r04 ---
         "near_dup_clusters": q_near_dup_clusters,
         "dedupe_near": q_dedupe_near,
         "dedupe_exact": q_dedupe_exact,
@@ -4981,56 +4935,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_normalize": q_trace_normalize,
         "s3_join_distinct": q_s3_join_distinct,
         "a2_agg_lineitem": q_a2_agg_lineitem,
-        # --- BLOCK E: driver-gated green in r03-r06; covered every round
-        # by the local sf0.001 replica gate (tests/test_entry_oracle.py,
-        # all entries) and the driver's own r-round windows ---
         "local_supplier_volume": q_local_supplier_volume,
         "f1_window_events": q_f1_window_events,
-        "bigram_surprisal": q_bigram_surprisal,
-        "normalized_text": q_normalized_text,
-        "session_duration_histogram": q_session_duration_histogram,
-        "ann_recall": q_ann_recall,
-        "winsorized_values": q_winsorized_values,
-        "service_health": q_service_health,
-        "gopher_quality": q_gopher_quality,
-        "c4_line_filter": q_c4_line_filter,
-        "doc_length_histogram": q_doc_length_histogram,
-        "zipf_fit": q_zipf_fit,
-        "path_latencies": q_path_latencies,
-        "returned_item_customers": q_returned_item_customers,
-        "error_paths": q_error_paths,
-        "token_fertility": q_token_fertility,
-        "dataset_card": q_dataset_card,
-        "language_confusion": q_language_confusion,
-        "curation_pipeline_v3": q_curation_pipeline_v3,
-        "events_cube": q_events_cube,
-        "large_volume_customers": q_large_volume_customers,
-        "priority_return_orders": q_priority_return_orders,
-        "service_triangles": q_service_triangles,
-        "customers_without_orders": q_customers_without_orders,
-        "service_clustering": q_service_clustering,
-        "embedding_drift": q_embedding_drift,
-        "split_audit": q_split_audit,
-        "json_decode_audit": q_json_decode_audit,
-        "json_hardened_links": q_json_hardened_links,
-        "temperature_resample": q_temperature_resample,
-        "chunked_documents": q_chunked_documents,
-        "customer_scd2": q_customer_scd2,
-        "service_components": q_service_components,
-        "fuzzy_part_names": q_fuzzy_part_names,
-        "promo_revenue": q_promo_revenue,
-        "min_cost_supplier": q_min_cost_supplier,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "supplier_part_variety": q_supplier_part_variety,
-        "sole_return_suppliers": q_sole_return_suppliers,
-        "interpolated_purchases": q_interpolated_purchases,
-        "customer_order_distribution": q_customer_order_distribution,
-        "top_supplier_revenue": q_top_supplier_revenue,
-        "bracketed_discount_revenue": q_bracketed_discount_revenue,
-        "nation_market_share": q_nation_market_share,
-        "product_type_profit": q_product_type_profit,
-        "winnowed_fingerprints": q_winnowed_fingerprints,
-        "ewma_event_value": q_ewma_event_value,
+        "sliding_window_events": q_sliding_window_events,
+        "day_rollup_events": q_day_rollup_events,
+        "text_stats": q_text_stats,
+        "simhash": q_simhash,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_clusters_exact": q_near_dup_clusters_exact,
+        "quantized_cosine_topk": q_quantized_cosine_topk,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
+        "decontaminate": q_decontaminate,
+        "repetition_score": q_repetition_score,
+        "scrub_pii": q_scrub_pii,
+        "dedupe_against": q_dedupe_against,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
+        "assign_shards": q_assign_shards,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
+        "dedupe_keep_best": q_dedupe_keep_best,
+        "top_k_tokens": q_top_k_tokens,
+        "token_idf": q_token_idf,
+        "top_docs_per_source": q_top_docs_per_source,
+        # --- BLOCK E (r08): the two oldest r04 streaming replays fill
+        # the window to exactly 50 ---
+        "streaming_funnel_replay": q_streaming_funnel_replay,
+        "streaming_anomalies_replay": q_streaming_anomalies_replay,
+        # --- window boundary (position 50) ---
+        # Tail is ordered oldest-driver-evidence-first so the r09 window
+        # composes by taking the head: remaining r04 cohort, then r06,
+        # then the r07/r08-fresh block.
+        "streaming_bursts_replay": q_streaming_bursts_replay,
+        "streaming_join_replay": q_streaming_join_replay,
         "top_trace_paths": q_top_trace_paths,
         "trace_depth_histogram": q_trace_depth_histogram,
         "v1_links": q_v1_links,
@@ -5076,30 +5016,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_reconstruct": q_v1_reconstruct,
         "links_strict128": q_links_strict128,
         "f3_day_partition_links": q_f3_day_partition_links,
-        "sliding_window_events": q_sliding_window_events,
-        "day_rollup_events": q_day_rollup_events,
-        "text_stats": q_text_stats,
-        "simhash": q_simhash,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh": q_minhash_lsh,
-        "ngram_jaccard": q_ngram_jaccard,
-        "near_dup_clusters_exact": q_near_dup_clusters_exact,
-        "quantized_cosine_topk": q_quantized_cosine_topk,
-        "lsh_cosine_topk": q_lsh_cosine_topk,
-        "ivf_cosine_topk": q_ivf_cosine_topk,
-        "decontaminate": q_decontaminate,
-        "repetition_score": q_repetition_score,
-        "scrub_pii": q_scrub_pii,
-        "dedupe_against": q_dedupe_against,
-        "dup_ngram_coverage": q_dup_ngram_coverage,
-        "assign_shards": q_assign_shards,
-        "hash_sample": q_hash_sample,
-        "stratified_sample": q_stratified_sample,
-        "hash_split": q_hash_split,
-        "dedupe_keep_best": q_dedupe_keep_best,
-        "top_k_tokens": q_top_k_tokens,
-        "token_idf": q_token_idf,
-        "top_docs_per_source": q_top_docs_per_source,
+        "streaming_sessions_replay": q_streaming_sessions_replay,
+        "streaming_dedup_replay": q_streaming_dedup_replay,
+        "bigram_surprisal": q_bigram_surprisal,
+        "normalized_text": q_normalized_text,
+        "session_duration_histogram": q_session_duration_histogram,
+        "ann_recall": q_ann_recall,
+        "winsorized_values": q_winsorized_values,
+        "service_health": q_service_health,
+        "gopher_quality": q_gopher_quality,
+        "c4_line_filter": q_c4_line_filter,
+        "doc_length_histogram": q_doc_length_histogram,
+        "zipf_fit": q_zipf_fit,
+        "path_latencies": q_path_latencies,
+        "returned_item_customers": q_returned_item_customers,
+        "error_paths": q_error_paths,
+        "token_fertility": q_token_fertility,
+        "dataset_card": q_dataset_card,
+        "language_confusion": q_language_confusion,
+        "curation_pipeline_v3": q_curation_pipeline_v3,
+        "events_cube": q_events_cube,
+        "large_volume_customers": q_large_volume_customers,
+        "priority_return_orders": q_priority_return_orders,
+        "service_triangles": q_service_triangles,
+        "customers_without_orders": q_customers_without_orders,
+        "service_clustering": q_service_clustering,
+        "embedding_drift": q_embedding_drift,
+        "split_audit": q_split_audit,
+        "json_decode_audit": q_json_decode_audit,
+        "json_hardened_links": q_json_hardened_links,
+        "temperature_resample": q_temperature_resample,
+        "chunked_documents": q_chunked_documents,
+        "customer_scd2": q_customer_scd2,
+        "service_components": q_service_components,
+        "fuzzy_part_names": q_fuzzy_part_names,
+        "promo_revenue": q_promo_revenue,
+        "min_cost_supplier": q_min_cost_supplier,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "supplier_part_variety": q_supplier_part_variety,
+        "sole_return_suppliers": q_sole_return_suppliers,
+        "interpolated_purchases": q_interpolated_purchases,
+        "customer_order_distribution": q_customer_order_distribution,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "bracketed_discount_revenue": q_bracketed_discount_revenue,
+        "nation_market_share": q_nation_market_share,
+        "product_type_profit": q_product_type_profit,
+        "winnowed_fingerprints": q_winnowed_fingerprints,
+        "ewma_event_value": q_ewma_event_value,
+        "forecast_revenue_change": q_forecast_revenue_change,
+        "nation_trade_volume": q_nation_trade_volume,
+        "basket_part_pairs": q_basket_part_pairs,
+        "referential_integrity_audit": q_referential_integrity_audit,
+        "daily_autocorrelation": q_daily_autocorrelation,
+        "tfidf_keywords": q_tfidf_keywords,
+        "customer_spend_gini": q_customer_spend_gini,
+        "cross_doc_span_dedup": q_cross_doc_span_dedup,
+        "hard_negative_mining": q_hard_negative_mining,
+        "important_part_share": q_important_part_share,
+        "late_shipment_priority": q_late_shipment_priority,
+        "dominant_part_suppliers": q_dominant_part_suppliers,
+        "vocab_growth": q_vocab_growth,
+        "mad_anomalies": q_mad_anomalies,
+        "streaming_links_stateful": q_streaming_links_stateful,
+        "part_basket_kcore": q_part_basket_kcore,
+        "doc_novelty": q_doc_novelty,
+        "semantic_dedup": q_semantic_dedup,
+        "part_communities_lpa": q_part_communities_lpa,
+        "dsir_importance": q_dsir_importance,
+        "hll_user_counts": q_hll_user_counts,
+        "cms_token_counts": q_cms_token_counts,
+        "weighted_doc_sample": q_weighted_doc_sample,
+        "pq_cosine_topk": q_pq_cosine_topk,
+        "hll_merge_audit": q_hll_merge_audit,
+        "theta_user_overlap": q_theta_user_overlap,
+        "kmv_quantiles": q_kmv_quantiles,
+        "bloom_dedupe": q_bloom_dedupe,
+        "quality_classifier": q_quality_classifier,
+        "hashed_embeddings": q_hashed_embeddings,
+        "seasonal_decompose": q_seasonal_decompose,
+        "links_rollup_merge": q_links_rollup_merge,
+        "zorder_layout": q_zorder_layout,
+        "kcenter_coreset": q_kcenter_coreset,
+        "equidepth_histogram": q_equidepth_histogram,
+        "vocab_encode": q_vocab_encode,
+        "aqp_group_means": q_aqp_group_means,
+        "attribution_multitouch": q_attribution_multitouch,
+        "entity_resolution": q_entity_resolution,
+        "cdc_merge": q_cdc_merge,
+        "pareto_frontier": q_pareto_frontier,
+        "theilsen_trend": q_theilsen_trend,
+        "dedupe_near_against": q_dedupe_near_against,
+        "salted_segment_revenue": q_salted_segment_revenue,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "streaming_daily_links": q_streaming_daily_links,
+        "dependency_links": q_dependency_links,
+        "links_relational": q_links_relational,
     }
 
 _CDC_MERGE_ORACLE = """
@@ -6303,6 +6314,47 @@ SELECT b.doc_id, b.n_spans,
        coalesce(k.kept_spans, 0) AS kept_spans,
        coalesce(k.cleaned_text, '') AS cleaned_text
 FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+""",
+        # ExactSubstr twin: the oracle groups sliding 8-gram TEXT
+        # directly (digests are a Spark-side shuffle-width choice, not
+        # semantics); islands break when pos > prev + k. Window-sum
+        # island ids and count(*) CAST to BIGINT (the packed_chunk_spans
+        # HUGEINT lesson).
+        "exact_substr_spans": r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+         array_to_string(
+           list_slice(toks, CAST(u.pos AS INT), CAST(u.pos AS INT) + 7),
+           ' ') AS gram
+  FROM tk, UNNEST(generate_series(1, len(toks) - 7)) AS u(pos)
+  WHERE len(toks) >= 8
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) < max(doc_id)),
+h AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk
+  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+i AS (
+  SELECT doc_id, pos,
+         CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM m
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM i GROUP BY doc_id, island
 """,
         # Ordered-fold cosine (sum ... ORDER BY i) matches the Spark
         # sequential aggregate; round-9 before ranking is the shared

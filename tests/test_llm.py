@@ -950,6 +950,73 @@ def test_auto_banding_recall_beats_uncapped_rows_on_true_pairs(spark):
     assert uncapped < 0.5, uncapped
 
 
+def test_exact_substr_spans_merge_and_cross_doc_only(spark):
+    """ExactSubstr semantics on a hand-built corpus: (1) a shared run
+    longer than k merges its overlapping duplicated k-grams into ONE
+    maximal span covering the whole run; (2) a phrase repeated only
+    WITHIN one document is not flagged (cross-doc means ≥2 distinct
+    docs); (3) docs shorter than k produce no grams; (4) two shared runs
+    separated by unique tokens stay two islands."""
+    from pyspark.sql import Row
+
+    from zipkin_dependencies_spark.llm.dedup import exact_substr_spans
+
+    shared = "t1 t2 t3 t4 t5"            # 5 tokens, k=3 → 3 dup grams
+    shared2 = "u1 u2 u3"                 # exactly k
+    docs = spark.createDataFrame(
+        [
+            # shared at pos 1..5 and shared2 at pos 9..11, gap of 3
+            Row(doc_id=1, text=f"{shared} a b c {shared2}"),
+            # same runs at other offsets in another doc
+            Row(doc_id=2, text=f"x y {shared} z {shared2}"),
+            # intra-doc-only repetition: not flagged
+            Row(doc_id=3, text="p q r s p q r s"),
+            # shorter than k: no grams at all
+            Row(doc_id=4, text="m n"),
+        ]
+    )
+    rows = exact_substr_spans(docs, k=3).collect()
+    got = {(r.doc_id, r.span_start): r for r in rows}
+    assert set(got) == {(1, 1), (1, 9), (2, 3), (2, 9)}
+    r = got[(1, 1)]
+    assert (r.span_end, r.span_len, r.n_dup_grams) == (5, 5, 3)
+    r = got[(1, 9)]
+    assert (r.span_end, r.span_len, r.n_dup_grams) == (11, 3, 1)
+    r = got[(2, 3)]
+    assert (r.span_end, r.span_len, r.n_dup_grams) == (7, 5, 3)
+    r = got[(2, 9)]
+    assert (r.span_end, r.span_len, r.n_dup_grams) == (11, 3, 1)
+    assert not [r for r in rows if r.doc_id in (3, 4)]
+
+
+def test_exact_substr_spans_adjacent_windows_fuse(spark):
+    """Two duplicated k-grams whose coverage windows merely TOUCH
+    (pos2 = pos1 + k) fuse into one island — maximal covered runs, not
+    per-gram spans."""
+    from pyspark.sql import Row
+
+    from zipkin_dependencies_spark.llm.dedup import exact_substr_spans
+
+    # doc 1: "a1 a2 a3 X b1 b2 b3" — doc 2 shares "a1 a2 a3" and
+    # "b1 b2 b3" but NOT the joint string, and doc 1's two dup grams
+    # start at pos 1 and pos 4 == 1 + k (wait: need starts 1 and 1+3=4)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a1 a2 a3 b1 b2 b3 zz"),
+            Row(doc_id=2, text="a1 a2 a3 q1 q2 b1 b2 b3"),
+        ]
+    )
+    rows = exact_substr_spans(docs, k=3).collect()
+    got = {(r.doc_id, r.span_start): r for r in rows}
+    # doc 1: grams at pos 1 (a-run) and pos 4 (b-run) — coverage
+    # [1,3] and [4,6] are adjacent → ONE island spanning 1..6
+    r = got[(1, 1)]
+    assert (r.span_end, r.span_len, r.n_dup_grams) == (6, 6, 2)
+    # doc 2: the same two runs are separated by q1 q2 → TWO islands
+    assert (got[(2, 1)].span_end, got[(2, 1)].span_len) == (3, 3)
+    assert (got[(2, 6)].span_end, got[(2, 6)].span_len) == (8, 3)
+
+
 def test_prefix_filter_exact_recall_vs_all_pairs(spark):
     """prefix_filter_pairs' advertised no-missed-pairs guarantee, checked
     against brute force: on a high-overlap corpus (short docs, tiny

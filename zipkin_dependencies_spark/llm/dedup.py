@@ -1203,6 +1203,105 @@ def cross_doc_span_dedup(
     )
 
 
+def exact_substr_spans(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr duplicated-span finder (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" §4.1 —
+    public method): per document, the MAXIMAL token spans every part of
+    which belongs to some ≥``k``-token substring that also occurs in
+    ANOTHER document. → (doc_id, span_start, span_end, span_len,
+    n_dup_grams) with 1-based token positions — the audit table a
+    curation pass cuts from each doc (the paper removes these spans;
+    emitting the spans instead of the cut text keeps the removal policy
+    — drop-all vs keep-first — a downstream choice).
+
+    The paper builds a SUFFIX ARRAY over the concatenated corpus; this
+    is the shuffle-native distributed formulation, exact by a
+    window-cover lemma: a substring of length L ≥ k occurs twice iff
+    every one of its k-token windows occurs twice, so the set of tokens
+    covered by duplicated ≥k-substrings EQUALS the set covered by
+    duplicated k-grams — and the maximal duplicated spans are exactly
+    the maximal runs of overlapping/adjacent duplicated k-gram windows
+    (gaps-and-islands: a window starting at pos extends coverage
+    [pos, pos+k−1], so islands break when pos > prev_pos + k). No
+    global suffix sort, no LCP walk — corpus order never materializes.
+
+    Scale: grams shuffle as (doc_id, pos, 256-bit digest) — the gram
+    TEXT never leaves the scan stage (same collision stance as
+    `dedupe_exact`: SHA-256 equality IS text equality at any feasible
+    corpus size). "Occurs in another doc" is min(doc_id) < max(doc_id)
+    per digest — a map-side-combined hash aggregate, cheaper than a
+    distinct count and exact for the ≥2-distinct-docs predicate. The
+    island walk runs in windows PARTITIONED BY doc (each partition one
+    doc's duplicated gram starts, bounded by doc length — never
+    corpus-scale), so the whole plan is two digest-keyed exchanges plus
+    one doc-keyed one, each with partial aggregation. The gram
+    explosion is computed twice (dup-digest side column-prunes to
+    (digest, doc_id)) rather than materialized — recompute is scan-local
+    CPU; materializing would write a corpus-token-count-sized table just
+    to read it once. Catalyst broadcasts the dup-digest table when stats
+    allow and falls back to a shuffled join when it is large — both are
+    the right plan at their respective duplication rates."""
+    from pyspark.sql import Window
+
+    from ..scaling import ensure_min_parallelism
+
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    base = ensure_min_parallelism(
+        docs.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
+    ).filter(F.size("tk") >= k)
+    digests = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - k + 1),
+        lambda i: F.sha2(F.array_join(F.slice("tk", i, k), " "), 256),
+    )
+    grams = base.select(
+        "doc_id", F.posexplode(digests).alias("pos0", "digest")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "digest"
+    )
+    dup = (
+        grams.groupBy("digest")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") < F.col("mx"))
+        .select("digest")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grams.join(dup, "digest")
+        .select("doc_id", "pos")
+        .withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(cum))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k) - 1).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+            "n_dup_grams",
+        )
+    )
+
+
 def prefix_filter_pairs(
     docs: DataFrame,
     k: int = 3,
