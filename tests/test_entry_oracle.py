@@ -99,22 +99,15 @@ def test_registry_gate_window_policy():
     import __spark_entry__ as e
 
     never_driver_gated = {
-        # r07 state: through CORRECTNESS_r06, these 20 (14 r05 Block-B2 +
-        # 6 r06 additions) have never held a driver row — their first
-        # lands in CORRECTNESS_r07, which runs AFTER this round's work
-        "forecast_revenue_change", "nation_trade_volume",
-        "basket_part_pairs", "referential_integrity_audit",
-        "daily_autocorrelation", "tfidf_keywords", "customer_spend_gini",
-        "cross_doc_span_dedup", "hard_negative_mining",
-        "important_part_share", "late_shipment_priority",
-        "dominant_part_suppliers", "vocab_growth", "mad_anomalies",
-        "prefix_filter_pairs", "streaming_links_stateful",
-        "part_basket_kcore", "packed_chunk_spans", "doc_novelty",
-        "semantic_dedup",
-        # new in r07 (Block B — gate the round they appear)
-        "part_communities_lpa", "dsir_importance",
-        "hll_user_counts", "cms_token_counts", "weighted_doc_sample",
-        "pq_cosine_topk", "hll_merge_audit", "theta_user_overlap",
+        # r08 state: through CORRECTNESS_r07, these four have never held
+        # a GREEN driver row (packed_chunk_spans gated r07 but red on the
+        # oracle HUGEINT cast, fixed this round; the other three were the
+        # r07 coda, registered past the window) — their first green row
+        # lands in CORRECTNESS_r08, which runs AFTER this round's work
+        "packed_chunk_spans", "streaming_cdc_replay",
+        "table_profile", "top_user_journeys",
+        # new in r08 (Block B — gate the round they appear)
+        "exact_substr_spans",
     }
     window = set(list(e.queries())[:50])
     missing = never_driver_gated - window
