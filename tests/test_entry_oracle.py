@@ -117,3 +117,32 @@ def test_registry_gate_window_policy():
     )
     # and every registry entry still has an oracle twin
     assert set(e.queries()) == set(e.oracle_sql())
+
+
+def test_no_hugeint_oracle_output_columns(ddb):
+    """Dtype-divergence guard for the packed_chunk_spans bug class (r07's
+    one red driver row): DuckDB widens integer window/aggregate sums to
+    HUGEINT, which the DRIVER's pandas-based value hasher represents
+    differently than Spark's LONG — while this suite's Python-value
+    compare sees them as equal (int128 == int64 in Python). The local
+    gate therefore CANNOT catch the class by value; it CAN catch it by
+    TYPE. Every oracle output column must resolve to a non-HUGEINT
+    DuckDB type — a windowed or scalar integer sum exposed as output
+    needs an explicit CAST(... AS BIGINT), exactly as assign_shards_sql
+    has always done."""
+    import __spark_entry__ as e
+
+    offenders = {}
+    for name, sql in e.oracle_sql().items():
+        rel = ddb.sql(sql)
+        hits = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(t).upper()
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        f"oracle outputs with HUGEINT columns (driver hash-mismatch "
+        f"class — add CAST(... AS BIGINT)): {offenders}"
+    )
