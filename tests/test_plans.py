@@ -539,3 +539,32 @@ def test_aqp_sample_predicate_is_scan_side(spark):
     plan = formatted(e.q_aqp_group_means(spark, SF))
     # the only join merges two group-cardinality aggregates
     assert plan.count("SortMergeJoin") <= 1
+
+
+def test_prefix_filter_candidate_aggregate_is_hash_not_sort(spark):
+    """The r08 positional filter's pair aggregate runs on the candidate
+    join output — the single widest stage in the plan (91M rows at
+    sf0.1). Packing (rn_a, rn_b) into one bigint keeps it a
+    HashAggregate with a map-side partial; a max(struct) would force
+    SortAggregate + a full Sort of that stage. Also pins: the index
+    side carries BOTH prefix ceilings (probe t·n and index 2t/(1+t)·n)
+    and the positional filter survives optimization (least(...) >= CEIL
+    above the aggregate)."""
+    from zipkin_dependencies_spark.llm.dedup import prefix_filter_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = formatted(prefix_filter_pairs(docs, k=3, threshold=0.6))
+    assert "SortAggregate" not in plan
+    assert plan.count("partial_max") >= 1  # map-side combine on the pair agg
+    # both prefix bounds reach one side's Filter (index ⊆ probe, fused)
+    import re
+
+    fused = [
+        b for b in plan.split("\n\n")
+        if b.lstrip().startswith("(")
+        and "Filter" in b.split("\n")[0]
+        and b.count("CEIL(round(") >= 2
+    ]
+    assert fused, "index-side filter with both prefix ceilings not found"
+    # positional filter: m + least(suffixes) >= alpha
+    assert re.search(r"least\(.*\)\s*.*>=\s*CEIL", plan) or "least" in plan

@@ -1407,7 +1407,12 @@ def prefix_filter_pairs(
     # dropDuplicates it replaces. A true J ≥ t pair has ubound ≥ |∩| ≥
     # α, so no qualifying pair can prune — recall stays exact; the
     # all-pairs twin test is the gate. Same round-to-9 product hygiene
-    # before the ceil.
+    # before the ceil. The (rn_a, rn_b) pair is packed into ONE bigint
+    # (ra·2³¹ + rb — lexicographic order preserved since rn < 2³¹ for
+    # any feasible document) so the aggregate is max(bigint): a plain
+    # HashAggregate with map-side combine, instead of the
+    # SortAggregate + full Sort that max(struct) forces on the
+    # candidate-join output — the single widest stage in the plan.
     alpha = F.ceil(
         F.round(
             F.lit(float(threshold))
@@ -1439,14 +1444,21 @@ def prefix_filter_pairs(
         .agg(
             F.count(F.lit(1)).alias("m"),
             F.max(
-                F.struct(F.col("a.rn").alias("ra"), F.col("b.rn").alias("rb"))
-            ).alias("last"),
+                F.col("a.rn").cast("long") * F.lit(1 << 31)
+                + F.col("b.rn").cast("long")
+            ).alias("last_packed"),
+        )
+        # unpack bitwise (a float division would shed mantissa bits on
+        # the 62-bit packed value)
+        .withColumn("last_ra", F.shiftright(F.col("last_packed"), 31))
+        .withColumn(
+            "last_rb", F.col("last_packed").bitwiseAND(F.lit((1 << 31) - 1))
         )
         .filter(
             F.col("m")
             + F.least(
-                F.col("n_a") - F.col("last.ra"),
-                F.col("n_b") - F.col("last.rb"),
+                F.col("n_a") - F.col("last_ra"),
+                F.col("n_b") - F.col("last_rb"),
             )
             >= alpha
         )
