@@ -145,11 +145,30 @@ def pq_topk(
         ),
         9,
     )
+    # argmin as min over ONE packed bigint: the 9-dp-rounded distance
+    # scales to an exact integer (≤ 4e9 < 2^32 for unit-norm slices, so
+    # d9i·2^20 + code fits a long with code < 2^20 ≥ MAX_CENTROIDS) and
+    # packing is order-isomorphic to struct(d9, code) — min(bigint)
+    # hash-aggregates with a map-side partial, where min_by(code,
+    # struct(...)) forces SortAggregate + a full Sort of the
+    # corpus×subspace×codebook stage (the encode's widest). Ordering
+    # and tie-break (smallest code) are bit-identical to the struct
+    # form, so the oracle's round-9-then-argmin contract is unchanged.
+    d9i = F.round(d9 * 1e9).cast("bigint")
     codes = (
         corpus_sub.join(F.broadcast(cb), "m")
-        .select("id", "m", "code", d9.alias("d9"))
+        .select(
+            "id",
+            "m",
+            (F.shiftleft(d9i, 20) + F.col("code")).alias("packed"),
+        )
         .groupBy("id", "m")
-        .agg(F.expr("min_by(code, struct(d9, code))").alias("code"))
+        .agg(F.min("packed").alias("packed"))
+        .select(
+            "id",
+            "m",
+            F.col("packed").bitwiseAND(F.lit((1 << 20) - 1)).alias("code"),
+        )
     )
 
     # ADC lookup table: per (query, subspace, code) quantized sub-dot —
