@@ -1017,6 +1017,66 @@ def test_exact_substr_spans_adjacent_windows_fuse(spark):
     assert (got[(2, 6)].span_end, got[(2, 6)].span_len) == (8, 3)
 
 
+def test_exact_substr_spans_equals_semantic_definition_randomized(spark):
+    """Validates the window-cover lemma the operator is built on against
+    the SEMANTIC definition from the paper, computed independently by
+    brute force: a token of doc D is removable iff it lies inside some
+    substring of length ≥ k that occurs verbatim in a DIFFERENT document
+    (any alignment, any length). The brute force enumerates ALL
+    substrings of length ≥ k (O(n³) — fine at this size); the operator
+    only ever looks at k-grams. 20 seeded random corpora over a tiny
+    alphabet force heavy accidental sharing, including runs longer than
+    k, nested repeats, and same-doc-only repeats."""
+    import random
+
+    from pyspark.sql import Row
+
+    from zipkin_dependencies_spark.llm.dedup import exact_substr_spans
+
+    k = 3
+    rng = random.Random(1234)
+    for trial in range(20):
+        n_docs = rng.randint(2, 6)
+        docs_tokens = [
+            [rng.choice("ab") + str(rng.randint(0, 3)) for _ in range(rng.randint(0, 14))]
+            for _ in range(n_docs)
+        ]
+        # brute force: covered[d] = set of 0-based token idxs inside any
+        # >=k-substring of doc d that appears verbatim in another doc
+        joined = [" ".join(t) for t in docs_tokens]
+        covered = [set() for _ in range(n_docs)]
+        for d, toks in enumerate(docs_tokens):
+            n = len(toks)
+            for i in range(n):
+                for j in range(i + k, n + 1):
+                    sub = " ".join(toks[i:j])
+                    if any(
+                        e != d
+                        and f" {sub} " in f" {joined[e]} "
+                        for e in range(n_docs)
+                    ):
+                        covered[d].update(range(i, j))
+        expect = set()
+        for d in range(n_docs):
+            idxs = sorted(covered[d])
+            run = []
+            for x in idxs:
+                if run and x != run[-1] + 1:
+                    expect.add((d, run[0] + 1, run[-1] + 1))
+                    run = []
+                run.append(x)
+            if run:
+                expect.add((d, run[0] + 1, run[-1] + 1))
+        df = spark.createDataFrame(
+            [Row(doc_id=d, text=" ".join(t)) for d, t in enumerate(docs_tokens)]
+        )
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in exact_substr_spans(df, k=k).collect()
+        }
+        assert got == expect, f"trial {trial}: {got} != {expect}"
+
+
 def test_prefix_filter_exact_recall_vs_all_pairs(spark):
     """prefix_filter_pairs' advertised no-missed-pairs guarantee, checked
     against brute force: on a high-overlap corpus (short docs, tiny
