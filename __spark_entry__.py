@@ -4734,6 +4734,40 @@ def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): the top-8
+    learned merges with their pair counts. ONE corpus-scale stage (the
+    word count); every merge round runs on the cached word VOCAB — pair
+    explode is a projection, the pair aggregate is map-side combined, the
+    argmax is TakeOrdered(1), the merge apply is a codegen'd array fold
+    (exact greedy semantics — equivalence note in llm/bpe.py). Driver
+    state = the merge table itself: 8 rows by construction."""
+    from zipkin_dependencies_spark.llm.bpe import bpe_train
+    from zipkin_dependencies_spark.testdata import load
+
+    return bpe_train(load(spark, sf_dir, "documents"), n_merges=8)
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift gate: event `value`
+    distribution, first half of the month vs the rest. Collapses to
+    distinct quantized values in ONE shuffle, then both ECDFs ride a
+    single two-phase distributed prefix sum (no single-partition window);
+    the D maximum and its location come out of one max(struct) aggregate.
+    Integer cross-multiplied gaps in DECIMAL(38,0) — exact at any n —
+    with one final double divide quantized to 1e-6 (see
+    operators/stats.py)."""
+    from zipkin_dependencies_spark.operators.stats import ks_statistic
+    from zipkin_dependencies_spark.testdata import epoch_us, load_events
+
+    ev = load_events(spark, sf_dir)
+    return ks_statistic(
+        ev,
+        F.round(F.col("value") * 1e6).cast("bigint"),
+        epoch_us("ts") < F.lit(1705363200000000),  # 2024-01-16 00:00 UTC
+    )
+
+
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-example mining: nearest same-label and nearest
     other-label neighbor per sampled query vector, plus the cosine margin
@@ -4888,13 +4922,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r08 ROTATION: Block A = the four queries without a green driver row
     # (packed_chunk_spans — r07's one red, oracle HUGEINT cast fixed this
     # round — plus the three r07 coda queries that landed past the
-    # window). Block B = new-in-r08 (exact_substr_spans). Block C =
-    # touched code (prefix_filter_pairs: positional filter + index-prefix
-    # asymmetry). Block D = the ENTIRE 42-query r03 cohort, clearing all
-    # pre-r04 driver evidence in one round. Block E = the two oldest r04
-    # streaming replays, filling the window to exactly 50. The tail is
-    # ordered oldest-evidence-first so future windows compose by taking
-    # the head. Standing policy: never-gated first, new queries second,
+    # window). Block B = new-in-r08 (exact_substr_spans, bpe_train,
+    # ks_drift). Block C = touched code (prefix_filter_pairs: positional
+    # filter + index-prefix asymmetry). Block D = the ENTIRE 42-query r03
+    # cohort, clearing all pre-r04 driver evidence in one round. (Block E
+    # — the two oldest r04 streaming replays — initially filled the
+    # window; it re-ceded both slots to bpe_train/ks_drift when those
+    # landed mid-round: the priority order below ranks new queries above
+    # oldest-evidence re-gates, and IN-window registration is exactly
+    # what the window policy exists to force.) The tail is ordered
+    # oldest-evidence-first so future windows compose by taking the
+    # head. Standing policy: never-gated first, new queries second,
     # touched code third, then oldest evidence — and, closing the r07
     # window-policy gap: once the round's window is composed, query
     # REGISTRATION closes too (no more tier-L-only coda additions).
@@ -4912,6 +4950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the window is composed is CLOSED — r08 adds exactly what the
         # window can hold) ---
         "exact_substr_spans": q_exact_substr_spans,
+        "bpe_train": q_bpe_train,
+        "ks_drift": q_ks_drift,
         # --- BLOCK C (r08): touched-code re-gate — prefix_filter_pairs
         # gained the PPJoin positional filter + Bayardo index-prefix
         # asymmetry this round ---
@@ -4961,14 +5001,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_tokens": q_top_k_tokens,
         "token_idf": q_token_idf,
         "top_docs_per_source": q_top_docs_per_source,
-        # --- BLOCK E (r08): the two oldest r04 streaming replays fill
-        # the window to exactly 50 ---
-        "streaming_funnel_replay": q_streaming_funnel_replay,
-        "streaming_anomalies_replay": q_streaming_anomalies_replay,
         # --- window boundary (position 50) ---
+        # (Block E was re-ceded mid-round: the two r04 streaming replays
+        # that filled the window yielded their slots to the two late-r08
+        # queries in Block B — the standing priority order ranks
+        # never-gated new queries above oldest-evidence re-gates. Their
+        # r04 evidence stands; they lead the tail for r09.)
         # Tail is ordered oldest-driver-evidence-first so the r09 window
         # composes by taking the head: remaining r04 cohort, then r06,
         # then the r07/r08-fresh block.
+        "streaming_funnel_replay": q_streaming_funnel_replay,
+        "streaming_anomalies_replay": q_streaming_anomalies_replay,
         "streaming_bursts_replay": q_streaming_bursts_replay,
         "streaming_join_replay": q_streaming_join_replay,
         "top_trace_paths": q_top_trace_paths,
@@ -6356,6 +6399,15 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_dup_grams
 FROM i GROUP BY doc_id, island
 """,
+        # Unrolled 8-stage BPE twin (llm/oracles.py generator): per-stage
+        # argmax scalar CTE + list_reduce greedy fold — the equivalence
+        # argument lives in llm/bpe.py.
+        "bpe_train": llm_oracles.bpe_train_sql(n_merges=8),
+        # KS twin: same distinct-value collapse + DECIMAL(38,0) integer
+        # gaps; split literal = 2024-01-16 00:00 UTC in epoch µs.
+        "ks_drift": llm_oracles.ks_drift_sql(
+            split_epoch_us=1705363200000000
+        ),
         # Ordered-fold cosine (sum ... ORDER BY i) matches the Spark
         # sequential aggregate; round-9 before ranking is the shared
         # contract. Queries: vec_id % 16 = 0, zero-norm vectors excluded

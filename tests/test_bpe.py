@@ -1,0 +1,90 @@
+"""bpe_train vs a sequential pure-Python BPE reference (Sennrich 2016
+semantics: pair counts weighted by word frequency, argmax with (count
+desc, pair asc) tie-break, greedy left-to-right non-overlapping apply)."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+
+from zipkin_dependencies_spark.llm.bpe import EOW, bpe_train
+
+
+def _ref_apply(syms: list[str], a: str, b: str) -> list[str]:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_bpe(texts: list[str], n_merges: int):
+    words: Counter[str] = Counter()
+    for t in texts:
+        for w in t.lower().strip().split():
+            if w:
+                words[w] += 1
+    vocab = [([*w, EOW], c) for w, c in words.items()]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc: Counter[tuple[str, str]] = Counter()
+        for syms, c in vocab:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, a + b, cnt))
+        vocab = [(_ref_apply(s, a, b), c) for s, c in vocab]
+    return merges
+
+
+def _spark_bpe(spark, texts, n_merges):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = bpe_train(docs, n_merges=n_merges).collect()
+    return sorted(
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in rows
+    )
+
+
+def test_worked_example(spark):
+    # classic Sennrich-style toy: 'low' x5, 'lower' x2, 'newest' x6
+    texts = ["low " * 5 + "lower " * 2 + "newest " * 6]
+    got = _spark_bpe(spark, texts, 4)
+    want = _ref_bpe(texts, 4)
+    assert got == sorted(want)
+    # first merge is (w,e): 6x in 'newest' + 2x in 'lower' = 8
+    assert got[0][1:] == ("w", "e", "we", 8)
+
+
+def test_early_stop_on_collapsed_vocab(spark):
+    # one 1-char word: [x, </w>] merges once, then no pairs remain
+    got = _spark_bpe(spark, ["x x x"], 5)
+    assert got == [(1, "x", EOW, "x" + EOW, 3)]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_randomized_vs_reference(spark, seed):
+    rng = random.Random(seed)
+    alphabet = "abc"
+    texts = [
+        " ".join(
+            "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 6))
+            )
+            for _ in range(30)
+        )
+        for _ in range(3)
+    ]
+    assert _spark_bpe(spark, texts, 6) == sorted(_ref_bpe(texts, 6))

@@ -568,3 +568,43 @@ def test_prefix_filter_candidate_aggregate_is_hash_not_sort(spark):
     assert fused, "index-side filter with both prefix ceilings not found"
     # positional filter: m + least(suffixes) >= alpha
     assert re.search(r"least\(.*\)\s*.*>=\s*CEIL", plan) or "least" in plan
+
+
+def test_bpe_pair_stage_hash_agg_and_takeordered_argmax(spark):
+    """BPE's per-round pair stage must be a map-side-combined HashAggregate
+    (partial_sum below the pair exchange), and the argmax must plan as
+    TakeOrderedAndProject — per-partition top-1, never a global Sort."""
+    from zipkin_dependencies_spark.llm.bpe import EOW, pair_counts
+
+    vocab = spark.createDataFrame(
+        [(3, ["l", "o", "w", EOW]), (2, ["n", "e", "w", EOW])],
+        "wc long, syms array<string>",
+    )
+    pairs = pair_counts(vocab)
+    argmax = pairs.orderBy(
+        F.col("pair_count").desc(), "left_sym", "right_sym"
+    ).limit(1)
+    plan = formatted(argmax)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortAggregate" not in plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_ks_drift_no_datascale_single_partition_window(spark):
+    """Both ECDF running sums must ride the bucket-partitioned window of
+    the two-phase prefix sum (hashpartitioning on __bkt) with the offset
+    and totals tables broadcast — never a single-partition window over the
+    distinct-value table."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_ks_drift(spark, SF))
+    assert "hashpartitioning(__bkt" in plan, plan
+    assert "BroadcastExchange" in plan
+    # the only SinglePartition exchange allowed is the final 1-row agg
+    import re
+
+    windows = [
+        b for b in plan.split("\n\n") if b.lstrip().startswith("(")
+        and b.split("\n")[0].strip().endswith("Window")
+    ]
+    assert not any("SinglePartition" in b for b in windows)

@@ -1,0 +1,99 @@
+"""ks_statistic vs a brute-force sequential ECDF walk, and the
+multi-weight distributed_prefix_sums vs its single-partition window twin."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from zipkin_dependencies_spark.operators.rank import distributed_prefix_sums
+from zipkin_dependencies_spark.operators.stats import ks_statistic
+
+
+def _ref_ks(a: list[int], b: list[int]):
+    na, nb = len(a), len(b)
+    ca = cb = 0
+    cnt_a, cnt_b = Counter(a), Counter(b)
+    best_gap, at = -1, None
+    for v in sorted(set(a) | set(b)):
+        ca += cnt_a[v]
+        cb += cnt_b[v]
+        gap = abs(ca * nb - cb * na)
+        if gap > best_gap:
+            best_gap, at = gap, v
+    return {
+        "n_a": na,
+        "n_b": nb,
+        "n_vals": len(set(a) | set(b)),
+        "at_v": at,
+        "ks_q6": round(1e6 * best_gap / (na * nb)),
+    }
+
+
+def _spark_ks(spark, a, b, n_buckets=8):
+    df = spark.createDataFrame(
+        [(v, True) for v in a] + [(v, False) for v in b],
+        "v long, is_a boolean",
+    )
+    row = ks_statistic(df, "v", F.col("is_a"), n_buckets=n_buckets).collect()[0]
+    return row.asDict()
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_randomized_vs_reference(spark, seed):
+    rng = random.Random(seed)
+    # heavy ties on purpose: small value domain, shifted distributions
+    a = [rng.randint(0, 30) for _ in range(rng.randint(50, 200))]
+    b = [rng.randint(5, 40) for _ in range(rng.randint(50, 200))]
+    assert _spark_ks(spark, a, b) == _ref_ks(a, b)
+
+
+def test_identical_samples_zero(spark):
+    a = [1, 2, 2, 3, 9]
+    got = _spark_ks(spark, a, list(a))
+    assert got["ks_q6"] == 0
+
+
+def test_disjoint_samples_one(spark):
+    got = _spark_ks(spark, [1, 2, 3], [10, 11, 12, 13])
+    assert got["ks_q6"] == 1_000_000
+    assert got["at_v"] == 3  # gap saturates at A's max value
+
+
+def test_nulls_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, True), (None, True), (2, False), (None, False)],
+        "v long, is_a boolean",
+    )
+    row = ks_statistic(df, "v", F.col("is_a")).collect()[0]
+    assert (row.n_a, row.n_b, row.n_vals) == (1, 1, 2)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_prefix_sums_match_window_twin(spark, seed):
+    rng = random.Random(seed)
+    rows = [
+        (rng.randint(0, 20), rng.randint(0, 5), rng.randint(0, 5), i)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "v long, w1 long, w2 long, id long")
+    got = distributed_prefix_sums(
+        df, "v", ["w1", "w2"], tiebreak_cols=["id"], n_buckets=7,
+        out_cols=["c1", "c2"],
+    )
+    w = (
+        Window.orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.select(
+        "id",
+        (F.sum("w1").over(w) - F.col("w1")).alias("c1"),
+        (F.sum("w2").over(w) - F.col("w2")).alias("c2"),
+    )
+    got_m = {r.id: (r.c1, r.c2) for r in got.collect()}
+    want_m = {r.id: (r.c1, r.c2) for r in want.collect()}
+    assert got_m == want_m

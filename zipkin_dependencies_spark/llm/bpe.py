@@ -1,0 +1,166 @@
+"""Distributed BPE tokenizer training (Sennrich, Haddow & Birch, ACL 2016,
+"Neural Machine Translation of Rare Words with Subword Units").
+
+The textbook scale decomposition: BPE never iterates over the corpus — it
+iterates over the WORD VOCABULARY, weighted by word frequency. So the one
+corpus-scale stage is a single `explode(tokens) → groupBy(word)` count
+(one shuffle, map-side combined), after which the 100 TB corpus is out of
+the picture entirely: every merge round runs on the vocab table (distinct
+words — millions of rows where the corpus has trillions of tokens).
+
+Per merge round, on the cached vocab:
+  1. pair counts:   explode adjacent symbol pairs (arrays_zip of the two
+     shifted slices — a pure projection), hash-aggregate sum(word_count)
+     keyed on the pair. Map-side combine collapses the count before the
+     (tiny) pair-domain shuffle.
+  2. argmax:        orderBy(count desc, pair asc) . limit(1) — Spark plans
+     TakeOrderedAndProject (per-partition top-1, driver merge of
+     n_partitions rows), never a global sort. Tie-break is total
+     (count desc, left asc, right asc) so training is deterministic.
+  3. merge apply:   a codegen'd `aggregate()` fold over each word's symbol
+     array — exact single-pass left-to-right greedy pair replacement
+     (the fold accumulator IS the rewritten prefix; see `_apply_merge`).
+     A projection: no shuffle, no UDF, no Python row path.
+
+Round r re-derives the vocab by chaining the r learned folds onto the ONE
+cached base frame (k² total fold expressions over a vocab-sized table, vs
+k persists of mutated frames — expression chaining keeps a single cache
+resident and the lineage bounded by n_merges, which is a constant).
+
+Driver state: the learned merge table itself — n_merges rows, by
+construction. The `.collect()` per round is exactly 1 row.
+
+Greedy-apply equivalence note (why the fold is exact BPE): BPE's apply
+replaces non-overlapping (a,b) occurrences left-to-right in one pass. The
+fold maintains that invariant: the accumulator holds the already-rewritten
+prefix, and a new symbol x merges iff the accumulator's LAST symbol equals
+`a` and x equals `b`. A freshly merged `ab` can never re-merge as the left
+side of the same rule in the same pass (it is no longer the symbol `a`) —
+identical to the sequential semantics, including runs like [a,a] with rule
+(a,a) → [aa] then the next `a` starts a new candidate.
+
+Reference parity: the reference pipeline has no text operators at all
+(SURVEY §2 — it is a trace aggregator); this is an extension operator for
+the training-data surface. Oracle: `llm/oracles.py::bpe_train_sql`
+(DuckDB list_reduce fold with a chr(1)-delimited string accumulator —
+value-identical by the same equivalence argument).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+#: End-of-word marker appended to every word's symbol sequence (classic
+#: Sennrich form — lets merges learn word-final subwords like "ing</w>").
+#: Never collides with corpus symbols: initial symbols are single
+#: characters, and every merged symbol containing it ends with it.
+EOW = "</w>"
+
+MERGES_SCHEMA = (
+    "merge_rank bigint, left_sym string, right_sym string, "
+    "merged string, pair_count bigint"
+)
+
+
+def _apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Exact single-pass greedy apply of merge (a, b) → a+b as a fold.
+
+    F.get (0-based, null-safe) keeps the empty-accumulator probe legal
+    under ANSI mode: get([], -1) is NULL, NULL == a is NULL, and the
+    WHEN condition treats NULL as false — no size() guard needed."""
+    merged = a + b
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - 1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """(wc, syms) → (left_sym, right_sym, pair_count): adjacent-pair counts
+    weighted by word frequency. The explode is a projection (arrays_zip of
+    two shifted slices); the aggregate is a hash aggregate with map-side
+    partial combine — the shuffle carries the (tiny) pair domain, never
+    the vocab."""
+    return (
+        vocab.where(F.size("syms") >= 2)
+        .select(
+            "wc",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("syms", F.lit(1), F.size("syms") - 1).alias("a"),
+                    F.expr("slice(syms, 2, size(syms) - 1)").alias("b"),
+                )
+            ).alias("p"),
+        )
+        .groupBy(
+            F.col("p.a").alias("left_sym"), F.col("p.b").alias("right_sym")
+        )
+        .agg(F.sum("wc").cast("long").alias("pair_count"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Learn the top `n_merges` BPE merges from a document corpus.
+
+    → (merge_rank, left_sym, right_sym, merged, pair_count): one row per
+    learned merge, in training order. pair_count is the (word-frequency
+    weighted) number of adjacent occurrences at the time the pair was
+    chosen — the classic BPE training log.
+
+    Stops early (fewer rows than n_merges) if the vocabulary runs out of
+    adjacent pairs — only reachable on degenerate corpora where every
+    word has collapsed to a single symbol."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    base = words.select(
+        "wc",
+        F.concat(
+            F.expr("regexp_extract_all(w, '.', 0)"), F.array(F.lit(EOW))
+        ).alias("syms"),
+    ).persist()
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            syms = F.col("syms")
+            for _, a, b, _, _ in merges:
+                syms = _apply_merge(syms, a, b)
+            cur = base.select("wc", syms.alias("syms"))
+            pairs = pair_counts(cur)
+            best = (
+                pairs.orderBy(
+                    F.col("pair_count").desc(), "left_sym", "right_sym"
+                )
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            r = best[0]
+            merges.append(
+                (
+                    rank,
+                    r.left_sym,
+                    r.right_sym,
+                    r.left_sym + r.right_sym,
+                    r.pair_count,
+                )
+            )
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(merges, MERGES_SCHEMA)

@@ -1859,3 +1859,97 @@ SELECT o.bucket,
             OVER (ORDER BY o.bucket) AS BIGINT) AS cum_tokens
 FROM occ o LEFT JOIN news n ON o.bucket = n.bucket
 """
+
+
+def bpe_train_sql(n_merges: int = 8, eow: str = "</w>") -> str:
+    """Twin of llm/bpe.py::bpe_train: the identical iterative computation
+    unrolled into n_merges CTE stages. Each stage's merge-apply is a
+    list_reduce fold over a chr(1)-delimited string accumulator (DuckDB's
+    reduce seeds the accumulator with the FIRST element, so a chr(2)
+    sentinel is prepended — every real symbol then carries a chr(1)
+    prefix and `ends_with(acc, chr(1) || a)` tests exactly "last symbol
+    == a", multi-character symbols included). Fold semantics equal the
+    Spark array fold equal sequential greedy BPE apply — see the
+    equivalence note in llm/bpe.py."""
+    stages = [
+        f"""w0 AS (
+  SELECT t AS w, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest({TEXT_TOKENS}) AS t FROM documents) GROUP BY 1
+),
+v0 AS (
+  SELECT wc, list_append(regexp_extract_all(w, '.'), '{eow}') AS syms FROM w0
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        stages.append(
+            f"""p{i} AS (
+  SELECT pr[1] AS a, pr[2] AS b, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM (SELECT wc, unnest(list_zip(syms[1:len(syms)-1], syms[2:])) AS pr
+        FROM v{p} WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+),
+b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+v{i} AS (
+  SELECT wc,
+         string_split(
+           list_reduce(list_prepend(chr(2), syms), (acc, x) ->
+             CASE WHEN x = m.b AND ends_with(acc, chr(1) || m.a)
+                  THEN left(acc, length(acc) - length(m.a) - 1)
+                       || chr(1) || m.a || m.b
+                  ELSE acc || chr(1) || x END),
+           chr(1))[2:] AS syms
+  FROM v{p}, b{i} m
+)"""
+        )
+        # the last stage's v{i} is never consumed; harmless (CTEs are lazy)
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, a AS left_sym,"
+        f" b AS right_sym, a || b AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(stages) + "\n" + union
+
+
+def ks_drift_sql(split_epoch_us: int) -> str:
+    """Twin of operators/stats.py::ks_statistic over the events table,
+    sample A = events strictly before split_epoch_us. Same distinct-value
+    collapse, same DECIMAL(38,0) cross-multiplied integer gap, same
+    single double divide + 1e-6 quantization. Windowed sums CAST to
+    DECIMAL(38,0) explicitly (DuckDB widens sum(BIGINT) to HUGEINT, whose
+    driver-side dtype differs — the packed_chunk_spans lesson)."""
+    return f"""
+WITH tagged AS (
+  SELECT CAST(round(value * 1e6) AS BIGINT) AS v,
+         CASE WHEN epoch_us(ts) < {int(split_epoch_us)} THEN 1 ELSE 0 END AS ga
+  FROM events
+  WHERE value IS NOT NULL
+),
+per_v AS (
+  SELECT v, CAST(sum(ga) AS BIGINT) AS ca,
+         CAST(sum(1 - ga) AS BIGINT) AS cb
+  FROM tagged GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+         CAST(count(*) AS BIGINT) AS nv
+  FROM per_v
+),
+cum AS (
+  SELECT v,
+         CAST(sum(ca) OVER (ORDER BY v) AS DECIMAL(38,0)) AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY v) AS DECIMAL(38,0)) AS cum_b
+  FROM per_v
+),
+g AS (
+  SELECT v, abs(cum_a * CAST(nb AS DECIMAL(38,0))
+              - cum_b * CAST(na AS DECIMAL(38,0))) AS gap
+  FROM cum, tot
+)
+SELECT na AS n_a, nb AS n_b, nv AS n_vals,
+       (SELECT v FROM g ORDER BY gap DESC, v LIMIT 1) AS at_v,
+       CAST(round(1e6 * CAST((SELECT max(gap) FROM g) AS DOUBLE)
+                  / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT)
+         AS ks_q6
+FROM tot
+"""

@@ -142,7 +142,35 @@ def distributed_prefix_sum(
     within-bucket running sum + offset. (order_col, *tiebreaks) must
     totally order the rows; weights must be integral (exact prefix sums
     are the point — float weights reintroduce fold-order drift)."""
+    return distributed_prefix_sums(
+        df,
+        order_col,
+        [weight_col],
+        tiebreak_cols=tiebreak_cols,
+        n_buckets=n_buckets,
+        out_cols=[out_col],
+    )
+
+
+def distributed_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    weight_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+    n_buckets: int = 64,
+    out_cols: list[str] | None = None,
+) -> DataFrame:
+    """Multi-weight form of ``distributed_prefix_sum``: ONE bucketing pass
+    (one approxQuantile sketch, one offset collect of n_buckets rows, one
+    within-bucket window) computing the exclusive running sum of EVERY
+    column in ``weight_cols`` over the same (order_col, *tiebreaks) order.
+    Callers that need k running sums on one ordering (two-sample ECDF
+    statistics, cumulative debit/credit ledgers) pay the two-phase cost
+    once instead of k times."""
     tiebreak_cols = tiebreak_cols or []
+    out_cols = out_cols or [f"{w}_cum_before" for w in weight_cols]
+    if len(out_cols) != len(weight_cols):
+        raise ValueError("out_cols must pair 1:1 with weight_cols")
     qs = [i / n_buckets for i in range(1, n_buckets)]
     splits = sorted(set(df.stat.approxQuantile(order_col, qs, 0.01)))
     bucket = F.lit(0)
@@ -154,28 +182,38 @@ def distributed_prefix_sum(
 
     counts = (
         bucketed.groupBy("__bkt")
-        .agg(F.sum(weight_col).cast("long").alias("__w"))
+        .agg(
+            *[
+                F.sum(w).cast("long").alias(f"__w{i}")
+                for i, w in enumerate(weight_cols)
+            ]
+        )
         .collect()
     )
-    acc, offset_rows = 0, []
-    for bkt, wsum in sorted((r["__bkt"], r["__w"]) for r in counts):
-        offset_rows.append((bkt, acc))
-        acc += wsum or 0
-    offsets = df.sparkSession.createDataFrame(
-        offset_rows, schema="__bkt int, __off long"
+    accs = [0] * len(weight_cols)
+    offset_rows = []
+    for r in sorted(counts, key=lambda r: r["__bkt"]):
+        offset_rows.append((r["__bkt"], *accs))
+        for i in range(len(weight_cols)):
+            accs[i] += r[f"__w{i}"] or 0
+    off_schema = "__bkt int, " + ", ".join(
+        f"__off{i} long" for i in range(len(weight_cols))
     )
+    offsets = df.sparkSession.createDataFrame(offset_rows, schema=off_schema)
 
     w = (
         Window.partitionBy("__bkt")
         .orderBy(F.col(order_col), *[F.col(c) for c in tiebreak_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # null weights count as 0 (SQL SUM skips nulls — coalescing keeps the
-    # exclusive form from nulling out rows the window twin would fill)
-    wv = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
-    running_incl = F.sum(wv).over(w)
-    return (
-        bucketed.join(F.broadcast(offsets), "__bkt")
-        .withColumn(out_col, (running_incl - wv + F.col("__off")))
-        .drop("__bkt", "__off")
-    )
+    out = bucketed.join(F.broadcast(offsets), "__bkt")
+    drop = ["__bkt"]
+    for i, (wc, oc) in enumerate(zip(weight_cols, out_cols)):
+        # null weights count as 0 (SQL SUM skips nulls — coalescing keeps
+        # the exclusive form from nulling out rows the window twin fills)
+        wv = F.coalesce(F.col(wc).cast("long"), F.lit(0))
+        out = out.withColumn(
+            oc, (F.sum(wv).over(w) - wv + F.col(f"__off{i}"))
+        )
+        drop.append(f"__off{i}")
+    return out.drop(*drop)

@@ -1,0 +1,123 @@
+"""Exact two-sample Kolmogorov–Smirnov distance, distributed.
+
+The drift gate every large-scale data pipeline runs before shipping a new
+corpus snapshot: D = max over x of |F_A(x) − F_B(x)| between the empirical
+CDFs of two samples (Kolmogorov 1933; Smirnov 1939 — the classic
+distribution-free two-sample test). At 100 TB the textbook single-node
+formulation (sort both samples together, walk once) is unusable; the
+distributed decomposition:
+
+  1. quantize + tag:  one scan emits (v, is_a) — the quantization to
+     integer units makes every later comparison engine-exact.
+  2. collapse to distinct values:  groupBy(v) → (v, count_a, count_b).
+     ONE data-scale shuffle, map-side combined; everything after runs on
+     the distinct-value table (bounded by the quantization grid, not by
+     the corpus).
+  3. two running sums, one pass:  cum_a(v), cum_b(v) over v-order via
+     `distributed_prefix_sums` — the two-phase range-bucketed prefix sum
+     (operators/rank.py), so no single-partition window anywhere. Both
+     ECDFs share one bucketing, one offset collect (n_buckets rows), one
+     within-bucket window.
+  4. the gap maximum as ONE aggregate:  |cum_a·n_b − cum_b·n_a| is the
+     D numerator cross-multiplied into integers (no per-row division —
+     exact, and safe to compare). max(struct(gap, −v)) returns the max
+     gap AND the smallest v attaining it in a single deterministic
+     reduction (struct ordering is lexicographic) — no second pass, no
+     orderBy.
+
+Exactness: cumulative counts stay integral; the cross-multiplied gap is
+computed in DECIMAL(38,0) (counts up to ~1e12 per side square to ~1e24 —
+past BIGINT, nowhere near 38 digits). Only the final reported statistic
+divides, once, in double, then quantizes to 1e-6 units — the repo's
+engine-safe float recipe.
+
+Ties need no special case: collapsing to distinct values first means both
+ECDFs step at the same points, which is exactly the right-continuous
+definition (the max over distinct observed values IS the max over all x).
+
+Reference parity: no statistics operators exist in the reference
+(SURVEY §2); extension operator for the training-data surface. Oracle:
+`llm/oracles.py::ks_drift_sql` (windowed sums over the same distinct-value
+table; value-identical by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .rank import distributed_prefix_sums
+
+KS_SCHEMA = "n_a bigint, n_b bigint, n_vals bigint, at_v bigint, ks_q6 bigint"
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: Column | str,
+    is_a: Column,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """→ single row (n_a, n_b, n_vals, at_v, ks_q6).
+
+    value_col: an INTEGRAL column (quantize floats first — integer values
+    are what make the cross-engine comparison exact). is_a: boolean column
+    tagging sample A; false → sample B. NULL values are dropped (an ECDF
+    has no place for them). Requires both samples non-empty (the statistic
+    is undefined otherwise — the division reports NULL, not a guess).
+
+    ks_q6 = round(1e6 · D); at_v = the smallest value attaining the max
+    ECDF gap; n_vals = distinct value count (the size of the reduced
+    table every post-shuffle stage ran on)."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per_v = (
+        df.where(v.isNotNull())
+        .select(v.alias("v"), is_a.cast("int").alias("ga"))
+        .groupBy("v")
+        .agg(
+            F.sum("ga").cast("long").alias("ca"),
+            F.sum(1 - F.col("ga")).cast("long").alias("cb"),
+        )
+    )
+    cum = distributed_prefix_sums(
+        per_v,
+        "v",
+        ["ca", "cb"],
+        tiebreak_cols=[],
+        n_buckets=n_buckets,
+        out_cols=["ca_before", "cb_before"],
+    )
+    tot = per_v.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
+    dec = "decimal(38,0)"
+    cum_a = (F.col("ca_before") + F.col("ca")).cast(dec)
+    cum_b = (F.col("cb_before") + F.col("cb")).cast(dec)
+    gap = F.abs(
+        cum_a * F.col("nb").cast(dec) - cum_b * F.col("na").cast(dec)
+    )
+    best = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.struct(gap.alias("gap"), (-F.col("v")).alias("nv_"))
+            ).alias("m"),
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.max("nv").alias("n_vals"),
+        )
+    )
+    return best.select(
+        "n_a",
+        "n_b",
+        "n_vals",
+        (-F.col("m.nv_")).cast("bigint").alias("at_v"),
+        F.round(
+            F.lit(1e6)
+            * F.col("m.gap").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        )
+        .cast("bigint")
+        .alias("ks_q6"),
+    )
