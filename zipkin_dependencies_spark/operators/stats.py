@@ -69,6 +69,12 @@ def ks_statistic(
     ECDF gap; n_vals = distinct value count (the size of the reduced
     table every post-shuffle stage ran on)."""
     v = F.col(value_col) if isinstance(value_col, str) else value_col
+    # materialize the distinct-value reduction ONCE (eager localCheckpoint,
+    # the repo's materialize-once idiom): three consumers read it — the
+    # bucketing sketch (approxQuantile), the running sums, and the totals —
+    # and without the checkpoint each would rescan the full input. The
+    # checkpointed table is distinct-value-sized (bounded by the
+    # quantization grid), never corpus-sized.
     per_v = (
         df.where(v.isNotNull())
         .select(v.alias("v"), is_a.cast("int").alias("ga"))
@@ -77,6 +83,7 @@ def ks_statistic(
             F.sum("ga").cast("long").alias("ca"),
             F.sum(1 - F.col("ga")).cast("long").alias("cb"),
         )
+        .localCheckpoint(eager=True)
     )
     cum = distributed_prefix_sums(
         per_v,
