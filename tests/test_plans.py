@@ -600,6 +600,10 @@ def test_ks_drift_no_datascale_single_partition_window(spark):
     plan = formatted(e.q_ks_drift(spark, SF))
     assert "hashpartitioning(__bkt" in plan, plan
     assert "BroadcastExchange" in plan
+    # both ECDF running sums share ONE Window node (same frame, same
+    # projection — interleaved Projects would split it into two passes)
+    head = plan.split("\n\n")[0]
+    assert head.count("Window (") == 1, head
     # the only SinglePartition exchange allowed is the final 1-row agg
     import re
 

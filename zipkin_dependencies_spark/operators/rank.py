@@ -206,14 +206,15 @@ def distributed_prefix_sums(
         .orderBy(F.col(order_col), *[F.col(c) for c in tiebreak_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = bucketed.join(F.broadcast(offsets), "__bkt")
-    drop = ["__bkt"]
+    joined = bucketed.join(F.broadcast(offsets), "__bkt")
+    # all running sums in ONE select: window expressions sharing a frame
+    # must land in the same projection or Catalyst plans one Window node
+    # per withColumn (interleaved Projects block the window-collapse rule)
+    sums = []
     for i, (wc, oc) in enumerate(zip(weight_cols, out_cols)):
         # null weights count as 0 (SQL SUM skips nulls — coalescing keeps
         # the exclusive form from nulling out rows the window twin fills)
         wv = F.coalesce(F.col(wc).cast("long"), F.lit(0))
-        out = out.withColumn(
-            oc, (F.sum(wv).over(w) - wv + F.col(f"__off{i}"))
-        )
-        drop.append(f"__off{i}")
-    return out.drop(*drop)
+        sums.append((F.sum(wv).over(w) - wv + F.col(f"__off{i}")).alias(oc))
+    keep = [c for c in joined.columns if not c.startswith("__")]
+    return joined.select(*keep, *sums)

@@ -35,6 +35,12 @@ SNAPSHOT_QUERIES: tuple[str, ...] = (
     "pareto_frontier",
     "bloom_dedupe",
     "quality_classifier",
+    # r08 representative: the KS drift gate (distinct-value collapse +
+    # bucket-partitioned ECDF windows + broadcast offsets/totals).
+    # bpe_train is NOT snapshotable as one plan — it is an iterative
+    # driver loop whose result is an 8-row local table; its per-round
+    # pair/argmax plan shape is pinned by test_plans.py instead.
+    "ks_drift",
 )
 
 HEADER = """# PLANS — captured physical plans (generated)
