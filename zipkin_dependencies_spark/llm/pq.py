@@ -138,10 +138,17 @@ def pq_topk(
         F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
         F.col("xs"),
     ).select("id", "m", F.expr(f"slice(xs, m * {subdim} + 1, {subdim})").alias("cs"))
+    # squared sub-distance UNROLLED over the plan-time-constant subdim:
+    # higher-order functions (zip_with/aggregate lambdas) run on Spark's
+    # interpreted expression path, and this is the encode's widest stage
+    # (N·M·K rows) — the unrolled codegen'd arithmetic measured 2.1×
+    # faster at sf0.1 with a bit-identical checksum (the Python sum()
+    # builds the same left-to-right addition chain as the sequential
+    # fold, so the round-9-then-argmin oracle contract is unchanged).
     d9 = F.round(
-        F.expr(
-            "aggregate(zip_with(cs, sub, (x, y) -> (x - y) * (x - y)),"
-            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        sum(
+            (F.expr(f"cs[{j}] - sub[{j}]") * F.expr(f"cs[{j}] - sub[{j}]"))
+            for j in range(subdim)
         ),
         9,
     )
@@ -180,10 +187,12 @@ def pq_topk(
     ).select(
         "query_id", "m", F.expr(f"slice(qv, m * {subdim} + 1, {subdim})").alias("qs")
     )
+    # same unroll as the encode distance (identical fold order); this
+    # stage is queries×M×K (tiny), unrolled for contract symmetry
     p_q9 = F.round(
-        F.expr(
-            "aggregate(zip_with(qs, sub, (x, y) -> CAST(x AS DOUBLE) * y),"
-            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        sum(
+            (F.expr(f"CAST(qs[{j}] AS DOUBLE)") * F.expr(f"sub[{j}]"))
+            for j in range(subdim)
         )
         * 1e9
     ).cast("bigint")
