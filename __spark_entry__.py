@@ -864,7 +864,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.testdata import load
 
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, emb.filter(F.col("vec_id") < 32), k=5)
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 32), k=5, dim=64)
 
 
 def q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -874,7 +874,9 @@ def q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.testdata import load
 
     emb = load(spark, sf_dir, "embeddings")
-    return quantized_cosine_topk(emb, emb.filter(F.col("vec_id") < 32), k=5)
+    return quantized_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 32), k=5, dim=64
+    )
 
 
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -896,7 +898,12 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return ivf_cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 32), k=5, centroid_stride=97, n_probe=4
+        emb,
+        emb.filter(F.col("vec_id") < 32),
+        k=5,
+        centroid_stride=97,
+        n_probe=4,
+        dim=64,
     )
 
 
@@ -1140,7 +1147,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("rank").alias("kw_rank")
     )
     sem = (
-        cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+        cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=10, dim=64)
         .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
     )
     fused = kw.join(sem, "doc_id", "full_outer").select(
@@ -1182,7 +1189,9 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.llm.kmeans import kmeans_assign
     from zipkin_dependencies_spark.testdata import load
 
-    return kmeans_assign(load(spark, sf_dir, "embeddings"), rounds=2, stride=97)
+    return kmeans_assign(
+        load(spark, sf_dir, "embeddings"), rounds=2, stride=97, dim=64
+    )
 
 
 def q_dense_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1341,7 +1350,7 @@ def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.testdata import load
 
     emb = load(spark, sf_dir, "embeddings")
-    hits = cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
+    hits = cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=3, dim=64)
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
     return (
         F.broadcast(hits)
@@ -2346,7 +2355,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 32)
-    exact = cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    exact = cosine_topk(emb, qs, k=5, dim=64).select("query_id", "neighbor_id")
     approx = lsh_cosine_topk(emb, qs, k=5, n_planes=8).select(
         "query_id", "neighbor_id"
     )
@@ -4473,7 +4482,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.testdata import load
 
     return semantic_dedup(
-        load(spark, sf_dir, "embeddings"), threshold=0.8, rounds=2
+        load(spark, sf_dir, "embeddings"), threshold=0.8, rounds=2, dim=64
     )
 
 
@@ -4775,7 +4784,9 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.llm.similarity import hard_negative_mining
     from zipkin_dependencies_spark.testdata import load
 
-    return hard_negative_mining(load(spark, sf_dir, "embeddings"), stride=16)
+    return hard_negative_mining(
+        load(spark, sf_dir, "embeddings"), stride=16, dim=64
+    )
 
 
 def q_important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -601,7 +601,7 @@ def embedding_near_dup_lsh(
     if n_planes is None:
         n_planes = auto_planes(embeddings.count(), target_occupancy)
 
-    e = _with_norm(embeddings, id_col, vec_col).withColumn(
+    e = _with_norm(embeddings, id_col, vec_col, dim).withColumn(
         "sig", hyperplane_signature("vec", n_planes, dim)
     )
     probes = F.array(
@@ -623,7 +623,7 @@ def embedding_near_dup_lsh(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    cosine = _dot("vec_a", "vec_b") / (F.col("norm_a") * F.col("norm_b"))
+    cosine = _dot("vec_a", "vec_b", dim) / (F.col("norm_a") * F.col("norm_b"))
     return (
         cand.withColumn("_cos", cosine)
         .filter(F.col("_cos") >= threshold)
@@ -1498,6 +1498,7 @@ def semantic_dedup(
     stride: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication" — public method): k-means
@@ -1530,15 +1531,16 @@ def semantic_dedup(
     if stride is None:
         stride = auto_stride(emb.count())
     assign = kmeans_assign(
-        emb, rounds=rounds, stride=stride, id_col=id_col, vec_col=vec_col
+        emb, rounds=rounds, stride=stride, id_col=id_col, vec_col=vec_col,
+        dim=dim,
     )
-    vecs = _with_norm(emb, id_col, vec_col)
+    vecs = _with_norm(emb, id_col, vec_col, dim)
     av = assign.join(vecs, assign.vec_id == vecs.id).select(
         F.col("vec_id"), F.col("cluster"), F.col("vec"), F.col("norm")
     )
     a, b = av.alias("a"), av.alias("b")
     cos9 = F.round(
-        _dot("a.vec", "b.vec") / (F.col("a.norm") * F.col("b.norm")), 9
+        _dot("a.vec", "b.vec", dim) / (F.col("a.norm") * F.col("b.norm")), 9
     )
     dup = (
         a.join(

@@ -49,7 +49,18 @@ def auto_stride(n_rows: int) -> int:
     return max(1, math.ceil(math.sqrt(max(n_rows, 1))))
 
 
-def _sq_dist(v: str, c: str):
+def _sq_dist(v: str, c: str, dim: int | None = None):
+    """Ordered squared-L2 fold. With ``dim`` known at plan time the fold
+    unrolls into codegen'd arithmetic — identical accumulation chain
+    (0.0 + t0 + t1 + …), but off the interpreted higher-order-function
+    path that dominates the N·k assignment stage (the PQ-encode lesson,
+    llm/pq.py)."""
+    if dim:
+        t = F.lit(0.0)
+        for j in range(dim):
+            d = F.expr(f"{v}[{j}] - {c}[{j}]")
+            t = t + d * d
+        return t
     return F.aggregate(
         F.zip_with(F.col(v), F.col(c), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0).cast("double"),
@@ -64,6 +75,7 @@ def kmeans_assign(
     scale_bits: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """→ (vec_id, cluster, d9): each vector's cluster (centroid id of the
     stride-sampled init, carried through ``rounds`` update rounds) and its
@@ -84,9 +96,9 @@ def kmeans_assign(
         scored = vecs.join(F.broadcast(centroids)).select(
             "id",
             "v",
-            F.struct(_sq_dist("v", "cv").alias("d"), F.col("cid").alias("cid")).alias(
-                "s"
-            ),
+            F.struct(
+                _sq_dist("v", "cv", dim).alias("d"), F.col("cid").alias("cid")
+            ).alias("s"),
         )
         return scored.groupBy("id").agg(
             F.min("s").alias("best"), F.first("v").alias("v")

@@ -23,14 +23,30 @@ from pyspark.sql import functions as F
 MAX_CENTROIDS = 16_384
 
 
-def _dot(a: str, b: str) -> Column:
+def _dot(a: str, b: str, dim: int | None = None) -> Column:
+    """Ordered-fold dot product. With ``dim`` (a plan-time constant), the
+    fold unrolls into codegen'd arithmetic with the IDENTICAL left-to-right
+    accumulation chain (0.0 + t0 + t1 + …) — zip_with/aggregate lambdas run
+    on Spark's interpreted expression path, which measured 2× slower on the
+    N·K-row stages (PQ encode, kmeans assignment, in-cluster pair scans);
+    without ``dim`` (unknown width) the sequential fold is kept."""
+    if dim:
+        t: Column = F.lit(0.0)
+        for j in range(dim):
+            t = t + F.expr(f"cast({a}[{j}] AS DOUBLE) * cast({b}[{j}] AS DOUBLE)")
+        return t
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)),"
         f" cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
-def _norm(vec: str) -> Column:
+def _norm(vec: str, dim: int | None = None) -> Column:
+    if dim:
+        t: Column = F.lit(0.0)
+        for j in range(dim):
+            t = t + F.expr(f"cast({vec}[{j}] AS DOUBLE) * cast({vec}[{j}] AS DOUBLE)")
+        return F.sqrt(t)
     return F.sqrt(
         F.expr(
             f"aggregate({vec}, cast(0.0 AS DOUBLE),"
@@ -39,16 +55,20 @@ def _norm(vec: str) -> Column:
     )
 
 
-def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _with_norm(
+    df: DataFrame, id_col: str, vec_col: str, dim: int | None = None
+) -> DataFrame:
     return df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        _norm(vec_col).alias("norm"),
+        _norm(vec_col, dim).alias("norm"),
     ).filter(F.col("norm") > 0)
 
 
-def _cosine(a: str, b: str) -> Column:
-    return _dot(f"{a}.vec", f"{b}.vec") / (F.col(f"{a}.norm") * F.col(f"{b}.norm"))
+def _cosine(a: str, b: str, dim: int | None = None) -> Column:
+    return _dot(f"{a}.vec", f"{b}.vec", dim) / (
+        F.col(f"{a}.norm") * F.col(f"{b}.norm")
+    )
 
 
 def cosine_topk(
@@ -57,22 +77,24 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus.
 
     Output: (query_id, neighbor_id, cosine, rank). Ties break on neighbor_id
     so results are total-order deterministic. Queries are broadcast — size
-    the query batch, not the corpus."""
+    the query batch, not the corpus. Pass ``dim`` when the embedding width
+    is known to unroll the scoring fold (see ``_dot``)."""
     from pyspark.sql import Window as W
 
-    c = _with_norm(corpus, id_col, vec_col).alias("c")
-    q = F.broadcast(_with_norm(queries, id_col, vec_col)).alias("q")
+    c = _with_norm(corpus, id_col, vec_col, dim).alias("c")
+    q = F.broadcast(_with_norm(queries, id_col, vec_col, dim)).alias("q")
     scored = q.join(
         c, F.col("q.id") != F.col("c.id")
     ).select(
         F.col("q.id").alias("query_id"),
         F.col("c.id").alias("neighbor_id"),
-        F.round(_cosine("q", "c"), 9).alias("cosine"),
+        F.round(_cosine("q", "c", dim), 9).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -102,14 +124,17 @@ def hyperplane_weights(n_planes: int, dim: int) -> list[list[float]]:
 
 def hyperplane_signature(vec_col: str, n_planes: int = 16, dim: int = 64) -> Column:
     """Random-hyperplane LSH signature (int bitmask): sign(dot(v, r_p)) sets
-    bit p. The dot is a sequential fold in array order (zip_with + aggregate)
-    against a literal weight array — deterministic to the last ulp."""
+    bit p. Each plane's dot is the unrolled left-to-right chain
+    (0.0 + v[0]·w0 + v[1]·w1 + …) against literal weights — the identical
+    accumulation order as the sequential fold it replaces (and as the
+    oracle's ordered sum), but codegen'd instead of interpreted; dim is
+    always known here (the weights are generated per-dim)."""
     weights = hyperplane_weights(n_planes, dim)
     sig = None
     for p in range(n_planes):
-        w = F.array(*[F.lit(x) for x in weights[p]])
-        prod = F.zip_with(F.col(vec_col), w, lambda x, wv: x.cast("double") * wv)
-        dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+        dot: Column = F.lit(0.0)
+        for j, wv in enumerate(weights[p]):
+            dot = dot + F.expr(f"cast({vec_col}[{j}] AS DOUBLE)") * F.lit(wv)
         term = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return sig.cast("int")
@@ -123,6 +148,7 @@ def ivf_cosine_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-flat approximate cosine top-k — the inverted-file ANN family,
     complementing hyperplane LSH (SURVEY §7 M5: "IVF or LSH-bucketed").
@@ -146,8 +172,8 @@ def ivf_cosine_topk(
     """
     from pyspark.sql import Window as W
 
-    c = _with_norm(corpus, id_col, vec_col)
-    q = _with_norm(queries, id_col, vec_col)
+    c = _with_norm(corpus, id_col, vec_col, dim)
+    q = _with_norm(queries, id_col, vec_col, dim)
 
     cents = (
         c.filter(F.col("id") % centroid_stride == 0)
@@ -232,7 +258,7 @@ def ivf_cosine_topk(
         .select(
             F.col("q.id").alias("query_id"),
             F.col("c.id").alias("neighbor_id"),
-            F.round(_cosine("q", "c"), 9).alias("cosine"),
+            F.round(_cosine("q", "c", dim), 9).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -254,10 +280,10 @@ def lsh_cosine_topk(
     signature matches the query's (plus all 1-bit neighbors, trading recall
     for fan-out). At 100 TB the bucket join replaces the full cross product —
     cost ∝ corpus/2^planes per query bucket."""
-    c = _with_norm(corpus, id_col, vec_col).withColumn(
+    c = _with_norm(corpus, id_col, vec_col, dim).withColumn(
         "sig", hyperplane_signature("vec", n_planes, dim)
     )
-    q = _with_norm(queries, id_col, vec_col).withColumn(
+    q = _with_norm(queries, id_col, vec_col, dim).withColumn(
         "sig", hyperplane_signature("vec", n_planes, dim)
     )
     # probe buckets: exact signature + every 1-bit flip (multi-probe LSH)
@@ -275,7 +301,7 @@ def lsh_cosine_topk(
     ).select(
         F.col("q.id").alias("query_id"),
         F.col("c.id").alias("neighbor_id"),
-        F.round(_cosine("q", "c"), 9).alias("cosine"),
+        F.round(_cosine("q", "c", dim), 9).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -288,6 +314,7 @@ def quantize_embeddings(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     levels: int = 127,
+    dim: int | None = None,
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization → (id, scale, qvec, qnorm2).
 
@@ -310,9 +337,16 @@ def quantize_embeddings(
             "_vd", lambda x: F.round(x / F.col("scale")).cast("long")
         ).alias("qvec"),
     )
-    qnorm2 = F.aggregate(
-        "qvec", F.lit(0).cast("long"), lambda acc, q: acc + q * q
-    )
+    if dim:
+        # integer sum — order-free; unrolled off the interpreted HOF path
+        qnorm2 = sum(
+            (F.expr(f"qvec[{j}] * qvec[{j}]") for j in range(dim)),
+            F.lit(0).cast("long"),
+        )
+    else:
+        qnorm2 = F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda acc, q: acc + q * q
+        )
     return quantized.select("id", "scale", "qvec", qnorm2.alias("qnorm2")).filter(
         F.col("qnorm2") > 0
     )
@@ -325,6 +359,7 @@ def quantized_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     levels: int = 127,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine top-k on int8-quantized vectors — the memory/bandwidth scale
     path of brute-force ANN (4× less corpus IO than float32; same
@@ -344,13 +379,22 @@ def quantized_cosine_topk(
     tests, not here)."""
     from pyspark.sql import Window as W
 
-    c = quantize_embeddings(corpus, id_col, vec_col, levels).alias("c")
-    q = F.broadcast(quantize_embeddings(queries, id_col, vec_col, levels)).alias("q")
-    dot_int = F.aggregate(
-        F.zip_with("q.qvec", "c.qvec", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    c = quantize_embeddings(corpus, id_col, vec_col, levels, dim).alias("c")
+    q = F.broadcast(
+        quantize_embeddings(queries, id_col, vec_col, levels, dim)
+    ).alias("q")
+    if dim:
+        # integer sum — order-free; unrolled off the interpreted HOF path
+        dot_int = sum(
+            (F.expr(f"q.qvec[{j}] * c.qvec[{j}]") for j in range(dim)),
+            F.lit(0).cast("long"),
+        )
+    else:
+        dot_int = F.aggregate(
+            F.zip_with("q.qvec", "c.qvec", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
     scored = q.join(c, F.col("q.id") != F.col("c.id")).select(
         F.col("q.id").alias("query_id"),
         F.col("c.id").alias("neighbor_id"),
@@ -408,6 +452,7 @@ def hard_negative_mining(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    dim: int | None = None,
 ) -> DataFrame:
     """Contrastive-training hard-example mining: for every query vector
     (deterministic sample: ``id % stride == 0``) return its nearest
@@ -430,7 +475,7 @@ def hard_negative_mining(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.col(label_col).alias("label"),
-        _norm(vec_col).alias("norm"),
+        _norm(vec_col, dim).alias("norm"),
     ).filter(F.col("norm") > 0)
     q = F.broadcast(base.filter(F.col("id") % stride == 0)).alias("q")
     c = base.alias("c")
@@ -438,7 +483,7 @@ def hard_negative_mining(
         F.col("q.id").alias("query_id"),
         F.col("c.id").alias("neighbor_id"),
         (F.col("q.label") == F.col("c.label")).alias("same"),
-        F.round(_cosine("q", "c"), 9).alias("cosine"),
+        F.round(_cosine("q", "c", dim), 9).alias("cosine"),
     )
     w = W.partitionBy("query_id", "same").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
