@@ -48,12 +48,15 @@ def kcenter_coreset(
     )
 
     def dist_to(center_q: list[int]):
-        lit = F.array(*[F.lit(int(v)) for v in center_q])
-        return F.aggregate(
-            F.zip_with(F.col("qv"), lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
+        # unrolled over the known center width (integer sum, order-free):
+        # each round evaluates this on EVERY corpus row, and the
+        # interpreted zip_with/aggregate path is the slow way to do
+        # corpus x k work (SCALING.md late-r08 HOF audit)
+        t = F.lit(0).cast("bigint")
+        for j, v in enumerate(center_q):
+            d = F.expr(f"qv[{j}]") - F.lit(int(v))
+            t = t + d * d
+        return t
 
     seeds = base.orderBy("vid").limit(1).collect()
     if not seeds:

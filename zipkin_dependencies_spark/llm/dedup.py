@@ -477,11 +477,13 @@ def minhash_lsh_candidates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda m: m,
-        )
+    # signature agreement unrolled over the plan-time-constant num_hashes
+    # (integer sum, order-free) — off the interpreted HOF path this
+    # candidate-pair-scale stage would otherwise evaluate per row
+    est = sum(
+        (F.expr(f"CAST(sig_a[{j}] = sig_b[{j}] AS INT)")
+         for j in range(num_hashes)),
+        F.lit(0),
     ) / F.lit(num_hashes)
     return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
 
