@@ -864,7 +864,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.testdata import load
 
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, emb.filter(F.col("vec_id") < 32), k=5, dim=64)
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 32), k=5)
 
 
 def q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -874,9 +874,7 @@ def q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.testdata import load
 
     emb = load(spark, sf_dir, "embeddings")
-    return quantized_cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 32), k=5, dim=64
-    )
+    return quantized_cosine_topk(emb, emb.filter(F.col("vec_id") < 32), k=5)
 
 
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -898,12 +896,7 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return ivf_cosine_topk(
-        emb,
-        emb.filter(F.col("vec_id") < 32),
-        k=5,
-        centroid_stride=97,
-        n_probe=4,
-        dim=64,
+        emb, emb.filter(F.col("vec_id") < 32), k=5, centroid_stride=97, n_probe=4
     )
 
 
@@ -1147,7 +1140,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("rank").alias("kw_rank")
     )
     sem = (
-        cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=10, dim=64)
+        cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
         .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
     )
     fused = kw.join(sem, "doc_id", "full_outer").select(
@@ -1350,7 +1343,7 @@ def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.testdata import load
 
     emb = load(spark, sf_dir, "embeddings")
-    hits = cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=3, dim=64)
+    hits = cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
     return (
         F.broadcast(hits)
@@ -2355,7 +2348,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 32)
-    exact = cosine_topk(emb, qs, k=5, dim=64).select("query_id", "neighbor_id")
+    exact = cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id")
     approx = lsh_cosine_topk(emb, qs, k=5, n_planes=8).select(
         "query_id", "neighbor_id"
     )
@@ -4784,9 +4777,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.llm.similarity import hard_negative_mining
     from zipkin_dependencies_spark.testdata import load
 
-    return hard_negative_mining(
-        load(spark, sf_dir, "embeddings"), stride=16, dim=64
-    )
+    return hard_negative_mining(load(spark, sf_dir, "embeddings"), stride=16)
 
 
 def q_important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:

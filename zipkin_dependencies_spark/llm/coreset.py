@@ -48,15 +48,18 @@ def kcenter_coreset(
     )
 
     def dist_to(center_q: list[int]):
-        # unrolled over the known center width (integer sum, order-free):
-        # each round evaluates this on EVERY corpus row, and the
-        # interpreted zip_with/aggregate path is the slow way to do
-        # corpus x k work (SCALING.md late-r08 HOF audit)
-        t = F.lit(0).cast("bigint")
-        for j, v in enumerate(center_q):
-            d = F.expr(f"qv[{j}]") - F.lit(int(v))
-            t = t + d * d
-        return t
+        # kept as the sequential fold after a same-session sf10 A/B
+        # (SCALING.md HOF audit): unrolled 9.3 s vs fold 10.3 s at sf10 —
+        # inside the noise band — but the k chained unrolled trees cost
+        # 4.7 s of codegen at sf0.1 (2.0 → 6.7 s measured). k-center's
+        # multiplicative term is rounds, and rounds stack in ONE plan, so
+        # compile cost scales with k while the win does not.
+        lit = F.array(*[F.lit(int(v)) for v in center_q])
+        return F.aggregate(
+            F.zip_with(F.col("qv"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
 
     seeds = base.orderBy("vid").limit(1).collect()
     if not seeds:

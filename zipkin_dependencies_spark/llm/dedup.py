@@ -603,7 +603,7 @@ def embedding_near_dup_lsh(
     if n_planes is None:
         n_planes = auto_planes(embeddings.count(), target_occupancy)
 
-    e = _with_norm(embeddings, id_col, vec_col, dim).withColumn(
+    e = _with_norm(embeddings, id_col, vec_col).withColumn(
         "sig", hyperplane_signature("vec", n_planes, dim)
     )
     probes = F.array(
@@ -625,7 +625,7 @@ def embedding_near_dup_lsh(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    cosine = _dot("vec_a", "vec_b", dim) / (F.col("norm_a") * F.col("norm_b"))
+    cosine = _dot("vec_a", "vec_b") / (F.col("norm_a") * F.col("norm_b"))
     return (
         cand.withColumn("_cos", cosine)
         .filter(F.col("_cos") >= threshold)

@@ -124,17 +124,20 @@ def hyperplane_weights(n_planes: int, dim: int) -> list[list[float]]:
 
 def hyperplane_signature(vec_col: str, n_planes: int = 16, dim: int = 64) -> Column:
     """Random-hyperplane LSH signature (int bitmask): sign(dot(v, r_p)) sets
-    bit p. Each plane's dot is the unrolled left-to-right chain
-    (0.0 + v[0]·w0 + v[1]·w1 + …) against literal weights — the identical
-    accumulation order as the sequential fold it replaces (and as the
-    oracle's ordered sum), but codegen'd instead of interpreted; dim is
-    always known here (the weights are generated per-dim)."""
+    bit p. The dot is a sequential fold in array order (zip_with + aggregate)
+    against a literal weight array — deterministic to the last ulp.
+
+    Deliberately NOT unrolled (SCALING.md HOF audit): this is a LINEAR
+    per-corpus-row stage, and the measured sf0.1 A/B showed the unrolled
+    n_planes×dim expression tree costs more in codegen compilation than
+    interpretation costs at any tier the signature stage dominates — the
+    unroll only pays on data×K multiplicative stages."""
     weights = hyperplane_weights(n_planes, dim)
     sig = None
     for p in range(n_planes):
-        dot: Column = F.lit(0.0)
-        for j, wv in enumerate(weights[p]):
-            dot = dot + F.expr(f"cast({vec_col}[{j}] AS DOUBLE)") * F.lit(wv)
+        w = F.array(*[F.lit(x) for x in weights[p]])
+        prod = F.zip_with(F.col(vec_col), w, lambda x, wv: x.cast("double") * wv)
+        dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
         term = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return sig.cast("int")
@@ -280,10 +283,10 @@ def lsh_cosine_topk(
     signature matches the query's (plus all 1-bit neighbors, trading recall
     for fan-out). At 100 TB the bucket join replaces the full cross product —
     cost ∝ corpus/2^planes per query bucket."""
-    c = _with_norm(corpus, id_col, vec_col, dim).withColumn(
+    c = _with_norm(corpus, id_col, vec_col).withColumn(
         "sig", hyperplane_signature("vec", n_planes, dim)
     )
-    q = _with_norm(queries, id_col, vec_col, dim).withColumn(
+    q = _with_norm(queries, id_col, vec_col).withColumn(
         "sig", hyperplane_signature("vec", n_planes, dim)
     )
     # probe buckets: exact signature + every 1-bit flip (multi-probe LSH)
@@ -301,7 +304,9 @@ def lsh_cosine_topk(
     ).select(
         F.col("q.id").alias("query_id"),
         F.col("c.id").alias("neighbor_id"),
-        F.round(_cosine("q", "c", dim), 9).alias("cosine"),
+        # fold, not unroll: bucket-collision verify is a near-linear stage
+        # (SCALING.md HOF audit — compile cost beats interpretation here)
+        F.round(_cosine("q", "c"), 9).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
