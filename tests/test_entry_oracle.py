@@ -106,8 +106,9 @@ def test_registry_gate_window_policy():
         # lands in CORRECTNESS_r08, which runs AFTER this round's work
         "packed_chunk_spans", "streaming_cdc_replay",
         "table_profile", "top_user_journeys",
-        # new in r08 (Block B — gate the round they appear)
-        "exact_substr_spans",
+        # new in r08 (Block B — gate the round they appear; bpe_train and
+        # ks_drift landed mid-round and took the re-ceded Block-E slots)
+        "exact_substr_spans", "bpe_train", "ks_drift",
     }
     window = set(list(e.queries())[:50])
     missing = never_driver_gated - window
