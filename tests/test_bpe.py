@@ -88,3 +88,72 @@ def test_randomized_vs_reference(spark, seed):
         for _ in range(3)
     ]
     assert _spark_bpe(spark, texts, 6) == sorted(_ref_bpe(texts, 6))
+
+
+@pytest.mark.parametrize("rule", [("a", "b"), ("a", "a"), ("ab", "b"), ("b", "ab")])
+def test_apply_merge_equals_sequential_greedy(spark, rule):
+    """The fold-apply lemma pinned directly (not just end-to-end): the
+    array-fold accumulator equals the sequential left-to-right greedy
+    non-overlapping replacement on adversarial sequences — runs of
+    identical symbols, merged multi-char symbols as rule members, and
+    patterns whose replacement abuts the next candidate."""
+    from zipkin_dependencies_spark.llm.bpe import _apply_merge
+
+    a, b = rule
+    rng = random.Random(hash(rule) & 0xFFFF)
+    alphabet = ["a", "b", "ab", "aa", "c"]
+    seqs = [
+        [rng.choice(alphabet) for _ in range(rng.randint(0, 10))]
+        for _ in range(60)
+    ]
+    # targeted adversarial cases for this rule
+    seqs += [[a, b], [a, b, a, b], [a, a, b, b], [a, b, b], [a, a, b],
+             [b, a, b, a], [a] * 5, [b] * 5, [a, b] * 4, []]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seqs)], "i long, syms array<string>"
+    )
+    got = {
+        r.i: r.out
+        for r in df.select(
+            "i", _apply_merge(df.syms, a, b).alias("out")
+        ).collect()
+    }
+    for i, s in enumerate(seqs):
+        assert got[i] == _ref_apply(s, a, b), (rule, s)
+
+
+@pytest.mark.parametrize("rule", [("a", "b"), ("a", "a"), ("ab", "b"), ("b", "ab")])
+def test_duckdb_list_reduce_apply_equals_sequential_greedy(rule):
+    """Same lemma, DuckDB side: the oracle's list_reduce fold over the
+    chr(1)-delimited string accumulator (chr(2) seed sentinel) equals the
+    sequential greedy apply — pinned on the same adversarial sequences
+    the Spark fold test uses."""
+    import duckdb
+
+    a, b = rule
+    rng = random.Random(hash(rule) & 0xFFFF)
+    alphabet = ["a", "b", "ab", "aa", "c"]
+    seqs = [
+        [rng.choice(alphabet) for _ in range(rng.randint(0, 10))]
+        for _ in range(60)
+    ]
+    seqs += [[a, b], [a, b, a, b], [a, a, b, b], [a, b, b], [a, a, b],
+             [b, a, b, a], [a] * 5, [b] * 5, [a, b] * 4]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, syms VARCHAR[])")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, s) for i, s in enumerate(seqs)]
+    )
+    rows = con.execute(f"""
+        SELECT i, string_split(
+          list_reduce(list_prepend(chr(2), syms), (acc, x) ->
+            CASE WHEN x = '{b}' AND ends_with(acc, chr(1) || '{a}')
+                 THEN left(acc, length(acc) - {len(a)} - 1)
+                      || chr(1) || '{a}' || '{b}'
+                 ELSE acc || chr(1) || x END),
+          chr(1))[2:] AS out
+        FROM t
+    """).fetchall()
+    got = {i: out for i, out in rows}
+    for i, s in enumerate(seqs):
+        assert got[i] == _ref_apply(s, a, b), (rule, s)
