@@ -7,8 +7,11 @@ Determinism engineering (the whole point — stock k-means is seed- and
 order-dependent, useless for an oracle-gated engine):
 - init: every vector with ``id % stride == 0`` is a centroid (the same
   deterministic coarse-quantizer convention as the IVF index);
-- assignment: squared-L2 via an ordered ``zip_with``+``aggregate`` fold
-  (identical accumulation chain in the SQL twin's ``ORDER BY i`` sum);
+- assignment: squared-L2 accumulated in dimension order — the unrolled
+  codegen'd chain when ``dim`` is passed (the N·k assignment is the classic
+  data×K stage; SCALING.md HOF audit measured 5× at sf10), else the ordered
+  ``zip_with``+``aggregate`` fold; both are the identical accumulation
+  chain of the SQL twin's ``ORDER BY i`` sum;
   ties broken by centroid id through a single ``min_by(struct(d, cid))``;
 - update: per-(cluster, dim) means from INTEGER sums (round(x·2^bits) as
   long — order-free), centroid components rounded to 9 decimals per round

@@ -8,8 +8,12 @@
   corpus; only colliding buckets are scored. Signatures are deterministic
   (hash-derived hyperplanes), so re-runs and cross-engine checks reproduce.
 
-Dot products use `aggregate(zip_with(...))` — sequential fold in array order,
-which keeps float summation deterministic (important for oracle comparison).
+Dot products accumulate strictly in array order — as a sequential
+`aggregate(zip_with(...))` fold by default, or (when the caller passes a
+plan-time `dim` on a data×K multiplicative stage) as the unrolled
+codegen'd chain `0.0 + t0 + t1 + …` with the identical association, so
+float summation is deterministic either way (important for oracle
+comparison; the keep/unroll decision rule is SCALING.md's HOF audit).
 """
 
 from __future__ import annotations
