@@ -149,3 +149,35 @@ def test_no_hugeint_oracle_output_columns(ddb):
         f"oracle outputs with HUGEINT columns (driver hash-mismatch "
         f"class — add CAST(... AS BIGINT)): {offenders}"
     )
+
+
+#: FLOAT oracle outputs whose SPARK twin is ALSO float32 — a matched pair
+#: hashes identically (media_features: both sides emit the raw float32
+#: feature value; driver-green r04). Any NEW float32 oracle output must
+#: either match a float32 Spark column or CAST to DOUBLE.
+_MATCHED_FLOAT_OUTPUTS = {("media_features", "value")}
+
+
+def test_no_unmatched_float_oracle_output_columns(ddb):
+    """Same dtype-divergence class as HUGEINT, float flavor: a DuckDB
+    FLOAT (float32) output against a Spark DOUBLE reaches the driver's
+    hasher as different dtypes/precision. Sweep the oracle outputs and
+    require every FLOAT column to be a known matched-float32 pair."""
+    import __spark_entry__ as e
+
+    offenders = {}
+    for name, sql in e.oracle_sql().items():
+        rel = ddb.sql(sql)
+        hits = [
+            c
+            for c, t in zip(rel.columns, rel.types)
+            if str(t).upper() == "FLOAT"
+            and (name, c) not in _MATCHED_FLOAT_OUTPUTS
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        f"oracle outputs with unmatched FLOAT columns (driver dtype "
+        f"divergence class — CAST to DOUBLE or register the matched "
+        f"pair): {offenders}"
+    )
