@@ -157,3 +157,12 @@ def test_duckdb_list_reduce_apply_equals_sequential_greedy(rule):
     got = {i: out for i, out in rows}
     for i, s in enumerate(seqs):
         assert got[i] == _ref_apply(s, a, b), (rule, s)
+
+
+def test_delimiter_bearing_tokens_excluded_from_training(spark):
+    # tokens containing \x01/\x02 are outside the operator's domain on
+    # BOTH engines (the DuckDB twin's fold accumulator uses those bytes
+    # as delimiters) — training must equal the corpus with them removed
+    clean = ["low low lower newest newest newest"]
+    dirty = [clean[0] + " a\x01b c\x02d"]
+    assert _spark_bpe(spark, dirty, 4) == _spark_bpe(spark, clean, 4)

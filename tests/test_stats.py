@@ -97,3 +97,34 @@ def test_prefix_sums_match_window_twin(spark, seed):
     got_m = {r.id: (r.c1, r.c2) for r in got.collect()}
     want_m = {r.id: (r.c1, r.c2) for r in want.collect()}
     assert got_m == want_m
+
+
+def test_empty_sample_reports_null_not_divide_by_zero(spark):
+    # all rows in sample B: statistic undefined -> NULL ks_q6, no ANSI abort
+    df = spark.createDataFrame(
+        [(1, False), (2, False), (3, False)], "v long, is_a boolean"
+    )
+    row = ks_statistic(df, "v", F.col("is_a")).collect()[0]
+    assert row.n_a == 0 and row.n_b == 3
+    assert row.ks_q6 is None
+
+
+def test_null_membership_rows_dropped(spark):
+    # a NULL membership predicate belongs to NEITHER sample — it must not
+    # inflate n_vals or count as sample B
+    df = spark.createDataFrame(
+        [(1, True), (2, False), (9, None)], "v long, is_a boolean"
+    )
+    row = ks_statistic(df, "v", F.col("is_a")).collect()[0]
+    assert (row.n_a, row.n_b, row.n_vals) == (1, 1, 2)
+
+
+def test_prefix_sums_preserve_caller_dunder_columns_and_reject_collisions(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 7), (3, 4, 8)], "v long, w long, __mine long"
+    )
+    out = distributed_prefix_sums(df, "v", ["w"], out_cols=["c"])
+    assert "__mine" in out.columns  # caller columns pass through
+    assert {r["__mine"] for r in out.collect()} == {7, 8}
+    with pytest.raises(ValueError, match="collide"):
+        distributed_prefix_sums(df, "v", ["w"], out_cols=["w"])

@@ -124,6 +124,14 @@ def bpe_train(
     spark = docs.sparkSession
     words = (
         docs.select(F.explode(tokens(text_col)).alias("w"))
+        # tokens containing \x01/\x02 are excluded on BOTH engines: the
+        # DuckDB twin's fold accumulator uses those bytes as delimiters,
+        # so the operator's domain excludes them by definition (binary
+        # garbage, not text — the Spark array fold wouldn't care, but a
+        # cross-engine-exact operator needs one shared domain)
+        .where(
+            ~F.col("w").contains("\x01") & ~F.col("w").contains("\x02")
+        )
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("wc"))
     )

@@ -1874,7 +1874,13 @@ def bpe_train_sql(n_merges: int = 8, eow: str = "</w>") -> str:
     stages = [
         f"""w0 AS (
   SELECT t AS w, CAST(count(*) AS BIGINT) AS wc
-  FROM (SELECT unnest({TEXT_TOKENS}) AS t FROM documents) GROUP BY 1
+  FROM (SELECT unnest({TEXT_TOKENS}) AS t FROM documents)
+  -- exclude tokens containing the fold delimiters (chr(1)/chr(2)) —
+  -- the SAME filter the Spark side applies (llm/bpe.py), making the
+  -- operator well-defined on binary-garbage corpora where the string
+  -- accumulator would otherwise split inside a symbol
+  WHERE NOT contains(t, chr(1)) AND NOT contains(t, chr(2))
+  GROUP BY 1
 ),
 v0 AS (
   SELECT wc, list_append(regexp_extract_all(w, '.'), '{eow}') AS syms FROM w0
@@ -1923,7 +1929,10 @@ WITH tagged AS (
   SELECT CAST(round(value * 1e6) AS BIGINT) AS v,
          CASE WHEN epoch_us(ts) < {int(split_epoch_us)} THEN 1 ELSE 0 END AS ga
   FROM events
-  WHERE value IS NOT NULL
+  -- ts IS NOT NULL mirrors the Spark side exactly: a NULL split
+  -- predicate drops the row from BOTH samples there (ks_statistic
+  -- filters NULL membership), so the oracle must not default it to B
+  WHERE value IS NOT NULL AND ts IS NOT NULL
 ),
 per_v AS (
   SELECT v, CAST(sum(ga) AS BIGINT) AS ca,

@@ -216,5 +216,14 @@ def distributed_prefix_sums(
         # the exclusive form from nulling out rows the window twin fills)
         wv = F.coalesce(F.col(wc).cast("long"), F.lit(0))
         sums.append((F.sum(wv).over(w) - wv + F.col(f"__off{i}")).alias(oc))
-    keep = [c for c in joined.columns if not c.startswith("__")]
+    # drop exactly the columns THIS function generated — a caller's own
+    # "__"-prefixed columns pass through untouched (same contract as the
+    # withColumn/drop form this select replaced)
+    generated = {"__bkt", *(f"__off{i}" for i in range(len(weight_cols)))}
+    clash = set(out_cols) & (set(df.columns))
+    if clash:
+        raise ValueError(
+            f"out_cols collide with existing columns: {sorted(clash)}"
+        )
+    keep = [c for c in joined.columns if c not in generated]
     return joined.select(*keep, *sums)

@@ -61,9 +61,13 @@ def ks_statistic(
 
     value_col: an INTEGRAL column (quantize floats first — integer values
     are what make the cross-engine comparison exact). is_a: boolean column
-    tagging sample A; false → sample B. NULL values are dropped (an ECDF
-    has no place for them). Requires both samples non-empty (the statistic
-    is undefined otherwise — the division reports NULL, not a guess).
+    tagging sample A; false → sample B. Rows where the VALUE is NULL or
+    the MEMBERSHIP predicate is NULL are dropped — an ECDF has no place
+    for the former, and a row that belongs to neither sample would
+    otherwise silently skew n_vals while counting in neither ECDF. If
+    either sample ends up empty the statistic is undefined: ks_q6 and
+    at_v report NULL (try_divide, not a guess and not an ANSI
+    divide-by-zero abort).
 
     ks_q6 = round(1e6 · D); at_v = the smallest value attaining the max
     ECDF gap; n_vals = distinct value count (the size of the reduced
@@ -76,7 +80,7 @@ def ks_statistic(
     # checkpointed table is distinct-value-sized (bounded by the
     # quantization grid), never corpus-sized.
     per_v = (
-        df.where(v.isNotNull())
+        df.where(v.isNotNull() & is_a.isNotNull())
         .select(v.alias("v"), is_a.cast("int").alias("ga"))
         .groupBy("v")
         .agg(
@@ -120,10 +124,13 @@ def ks_statistic(
         "n_b",
         "n_vals",
         (-F.col("m.nv_")).cast("bigint").alias("at_v"),
+        # try_divide: an empty sample makes the statistic undefined — the
+        # row reports NULL instead of an ANSI DIVIDE_BY_ZERO abort
         F.round(
-            F.lit(1e6)
-            * F.col("m.gap").cast("double")
-            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            F.try_divide(
+                F.lit(1e6) * F.col("m.gap").cast("double"),
+                F.col("n_a").cast("double") * F.col("n_b").cast("double"),
+            )
         )
         .cast("bigint")
         .alias("ks_q6"),
