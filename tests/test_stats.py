@@ -128,3 +128,27 @@ def test_prefix_sums_preserve_caller_dunder_columns_and_reject_collisions(spark)
     assert {r["__mine"] for r in out.collect()} == {7, 8}
     with pytest.raises(ValueError, match="collide"):
         distributed_prefix_sums(df, "v", ["w"], out_cols=["w"])
+
+
+def test_prefix_sums_reject_internal_name_collisions(spark):
+    # ADVICE r08: a caller column literally named __bkt or __off{i} was
+    # silently clobbered by the internal withColumn/join — now a loud
+    # ValueError, mirroring the out_cols clash check
+    df = spark.createDataFrame([(1, 2, 7)], "v long, w long, __bkt long")
+    with pytest.raises(ValueError, match="internal"):
+        distributed_prefix_sums(df, "v", ["w"], out_cols=["c"])
+    df2 = spark.createDataFrame([(1, 2, 7)], "v long, w long, __off0 long")
+    with pytest.raises(ValueError, match="internal"):
+        distributed_prefix_sums(df2, "v", ["w"], out_cols=["c"])
+
+
+def test_ks_empty_sample_at_v_degenerates_to_min_value(spark):
+    # documented contract (ADVICE r08 fix): with an empty sample, ks_q6 is
+    # NULL and at_v degenerates to the smallest observed value (all gaps
+    # zero -> -v tiebreak), identically on both engines
+    df = spark.createDataFrame(
+        [(5, True), (3, True), (9, True)], "v long, is_a boolean"
+    )
+    row = ks_statistic(df, "v", F.col("is_a")).collect()[0]
+    assert row.ks_q6 is None
+    assert row.at_v == 3

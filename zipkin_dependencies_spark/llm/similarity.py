@@ -33,7 +33,14 @@ def _dot(a: str, b: str, dim: int | None = None) -> Column:
     accumulation chain (0.0 + t0 + t1 + …) — zip_with/aggregate lambdas run
     on Spark's interpreted expression path, which measured 2× slower on the
     N·K-row stages (PQ encode, kmeans assignment, in-cluster pair scans);
-    without ``dim`` (unknown width) the sequential fold is kept."""
+    without ``dim`` (unknown width) the sequential fold is kept.
+
+    CONTRACT: passing ``dim`` asserts every vector has EXACTLY that
+    width. The unrolled chain indexes v[0..dim-1] directly, so a shorter
+    vector errors under ANSI mode (INVALID_ARRAY_INDEX) instead of the
+    fold's partial sum over the actual length — deliberately loud, not a
+    fallback: ragged inputs under ``dim`` are a caller bug. Callers with
+    ragged or unknown-width vectors must omit ``dim``."""
     if dim:
         t: Column = F.lit(0.0)
         for j in range(dim):

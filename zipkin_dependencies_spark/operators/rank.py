@@ -171,6 +171,18 @@ def distributed_prefix_sums(
     out_cols = out_cols or [f"{w}_cum_before" for w in weight_cols]
     if len(out_cols) != len(weight_cols):
         raise ValueError("out_cols must pair 1:1 with weight_cols")
+    # caller "__"-prefixed columns pass through untouched ONLY if they
+    # don't collide with the names this function generates — a caller
+    # column literally named __bkt / __off{i} would be silently clobbered
+    # by the withColumn/join below, so it gets the same loud ValueError
+    # as an out_cols clash
+    internal = {"__bkt", *(f"__off{i}" for i in range(len(weight_cols)))}
+    internal_clash = internal & set(df.columns)
+    if internal_clash:
+        raise ValueError(
+            "input columns collide with internal prefix-sum names: "
+            f"{sorted(internal_clash)}"
+        )
     qs = [i / n_buckets for i in range(1, n_buckets)]
     splits = sorted(set(df.stat.approxQuantile(order_col, qs, 0.01)))
     bucket = F.lit(0)
@@ -217,8 +229,8 @@ def distributed_prefix_sums(
         wv = F.coalesce(F.col(wc).cast("long"), F.lit(0))
         sums.append((F.sum(wv).over(w) - wv + F.col(f"__off{i}")).alias(oc))
     # drop exactly the columns THIS function generated — a caller's own
-    # "__"-prefixed columns pass through untouched (same contract as the
-    # withColumn/drop form this select replaced)
+    # "__"-prefixed columns pass through untouched (guaranteed by the
+    # internal-name clash check at function entry)
     generated = {"__bkt", *(f"__off{i}" for i in range(len(weight_cols)))}
     clash = set(out_cols) & (set(df.columns))
     if clash:

@@ -65,9 +65,13 @@ def ks_statistic(
     the MEMBERSHIP predicate is NULL are dropped — an ECDF has no place
     for the former, and a row that belongs to neither sample would
     otherwise silently skew n_vals while counting in neither ECDF. If
-    either sample ends up empty the statistic is undefined: ks_q6 and
-    at_v report NULL (try_divide, not a guess and not an ANSI
-    divide-by-zero abort).
+    either sample ends up empty the statistic is undefined: ks_q6
+    reports NULL (try_divide, not a guess and not an ANSI
+    divide-by-zero abort), while at_v degenerates to the smallest
+    observed value (every integer gap is 0, so max(struct(gap, -v))
+    resolves on the -v tiebreak) — the DuckDB twin degenerates
+    identically, so the cross-engine contract holds; treat at_v as
+    meaningful only when ks_q6 is non-NULL.
 
     ks_q6 = round(1e6 · D); at_v = the smallest value attaining the max
     ECDF gap; n_vals = distinct value count (the size of the reduced
