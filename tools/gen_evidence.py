@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Regenerate EVIDENCE.json: query -> latest round with a GREEN driver row.
+
+A row is green when rows_match and schema_match hold and err is null
+(hash_match is additionally required when the driver recorded one — the
+rows-only queries record null there). Run from the repo root at round
+close, after the driver writes CORRECTNESS_r{N}.json:
+
+    python tools/gen_evidence.py
+
+The artifact exists so rotation planning (and judge verification) read
+ONE file instead of re-deriving the freshness map from every
+CORRECTNESS_r*.json. Registry names missing from the artifact have never
+been driver-gated (should be none since r08).
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build() -> dict:
+    evidence: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for q, r in json.load(open(f)).items():
+            green = (
+                r.get("rows_match") is True
+                and r.get("schema_match") is True
+                and r.get("err") is None
+                and r.get("hash_match") in (True, None)
+            )
+            if green:
+                evidence[q] = max(evidence.get(q, 0), rnd)
+    return dict(sorted(evidence.items()))
+
+
+if __name__ == "__main__":
+    ev = build()
+    out = os.path.join(ROOT, "EVIDENCE.json")
+    with open(out, "w") as fh:
+        json.dump(ev, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    by_round: dict[int, int] = {}
+    for r in ev.values():
+        by_round[r] = by_round.get(r, 0) + 1
+    print(f"wrote {out}: {len(ev)} queries; by round: {sorted(by_round.items())}")
