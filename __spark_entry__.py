@@ -4736,6 +4736,24 @@ def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_substr_spans_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr with the paper's FULL §4.1 semantics (scope='any'):
+    maximal token spans covered by ≥8-token substrings occurring ≥2
+    times ANYWHERE in the corpus — self-repeats within one document
+    included (generated spam / in-page boilerplate, the pathology the
+    cross-doc variant deliberately ignores). Same two digest-keyed
+    exchanges + per-doc island windows; the dup predicate is a plain
+    count(*) >= 2 hash aggregate (gram positions are distinct by
+    construction). Randomized brute-force semantic test:
+    tests/test_llm.py::test_exact_substr_spans_any_equals_semantic_definition_randomized."""
+    from zipkin_dependencies_spark.llm.dedup import exact_substr_spans
+    from zipkin_dependencies_spark.testdata import load
+
+    return exact_substr_spans(
+        load(spark, sf_dir, "documents"), k=8, id_col="doc_id", scope="any"
+    )
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016): the top-8
     learned merges with their pair counts. ONE corpus-scale stage (the
@@ -4952,6 +4970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the window is composed is CLOSED — r08 adds exactly what the
         # window can hold) ---
         "exact_substr_spans": q_exact_substr_spans,
+        "exact_substr_spans_all": q_exact_substr_spans_all,
         "bpe_train": q_bpe_train,
         "ks_drift": q_ks_drift,
         # --- BLOCK C (r08): touched-code re-gate — prefix_filter_pairs
@@ -6381,6 +6400,45 @@ g AS (
   WHERE len(toks) >= 8
 ),
 dup AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) < max(doc_id)),
+h AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk
+  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+i AS (
+  SELECT doc_id, pos,
+         CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM m
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM i GROUP BY doc_id, island
+""",
+        # scope='any' twin: identical to exact_substr_spans except the
+        # dup predicate — count(*) >= 2 over (doc, pos) gram occurrences
+        # (self-repeats included, the paper's full semantics).
+        "exact_substr_spans_all": r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+         array_to_string(
+           list_slice(toks, CAST(u.pos AS INT), CAST(u.pos AS INT) + 7),
+           ' ') AS gram
+  FROM tk, UNNEST(generate_series(1, len(toks) - 7)) AS u(pos)
+  WHERE len(toks) >= 8
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
 h AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
 m AS (
   SELECT doc_id, pos,

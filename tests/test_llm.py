@@ -1562,3 +1562,90 @@ def test_hashed_embeddings_zero_doc_and_integer_cells(spark):
     emb = list(got[0]["embedding"])
     assert emb[idx] == 2 * sgn
     assert sum(v * v for v in emb) == got[0]["sq_norm"] == 4
+
+
+def test_exact_substr_spans_any_scope_flags_self_repeats(spark):
+    """scope='any' (the paper's full §4.1 semantics): a phrase repeated
+    only WITHIN one document IS flagged — count(*) >= 2 over gram
+    positions, self-repeats included — while scope='cross_doc' ignores
+    it; cross-doc duplicates flag under both scopes."""
+    from pyspark.sql import Row
+
+    from zipkin_dependencies_spark.llm.dedup import exact_substr_spans
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="p q r s p q r s"),      # self-repeat only
+            Row(doc_id=2, text="x1 x2 x3 zz"),           # shared with 3
+            Row(doc_id=3, text="yy x1 x2 x3"),
+        ]
+    )
+    cross = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in exact_substr_spans(docs, k=3, scope="cross_doc").collect()
+    }
+    assert cross == {(2, 1, 3), (3, 2, 4)}
+    anys = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in exact_substr_spans(docs, k=3, scope="any").collect()
+    }
+    # doc 1: "p q r s" occurs at token pos 1 and 5 -> every token covered
+    assert anys == {(1, 1, 8), (2, 1, 3), (3, 2, 4)}
+    with pytest.raises(ValueError, match="scope"):
+        exact_substr_spans(docs, k=3, scope="bogus")
+
+
+def test_exact_substr_spans_any_equals_semantic_definition_randomized(spark):
+    """The scope='any' twin of the window-cover-lemma randomized test:
+    brute force marks a token covered iff it lies inside some substring
+    of length >= k that occurs at a DIFFERENT (doc, position) anywhere in
+    the corpus — self-overlapping same-doc occurrences included (the
+    paper treats the corpus as one big string; two distinct start
+    positions = duplicated). Single-doc corpora are generated too, where
+    only self-repeats can fire."""
+    import random
+
+    from pyspark.sql import Row
+
+    from zipkin_dependencies_spark.llm.dedup import exact_substr_spans
+
+    k = 3
+    rng = random.Random(99)
+    for trial in range(15):
+        n_docs = rng.randint(1, 5)
+        docs_tokens = [
+            [rng.choice("ab") + str(rng.randint(0, 2)) for _ in range(rng.randint(0, 13))]
+            for _ in range(n_docs)
+        ]
+        covered = [set() for _ in range(n_docs)]
+        for d, toks in enumerate(docs_tokens):
+            n = len(toks)
+            for i in range(n):
+                for j in range(i + k, n + 1):
+                    sub = toks[i:j]
+                    dup = any(
+                        (e, p) != (d, i)
+                        and docs_tokens[e][p : p + len(sub)] == sub
+                        for e in range(n_docs)
+                        for p in range(len(docs_tokens[e]) - len(sub) + 1)
+                    )
+                    if dup:
+                        covered[d].update(range(i, j))
+        expect = set()
+        for d in range(n_docs):
+            run = []
+            for x in sorted(covered[d]):
+                if run and x != run[-1] + 1:
+                    expect.add((d, run[0] + 1, run[-1] + 1))
+                    run = []
+                run.append(x)
+            if run:
+                expect.add((d, run[0] + 1, run[-1] + 1))
+        df = spark.createDataFrame(
+            [Row(doc_id=d, text=" ".join(t)) for d, t in enumerate(docs_tokens)]
+        )
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in exact_substr_spans(df, k=k, scope="any").collect()
+        }
+        assert got == expect, f"trial {trial}: {got} != {expect}"

@@ -1210,16 +1210,30 @@ def exact_substr_spans(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scope: str = "cross_doc",
 ) -> DataFrame:
     """ExactSubstr duplicated-span finder (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" §4.1 —
     public method): per document, the MAXIMAL token spans every part of
-    which belongs to some ≥``k``-token substring that also occurs in
-    ANOTHER document. → (doc_id, span_start, span_end, span_len,
+    which belongs to some ≥``k``-token substring that also occurs
+    elsewhere. → (doc_id, span_start, span_end, span_len,
     n_dup_grams) with 1-based token positions — the audit table a
     curation pass cuts from each doc (the paper removes these spans;
     emitting the spans instead of the cut text keeps the removal policy
     — drop-all vs keep-first — a downstream choice).
+
+    ``scope`` picks the duplication predicate:
+    - ``"cross_doc"``: the substring occurs in ANOTHER document —
+      min(doc_id) < max(doc_id) per digest. A deliberate narrowing of
+      the paper (inter-document boilerplate only).
+    - ``"any"``: the paper's §4.1 semantics — the substring occurs ≥2
+      times ANYWHERE in the corpus, INCLUDING self-repeats within one
+      document (generated spam, repeated boilerplate inside a page —
+      a real pretraining pathology the cross-doc mode misses). Gram
+      positions are distinct by construction (one row per (doc, pos)),
+      so the predicate is a plain count(*) >= 2 — the same
+      map-side-combined hash-aggregate shape, one aggregate column
+      instead of two.
 
     The paper builds a SUFFIX ARRAY over the concatenated corpus; this
     is the shuffle-native distributed formulation, exact by a
@@ -1237,7 +1251,8 @@ def exact_substr_spans(
     `dedupe_exact`: SHA-256 equality IS text equality at any feasible
     corpus size). "Occurs in another doc" is min(doc_id) < max(doc_id)
     per digest — a map-side-combined hash aggregate, cheaper than a
-    distinct count and exact for the ≥2-distinct-docs predicate. The
+    distinct count and exact for the ≥2-distinct-docs predicate
+    ("occurs anywhere twice" is count(*) >= 2, the same shape). The
     island walk runs in windows PARTITIONED BY doc (each partition one
     doc's duplicated gram starts, bounded by doc length — never
     corpus-scale), so the whole plan is two digest-keyed exchanges plus
@@ -1268,12 +1283,22 @@ def exact_substr_spans(
     ).select(
         "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "digest"
     )
-    dup = (
-        grams.groupBy("digest")
-        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
-        .filter(F.col("mn") < F.col("mx"))
-        .select("digest")
-    )
+    if scope == "cross_doc":
+        dup = (
+            grams.groupBy("digest")
+            .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+            .filter(F.col("mn") < F.col("mx"))
+            .select("digest")
+        )
+    elif scope == "any":
+        dup = (
+            grams.groupBy("digest")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("digest")
+        )
+    else:
+        raise ValueError(f"scope must be 'cross_doc' or 'any', got {scope!r}")
     w = Window.partitionBy("doc_id").orderBy("pos")
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     return (
