@@ -4768,6 +4768,29 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(load(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ENCODE with the learned BPE tokenizer: train the 8-merge
+    table (same plan as bpe_train — the merge table is 8 driver rows by
+    construction), then encode every document. Encoding never folds the
+    corpus: merges apply once to the distinct-word VOCAB
+    (llm/bpe.py::vocab_encode, lineage bounded by rematerialize_every),
+    one word→encoding equi-join + one doc-keyed ordered reassembly
+    rebuild the encoded streams. → (doc_id, n_words, n_tokens, encoded).
+    Oracle: llm/oracles.py::bpe_encode_sql — the train twin's stages
+    carrying the word key, with v8 as the word→encoding table."""
+    from zipkin_dependencies_spark.llm.bpe import bpe_encode, bpe_train
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    learned = sorted(
+        (
+            (r.merge_rank, r.left_sym, r.right_sym)
+            for r in bpe_train(docs, n_merges=8).collect()
+        )
+    )
+    return bpe_encode(docs, [(a, b) for _, a, b in learned])
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov drift gate: event `value`
     distribution, first half of the month vs the rest. Collapses to
@@ -4971,6 +4994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window can hold) ---
         "exact_substr_spans": q_exact_substr_spans,
         "exact_substr_spans_all": q_exact_substr_spans_all,
+        "bpe_encode": q_bpe_encode,
         "bpe_train": q_bpe_train,
         "ks_drift": q_ks_drift,
         # --- BLOCK C (r08): touched-code re-gate — prefix_filter_pairs
@@ -6463,6 +6487,9 @@ FROM i GROUP BY doc_id, island
         # argmax scalar CTE + list_reduce greedy fold — the equivalence
         # argument lives in llm/bpe.py.
         "bpe_train": llm_oracles.bpe_train_sql(n_merges=8),
+        # Encode twin: train stages carrying the word key; v8 IS the
+        # word→encoding table (generator note in llm/oracles.py).
+        "bpe_encode": llm_oracles.bpe_encode_sql(n_merges=8),
         # KS twin: same distinct-value collapse + DECIMAL(38,0) integer
         # gaps; split literal = 2024-01-16 00:00 UTC in epoch µs.
         "ks_drift": llm_oracles.ks_drift_sql(

@@ -166,3 +166,93 @@ def test_delimiter_bearing_tokens_excluded_from_training(spark):
     clean = ["low low lower newest newest newest"]
     dirty = [clean[0] + " a\x01b c\x02d"]
     assert _spark_bpe(spark, dirty, 4) == _spark_bpe(spark, clean, 4)
+
+
+@pytest.mark.parametrize("remat", [1, 2, 4, 0])
+def test_rematerialization_is_result_invariant(spark, remat):
+    """rematerialize_every bounds fold-chain DEPTH, never results: any R
+    (including 0/None = never, and R=1 = checkpoint every round) learns
+    the identical merge table — each round sees the vocab with all prior
+    merges applied either as chained folds or as materialized rows."""
+    texts = ["low " * 5 + "lower " * 2 + "newest " * 6, "widest west low"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = sorted(_ref_bpe(texts, 6))
+    got = sorted(
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_train(docs, n_merges=6, rematerialize_every=remat).collect()
+    )
+    assert got == want
+
+
+def _ref_encode(texts: list[str], merges: list[tuple[str, str]]):
+    """Sequential reference encode: per doc, per word, chars+EOW then the
+    learned merges applied greedily in rank order."""
+    out = {}
+    for i, t in enumerate(texts):
+        stream = []
+        n_words = 0
+        for w in t.lower().strip().split():
+            if not w:
+                continue
+            n_words += 1
+            syms = [*w, EOW]
+            for a, b in merges:
+                syms = _ref_apply(syms, a, b)
+            stream.extend(syms)
+        if n_words:
+            out[i] = (n_words, len(stream), " ".join(stream))
+    return out
+
+
+@pytest.mark.parametrize("remat", [2, 16])
+def test_bpe_encode_matches_sequential_reference(spark, remat):
+    """bpe_encode (vocab-side fold + word join + ordered reassembly)
+    equals per-word sequential greedy encoding with the learned merges —
+    including repeated words, words the merges never touch, and the
+    empty-doc drop."""
+    from zipkin_dependencies_spark.llm.bpe import bpe_encode
+
+    texts = [
+        "low lower newest low",
+        "newest newest west wide",
+        "",                      # zero tokens -> dropped from output
+        "zzz low",
+    ]
+    train_docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [
+        (m[1], m[2]) for m in sorted(_ref_bpe(texts, 5))
+    ]
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.encoded)
+        for r in bpe_encode(
+            train_docs, merges, rematerialize_every=remat
+        ).collect()
+    }
+    assert got == _ref_encode(texts, merges)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_bpe_encode_randomized_vs_reference(spark, seed):
+    rng = random.Random(seed + 70)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
+            for _ in range(rng.randint(0, 25))
+        )
+        for _ in range(4)
+    ]
+    from zipkin_dependencies_spark.llm.bpe import bpe_encode
+
+    merges = [(m[1], m[2]) for m in sorted(_ref_bpe(texts, 6))]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.encoded)
+        for r in bpe_encode(docs, merges, rematerialize_every=3).collect()
+    }
+    assert got == _ref_encode(texts, merges)

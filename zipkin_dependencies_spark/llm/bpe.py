@@ -22,10 +22,16 @@ Per merge round, on the cached vocab:
      (the fold accumulator IS the rewritten prefix; see `_apply_merge`).
      A projection: no shuffle, no UDF, no Python row path.
 
-Round r re-derives the vocab by chaining the r learned folds onto the ONE
-cached base frame (k² total fold expressions over a vocab-sized table, vs
-k persists of mutated frames — expression chaining keeps a single cache
-resident and the lineage bounded by n_merges, which is a constant).
+Round r re-derives the vocab by chaining the folds learned since the last
+MATERIALIZATION onto the cached frame, and every ``rematerialize_every``
+rounds the re-derived vocab materializes (eager localCheckpoint — the
+repo's materialize-once idiom; at cluster scale a durable checkpoint/
+parquet write is the drop-in equivalent). Fold-chain depth and plan
+lineage are therefore bounded by R regardless of merge count: total fold
+work is O(n_merges · vocab) with at most R-deep expression chains —
+at tokenizer-real merge counts (10³–10⁴) the naive chain-everything form
+is O(n_merges²) folds and unbounded plan depth (measured flat-per-round
+at sf1 for n_merges ∈ {64, 256}; SCALING.md "BPE at depth").
 
 Driver state: the learned merge table itself — n_merges rows, by
 construction. The `.collect()` per round is exactly 1 row.
@@ -109,7 +115,10 @@ def pair_counts(vocab: DataFrame) -> DataFrame:
 
 
 def bpe_train(
-    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    rematerialize_every: int = 16,
 ) -> DataFrame:
     """Learn the top `n_merges` BPE merges from a document corpus.
 
@@ -117,6 +126,15 @@ def bpe_train(
     learned merge, in training order. pair_count is the (word-frequency
     weighted) number of adjacent occurrences at the time the pair was
     chosen — the classic BPE training log.
+
+    ``rematerialize_every`` bounds fold-chain depth: the vocab
+    re-materializes (eager localCheckpoint) every R learned merges, so
+    round r chains at most R folds instead of r — the difference between
+    O(n_merges·vocab) and O(n_merges²·vocab) total fold work at
+    tokenizer-real merge counts. Results are identical for any R (each
+    round still sees the vocab with ALL prior merges applied; pinned by
+    tests/test_bpe.py). For n_merges ≤ R (the gated query: 8 ≤ 16) no
+    checkpoint ever fires and the plan is unchanged.
 
     Stops early (fewer rows than n_merges) if the vocabulary runs out of
     adjacent pairs — only reachable on degenerate corpora where every
@@ -135,18 +153,22 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("wc"))
     )
-    base = words.select(
+    base0 = words.select(
         "wc",
         F.concat(
             F.expr("regexp_extract_all(w, '.', 0)"), F.array(F.lit(EOW))
         ).alias("syms"),
     ).persist()
+    base = base0
 
     merges: list[tuple[int, str, str, str, int]] = []
+    # merges applied since `base` last materialized — chained as fold
+    # expressions each round; cleared when the vocab re-materializes
+    applied: list[tuple[str, str]] = []
     try:
         for rank in range(1, n_merges + 1):
             syms = F.col("syms")
-            for _, a, b, _, _ in merges:
+            for a, b in applied:
                 syms = _apply_merge(syms, a, b)
             cur = base.select("wc", syms.alias("syms"))
             pairs = pair_counts(cur)
@@ -169,6 +191,110 @@ def bpe_train(
                     r.pair_count,
                 )
             )
+            applied.append((r.left_sym, r.right_sym))
+            if rematerialize_every and len(applied) >= rematerialize_every:
+                syms = F.col("syms")
+                for a, b in applied:
+                    syms = _apply_merge(syms, a, b)
+                base = base.select(
+                    "wc", syms.alias("syms")
+                ).localCheckpoint(eager=True)
+                applied = []
     finally:
-        base.unpersist()
+        # the one explicit persist; checkpointed frames free with GC
+        base0.unpersist()
     return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def vocab_encode(
+    vocab: DataFrame,
+    merges: list[tuple[str, str]],
+    syms_col: str = "syms",
+    rematerialize_every: int = 16,
+) -> DataFrame:
+    """Apply a LEARNED merge list (rank order) to a symbol-array column.
+
+    The merge table is driver state by construction (n_merges rows), so
+    the merges arrive as plain Python pairs and each becomes one
+    `_apply_merge` fold — exact greedy semantics per merge, applied in
+    training order (the BPE encode contract: encoding replays the merge
+    history). Every ``rematerialize_every`` folds the frame materializes
+    (eager localCheckpoint), bounding expression/lineage depth at R for
+    arbitrarily long merge lists — the same flat-per-round shape as
+    training."""
+    out = vocab
+    col: Column = F.col(syms_col)
+    pending = 0
+    for a, b in merges:
+        col = _apply_merge(col, a, b)
+        pending += 1
+        if rematerialize_every and pending >= rematerialize_every:
+            out = out.withColumn(syms_col, col).localCheckpoint(eager=True)
+            col = F.col(syms_col)
+            pending = 0
+    return out.withColumn(syms_col, col)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rematerialize_every: int = 16,
+) -> DataFrame:
+    """Encode a corpus with a learned BPE merge table.
+
+    → (doc_id, n_words, n_tokens, encoded): per document, its word count,
+    total encoded-symbol count, and the full encoded symbol stream
+    (symbols space-joined, words in document order, EOW markers kept —
+    the text a tokenizer-consuming trainer would read).
+
+    Scale decomposition mirrors training — the corpus NEVER runs a fold:
+    merges apply once to the distinct-word VOCAB (`vocab_encode`,
+    vocab-sized, Zipf-bounded — millions of rows where the corpus has
+    trillions of tokens), then one word→encoding equi-join rebuilds
+    documents (AQE broadcasts the encoded vocab when it fits, else a
+    shuffled hash join — both correct at their vocab sizes) and one
+    doc-keyed aggregation reassembles order via the sort-struct-flatten
+    idiom (positions from posexplode BEFORE the delimiter-domain filter,
+    so excluded words leave gaps but never reorder). Documents with zero
+    tokens have nothing to encode and drop from the output (same on the
+    DuckDB twin).
+
+    Word positions, not trace of the merge loop: encoding a word is
+    independent of every other word, so this is embarrassingly parallel
+    and deterministic for a fixed merge list."""
+    wp = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens(text_col)).alias("pos", "w"),
+        )
+        # same delimiter-domain filter as training (llm/bpe.py top note)
+        .where(~F.col("w").contains("\x01") & ~F.col("w").contains("\x02"))
+    )
+    vocab = wp.groupBy("w").agg(F.count(F.lit(1)).alias("_wc")).select(
+        "w",
+        F.concat(
+            F.expr("regexp_extract_all(w, '.', 0)"), F.array(F.lit(EOW))
+        ).alias("syms"),
+    )
+    enc = vocab_encode(vocab, merges, rematerialize_every=rematerialize_every)
+    return (
+        wp.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.size("syms")).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "syms"))
+                        ),
+                        lambda s: s["syms"],
+                    )
+                ),
+                " ",
+            ).alias("encoded"),
+        )
+    )

@@ -1861,16 +1861,13 @@ FROM occ o LEFT JOIN news n ON o.bucket = n.bucket
 """
 
 
-def bpe_train_sql(n_merges: int = 8, eow: str = "</w>") -> str:
-    """Twin of llm/bpe.py::bpe_train: the identical iterative computation
-    unrolled into n_merges CTE stages. Each stage's merge-apply is a
-    list_reduce fold over a chr(1)-delimited string accumulator (DuckDB's
-    reduce seeds the accumulator with the FIRST element, so a chr(2)
-    sentinel is prepended — every real symbol then carries a chr(1)
-    prefix and `ends_with(acc, chr(1) || a)` tests exactly "last symbol
-    == a", multi-character symbols included). Fold semantics equal the
-    Spark array fold equal sequential greedy BPE apply — see the
-    equivalence note in llm/bpe.py."""
+def _bpe_stages(n_merges: int, eow: str, carry_word: bool) -> list[str]:
+    """Shared CTE-stage builder for the BPE twins: w0/v0 (weighted word
+    vocab → symbol lists) then per-merge (p{i} pair counts, b{i} argmax,
+    v{i} fold-applied vocab). With ``carry_word`` each v{i} keeps the
+    word key so a downstream encode stage can join words back — the
+    train twin drops it (one fewer column through 8 stages)."""
+    wsel = "w, " if carry_word else ""
     stages = [
         f"""w0 AS (
   SELECT t AS w, CAST(count(*) AS BIGINT) AS wc
@@ -1883,7 +1880,8 @@ def bpe_train_sql(n_merges: int = 8, eow: str = "</w>") -> str:
   GROUP BY 1
 ),
 v0 AS (
-  SELECT wc, list_append(regexp_extract_all(w, '.'), '{eow}') AS syms FROM w0
+  SELECT {wsel}wc, list_append(regexp_extract_all(w, '.'), '{eow}') AS syms
+  FROM w0
 )"""
     ]
     for i in range(1, n_merges + 1):
@@ -1897,7 +1895,7 @@ v0 AS (
 ),
 b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
 v{i} AS (
-  SELECT wc,
+  SELECT {wsel}wc,
          string_split(
            list_reduce(list_prepend(chr(2), syms), (acc, x) ->
              CASE WHEN x = m.b AND ends_with(acc, chr(1) || m.a)
@@ -1908,13 +1906,63 @@ v{i} AS (
   FROM v{p}, b{i} m
 )"""
         )
-        # the last stage's v{i} is never consumed; harmless (CTEs are lazy)
+        # the last stage's v{i} is unconsumed in the train twin; harmless
+        # (CTEs are lazy) — the encode twin joins against it
+    return stages
+
+
+def bpe_train_sql(n_merges: int = 8, eow: str = "</w>") -> str:
+    """Twin of llm/bpe.py::bpe_train: the identical iterative computation
+    unrolled into n_merges CTE stages. Each stage's merge-apply is a
+    list_reduce fold over a chr(1)-delimited string accumulator (DuckDB's
+    reduce seeds the accumulator with the FIRST element, so a chr(2)
+    sentinel is prepended — every real symbol then carries a chr(1)
+    prefix and `ends_with(acc, chr(1) || a)` tests exactly "last symbol
+    == a", multi-character symbols included). Fold semantics equal the
+    Spark array fold equal sequential greedy BPE apply — see the
+    equivalence note in llm/bpe.py."""
+    stages = _bpe_stages(n_merges, eow, carry_word=False)
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS merge_rank, a AS left_sym,"
         f" b AS right_sym, a || b AS merged, cnt AS pair_count FROM b{i}"
         for i in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(stages) + "\n" + union
+
+
+def bpe_encode_sql(n_merges: int = 8, eow: str = "</w>") -> str:
+    """Twin of llm/bpe.py::bpe_encode with merges learned in-query: the
+    train stages (carrying the word key) replay training, then the final
+    vocab v{n} — every distinct word with ALL n merges fold-applied — IS
+    the word→encoding table; one join on the positional token explode
+    and one ordered reassembly per doc rebuild the encoded stream.
+    Assumes the corpus yields all n_merges merges (true for every gated
+    fixture; the Spark operator itself handles early-stop corpora —
+    pytest-covered — but an unrolled SQL twin cannot branch on it)."""
+    stages = _bpe_stages(n_merges, eow, carry_word=True)
+    stages.append(
+        f"""wp AS (
+  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, toks[CAST(u.pos AS INT)] AS w
+  FROM (SELECT doc_id, {TEXT_TOKENS} AS toks FROM documents) d,
+       UNNEST(generate_series(1, len(toks))) AS u(pos)
+)"""
+    )
+    # the delimiter-domain filter mirrors training: excluded words leave
+    # positional gaps but never reorder (positions precede the filter)
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"""
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(syms)) AS BIGINT) AS n_tokens,
+       array_to_string(flatten(list(syms ORDER BY pos)), ' ') AS encoded
+FROM (SELECT * FROM wp
+      WHERE NOT contains(w, chr(1)) AND NOT contains(w, chr(2))) t
+JOIN v{n_merges} USING (w)
+GROUP BY doc_id
+"""
+    )
 
 
 def ks_drift_sql(split_epoch_us: int) -> str:
