@@ -4791,6 +4791,49 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, [(a, b) for _, a, b in learned])
 
 
+def q_url_domain_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/registered-domain dedup (the Dolma/CCNet web-curation stage):
+    canonicalize URL → collapse exact-URL replicas (recrawls, utm-tagged
+    copies, www/scheme/port spellings) keeping the highest-quality copy →
+    cap survivors per REGISTERED domain (public-suffix-aware: m.X.co.uk
+    registers as X.co.uk) best-first. The documents fixture has no URL
+    column, so a deterministic one is synthesized JVM-side from
+    (source, doc_id) — mixed-case schemes, www/m. prefixes, ports, query
+    strings, fragments, trailing slashes, and .co.uk suffixes, so every
+    canonicalization rule and the multi-level-suffix branch all fire
+    (same fixture style as json_spans_decode building JSON from orders).
+    Canonicalization is pure codegen'd string expressions; dedup is one
+    canonical-URL exchange + one domain-keyed grouped top-k
+    (llm/urls.py::url_domain_dedup)."""
+    from zipkin_dependencies_spark.llm.urls import url_domain_dedup
+    from zipkin_dependencies_spark.testdata import load
+
+    d = F.col("doc_id")
+    suffix = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("co.uk"), F.lit("net")),
+        (d % 4 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://")),
+        F.when(d % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("m.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit("."),
+        suffix,
+        F.when(d % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.concat(F.lit("/p"), (d % 3).cast("string")),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            (d % 5).isin(1, 2), F.concat(F.lit("?utm="), d.cast("string"))
+        ).otherwise(F.lit("")),
+        F.when(d % 9 == 0, F.lit("#s")).otherwise(F.lit("")),
+    )
+    docs = load(spark, sf_dir, "documents").withColumn("url", url)
+    return url_domain_dedup(
+        docs, quality_col="n_chars", per_domain_cap=2
+    )
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov drift gate: event `value`
     distribution, first half of the month vs the rest. Collapses to
@@ -4995,6 +5038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_spans": q_exact_substr_spans,
         "exact_substr_spans_all": q_exact_substr_spans_all,
         "bpe_encode": q_bpe_encode,
+        "url_domain_dedup": q_url_domain_dedup,
         "bpe_train": q_bpe_train,
         "ks_drift": q_ks_drift,
         # --- BLOCK C (r08): touched-code re-gate — prefix_filter_pairs
@@ -6490,6 +6534,76 @@ FROM i GROUP BY doc_id, island
         # Encode twin: train stages carrying the word key; v8 IS the
         # word→encoding table (generator note in llm/oracles.py).
         "bpe_encode": llm_oracles.bpe_encode_sql(n_merges=8),
+        # URL/domain dedup twin: identical synthesized URL, the same
+        # anchored regex chain (all patterns single-match by anchoring,
+        # so DuckDB's first-match regexp_replace equals Spark's
+        # replace-all), the same literal multi-level-suffix table as
+        # llm/urls.py::MULTI_LEVEL_SUFFIXES.
+        "url_domain_dedup": r"""
+WITH u AS (
+  SELECT doc_id AS id, n_chars AS q,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'm.' ELSE '' END)
+         || source || '.'
+         || (['com','org','co.uk','net'])[CAST(doc_id % 4 + 1 AS INT)]
+         || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+         || '/p' || CAST(doc_id % 3 AS VARCHAR)
+         || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 5 IN (1,2)
+                  THEN '?utm=' || CAST(doc_id AS VARCHAR) ELSE '' END)
+         || (CASE WHEN doc_id % 9 = 0 THEN '#s' ELSE '' END) AS url
+  FROM documents
+),
+s1 AS (
+  SELECT id, q,
+         regexp_replace(regexp_replace(regexp_replace(url,
+           '#.*$', ''), '\?.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS v
+  FROM u
+),
+s2 AS (
+  SELECT id, q,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower(regexp_extract(v, '^([^/]*)', 1)),
+           '^[^@]*@', ''), ':[0-9]+$', ''), '\.$', ''), '^www\.', '') AS host,
+         regexp_replace(regexp_replace(v, '^[^/]*', ''), '/+$', '') AS path
+  FROM s1
+),
+lab AS (
+  SELECT id, q, host, host || path AS canonical_url,
+         string_split(host, '.') AS labels
+  FROM s2
+),
+c AS (
+  SELECT id, q, canonical_url,
+         CASE WHEN len(labels) >= 3
+                   AND labels[-2] || '.' || labels[-1] IN (
+                     'co.uk','org.uk','gov.uk','ac.uk',
+                     'co.jp','ne.jp','or.jp',
+                     'com.au','net.au','org.au',
+                     'com.br','com.cn','com.mx','co.in','co.za','com.ar')
+              THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+              WHEN len(labels) >= 2
+              THEN labels[-2] || '.' || labels[-1]
+              ELSE host END AS registered_domain
+  FROM lab
+),
+w1 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY canonical_url ORDER BY q DESC, id ASC) AS rn
+  FROM c
+),
+winners AS (SELECT id, q, canonical_url, registered_domain FROM w1 WHERE rn = 1),
+w2 AS (
+  SELECT id, canonical_url, registered_domain,
+         CAST(row_number() OVER (
+           PARTITION BY registered_domain ORDER BY q DESC, id ASC)
+           AS BIGINT) AS domain_rank
+  FROM winners
+)
+SELECT id, canonical_url, registered_domain, domain_rank
+FROM w2 WHERE domain_rank <= 2
+""",
         # KS twin: same distinct-value collapse + DECIMAL(38,0) integer
         # gaps; split literal = 2024-01-16 00:00 UTC in epoch µs.
         "ks_drift": llm_oracles.ks_drift_sql(

@@ -1649,3 +1649,75 @@ def test_exact_substr_spans_any_equals_semantic_definition_randomized(spark):
             for r in exact_substr_spans(df, k=k, scope="any").collect()
         }
         assert got == expect, f"trial {trial}: {got} != {expect}"
+
+
+def test_canonicalize_url_and_registered_domain(spark):
+    from pyspark.sql import Row
+
+    from zipkin_dependencies_spark.llm.urls import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    cases = [
+        ("HTTPS://WWW.Example.CO.UK:8080/Path/?q=1#f", "example.co.uk/Path"),
+        ("http://user:pw@Host.com/a?x=1", "host.com/a"),
+        ("ftp://files.example.com./dir//", "files.example.com/dir"),
+        ("www.foo.com/x/", "foo.com/x"),          # schemeless
+        ("https://foo.org", "foo.org"),           # no path
+        ("http://localhost:9999/", "localhost"),
+    ]
+    df = spark.createDataFrame([Row(i=i, u=u) for i, (u, _) in enumerate(cases)])
+    got = {
+        r.i: (r.c, r.d)
+        for r in df.select(
+            "i",
+            canonicalize_url("u").alias("c"),
+            registered_domain(url_host(canonicalize_url("u"))).alias("d"),
+        ).collect()
+    }
+    want_dom = {
+        0: "example.co.uk", 1: "host.com", 2: "example.com",
+        3: "foo.com", 4: "foo.org", 5: "localhost",
+    }
+    for i, (u, want_c) in enumerate(cases):
+        assert got[i][0] == want_c, (u, got[i])
+        assert got[i][1] == want_dom[i], (u, got[i])
+
+
+def test_url_domain_dedup_collapse_and_cap(spark):
+    """Stage 1 collapses exact canonical replicas to the highest-quality
+    (then lowest-id) copy; stage 2 caps survivors per registered domain
+    best-first with 1-based domain_rank."""
+    from pyspark.sql import Row
+
+    from zipkin_dependencies_spark.llm.urls import url_domain_dedup
+
+    rows = [
+        # three spellings of ONE canonical URL a.com/x — qualities 5,9,9
+        Row(doc_id=1, url="http://a.com/x", q=5),
+        Row(doc_id=2, url="https://www.a.com/x/", q=9),
+        Row(doc_id=3, url="A.COM/x?utm=1", q=9),
+        # two more a.com pages + one m.a.com page (same registered domain)
+        Row(doc_id=4, url="http://a.com/y", q=7),
+        Row(doc_id=5, url="http://a.com/z", q=6),
+        Row(doc_id=6, url="http://m.a.com/w", q=8),
+        # another domain, one page; and a null url (dropped)
+        Row(doc_id=7, url="http://b.org/only", q=1),
+        Row(doc_id=8, url=None, q=99),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.id: (r.canonical_url, r.registered_domain, r.domain_rank)
+        for r in url_domain_dedup(
+            df, quality_col="q", per_domain_cap=2
+        ).collect()
+    }
+    # canonical a.com/x -> ids {1,2,3}: q9 tie -> id 2 wins
+    # a.com survivors: id2(q9), id6(q8 m.a.com), id4(q7), id5(q6) -> cap 2
+    assert got == {
+        2: ("a.com/x", "a.com", 1),
+        6: ("m.a.com/w", "a.com", 2),
+        7: ("b.org/only", "b.org", 1),
+    }
