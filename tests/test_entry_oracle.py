@@ -99,16 +99,11 @@ def test_registry_gate_window_policy():
     import __spark_entry__ as e
 
     never_driver_gated = {
-        # r08 state: through CORRECTNESS_r07, these four have never held
-        # a GREEN driver row (packed_chunk_spans gated r07 but red on the
-        # oracle HUGEINT cast, fixed this round; the other three were the
-        # r07 coda, registered past the window) — their first green row
-        # lands in CORRECTNESS_r08, which runs AFTER this round's work
-        "packed_chunk_spans", "streaming_cdc_replay",
-        "table_profile", "top_user_journeys",
-        # new in r08 (Block B — gate the round they appear; bpe_train and
-        # ks_drift landed mid-round and took the re-ceded Block-E slots)
-        "exact_substr_spans", "bpe_train", "ks_drift",
+        # r09 state: the three new-in-r09 queries (Block A); their first
+        # driver rows land in CORRECTNESS_r09, which runs AFTER this
+        # round's work. Everything else holds a green row in some
+        # CORRECTNESS_r*.json (see EVIDENCE.json).
+        "exact_substr_spans_all", "bpe_encode", "url_domain_dedup",
     }
     window = set(list(e.queries())[:50])
     missing = never_driver_gated - window
