@@ -247,6 +247,34 @@ def main() -> None:
     still_degraded = [n for n in headline if not has_clean.get(n, False)]
     calibration["steal_s"] = round((steal_ticks() - steal0) / 100.0, 1)
     total = round(sum(timings.values()), 3)
+
+    # floor ratios (VERDICT r08 #5): compare each timing to its best
+    # recorded clean-window sf0.1 floor (BASELINE_floors.json, regenerated
+    # by tools/gen_floors.py) so post-r01 regressions trip mechanically
+    # instead of by ledger archaeology. Ratios are only meaningful at
+    # sf0.1 on like-for-like calibration; other SFs skip the comparison.
+    floors_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_floors.json"
+    )
+    floor_ratio: dict[str, float] = {}
+    floor_trips: list[str] = []
+    if sf == 0.1 and os.path.exists(floors_path):
+        with open(floors_path) as fh:
+            floors = json.load(fh)
+        for name, sec in timings.items():
+            fl = floors.get(name, {}).get("floor_sec")
+            if fl:
+                r = round(sec / fl, 2)
+                floor_ratio[name] = r
+                # trip = 2x the recorded clean floor AND >1s absolute (a
+                # 0.3s->0.7s wobble is scheduler noise, not a regression)
+                if r > 2.0 and sec - fl > 1.0:
+                    floor_trips.append(name)
+        if floor_trips:
+            print(
+                f"# FLOOR TRIPS (>2x clean floor): {sorted(floor_trips)}",
+                file=sys.stderr,
+            )
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
@@ -266,6 +294,10 @@ def main() -> None:
         "steal_cs": steal_per_query,
         "retried": retried,
         "still_degraded": still_degraded,
+        # sec / best recorded clean-window floor (BASELINE_floors.json);
+        # queries above 2x the floor by >1s listed in floor_trips
+        "floor_ratio": floor_ratio,
+        "floor_trips": sorted(floor_trips),
     }
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
@@ -289,6 +321,7 @@ def main() -> None:
                 "calibration": calibration,
                 "n_retried": len(retried),
                 "n_still_degraded": len(still_degraded),
+                "n_floor_trips": len(floor_trips),
                 "detail": os.path.basename(detail_path),
             }
         )

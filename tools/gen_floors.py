@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Regenerate BASELINE_floors.json: per-query best CLEAN-window sf0.1
+seconds + which artifact set it (VERDICT r08 #5 — makes the 145 floors
+that lived as BASELINE.md prose machine-readable, so bench.py can emit a
+floor ratio and regressions trip mechanically).
+
+Sources: every committed per-query sf0.1 artifact (BENCH_r*_local.json,
+bench_detail*.json) plus any paths passed as argv. A query's entry from
+an artifact is skipped when that artifact marks it still_degraded
+(every run saw steal); artifacts without steal accounting (r03/r04
+locals) predate the protocol and were ledgered clean in BASELINE.md.
+
+    python tools/gen_floors.py [extra_detail.json ...]
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build(extra: list[str]) -> dict:
+    sources = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*_local.json")))
+    sources += sorted(glob.glob(os.path.join(ROOT, "bench_detail*.json")))
+    sources += extra
+    floors: dict[str, dict] = {}
+    for path in sources:
+        try:
+            d = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        if d.get("sf") != 0.1 or not isinstance(d.get("queries"), dict):
+            continue
+        degraded = set(d.get("still_degraded") or [])
+        tag = os.path.basename(path)
+        for q, sec in d["queries"].items():
+            if q in degraded:
+                continue
+            cur = floors.get(q)
+            if cur is None or sec < cur["floor_sec"]:
+                floors[q] = {"floor_sec": round(float(sec), 3), "source": tag}
+    return dict(sorted(floors.items()))
+
+
+if __name__ == "__main__":
+    floors = build(sys.argv[1:])
+    out = os.path.join(ROOT, "BASELINE_floors.json")
+    with open(out, "w") as fh:
+        json.dump(floors, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {out}: {len(floors)} query floors")
