@@ -10,6 +10,15 @@ an artifact is skipped when that artifact marks it still_degraded
 (every run saw steal); artifacts without steal accounting (r03/r04
 locals) predate the protocol and were ledgered clean in BASELINE.md.
 
+tools/floor_overrides.json then CLAMPS floors whose historical minimum
+is superseded by a ledgered change — a deliberate plan trade
+(customer_spend_gini's r06 two-phase rank), an operator rework
+(dedupe_near_against's r05 auto-banding), or memo-payer accounting
+(top_trace_paths pays the shared path-table build under the current
+registry order). A raw min older than the operator's current contract
+is not a floor; the override records the reason + round so bench.py's
+trip detection compares against like-for-like.
+
     python tools/gen_floors.py [extra_detail.json ...]
 """
 from __future__ import annotations
@@ -42,6 +51,17 @@ def build(extra: list[str]) -> dict:
             cur = floors.get(q)
             if cur is None or sec < cur["floor_sec"]:
                 floors[q] = {"floor_sec": round(float(sec), 3), "source": tag}
+    ov_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "floor_overrides.json"
+    )
+    if os.path.exists(ov_path):
+        for q, ov in json.load(open(ov_path)).items():
+            if q in floors and floors[q]["floor_sec"] < ov["floor_sec"]:
+                floors[q] = {
+                    "floor_sec": ov["floor_sec"],
+                    "source": f"override:{ov['round']}",
+                    "reason": ov["reason"],
+                }
     return dict(sorted(floors.items()))
 
 
