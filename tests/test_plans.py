@@ -612,3 +612,35 @@ def test_ks_drift_no_datascale_single_partition_window(spark):
         and b.split("\n")[0].strip().endswith("Window")
     ]
     assert not any("SinglePartition" in b for b in windows)
+
+
+def test_url_domain_dedup_jvm_only_no_single_partition_window(spark):
+    """llm/urls.py scale promises: canonicalization + domain extraction
+    are pure JVM string expressions (no Python eval node anywhere), and
+    both dedup windows are PARTITIONED (canonical_url / registered
+    domain) — never a single-partition global window."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_url_domain_dedup(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_exact_substr_any_windows_doc_partitioned(spark):
+    """scope='any' inherits the cross_doc plan shape: island windows are
+    doc-partitioned (no single-partition window), no Python eval."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_exact_substr_spans_all(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_encode_stays_jvm_side(spark):
+    """bpe_encode's folds/join/reassembly are all JVM expressions — no
+    Python eval node; the merge table is driver state, not a joined
+    corpus-side frame of folds."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_bpe_encode(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
