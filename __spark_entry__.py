@@ -6535,7 +6535,9 @@ FROM i GROUP BY doc_id, island
         # anchored regex chain (all patterns single-match by anchoring,
         # so DuckDB's first-match regexp_replace equals Spark's
         # replace-all), the same literal multi-level-suffix table as
-        # llm/urls.py::MULTI_LEVEL_SUFFIXES.
+        # llm/urls.py::MULTI_LEVEL_SUFFIXES. NULLS LAST pins DuckDB's
+        # DESC ordering (nulls-first by default) to Spark's desc
+        # (nulls-last) — inert on this fixture, loud contract otherwise.
         "url_domain_dedup": r"""
 WITH u AS (
   SELECT doc_id AS id, n_chars AS q,
@@ -6587,14 +6589,15 @@ c AS (
 ),
 w1 AS (
   SELECT *, row_number() OVER (
-    PARTITION BY canonical_url ORDER BY q DESC, id ASC) AS rn
+    PARTITION BY canonical_url ORDER BY q DESC NULLS LAST, id ASC) AS rn
   FROM c
 ),
 winners AS (SELECT id, q, canonical_url, registered_domain FROM w1 WHERE rn = 1),
 w2 AS (
   SELECT id, canonical_url, registered_domain,
          CAST(row_number() OVER (
-           PARTITION BY registered_domain ORDER BY q DESC, id ASC)
+           PARTITION BY registered_domain ORDER BY q DESC NULLS LAST,
+                        id ASC)
            AS BIGINT) AS domain_rank
   FROM winners
 )

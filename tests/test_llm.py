@@ -1721,3 +1721,26 @@ def test_url_domain_dedup_collapse_and_cap(spark):
         6: ("m.a.com/w", "a.com", 2),
         7: ("b.org/only", "b.org", 1),
     }
+
+
+def test_url_domain_dedup_null_quality_ranks_last(spark):
+    """Null quality sorts LAST under Spark's desc ordering; the DuckDB
+    twin pins the same with explicit NULLS LAST — so a null-quality
+    replica loses the URL collapse and a null-quality page ranks after
+    every scored page in the domain cap."""
+    from pyspark.sql import Row
+
+    from zipkin_dependencies_spark.llm.urls import url_domain_dedup
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, url="http://a.com/x", q=None),
+            Row(doc_id=2, url="https://a.com/x", q=1),
+            Row(doc_id=3, url="http://a.com/y", q=None),
+        ]
+    )
+    got = {
+        r.id: r.domain_rank
+        for r in url_domain_dedup(df, quality_col="q", per_domain_cap=2).collect()
+    }
+    assert got == {2: 1, 3: 2}
