@@ -1744,3 +1744,38 @@ def test_url_domain_dedup_null_quality_ranks_last(spark):
         for r in url_domain_dedup(df, quality_col="q", per_domain_cap=2).collect()
     }
     assert got == {2: 1, 3: 2}
+
+
+def test_canonicalize_url_idempotent_randomized(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u): the canonical
+    form is a fixed point (scheme-less, query-less, host-lowered inputs
+    re-canonicalize to themselves), over randomized URL soup covering
+    every rule combination."""
+    import random
+
+    from pyspark.sql import Row
+
+    from zipkin_dependencies_spark.llm.urls import canonicalize_url
+
+    rng = random.Random(7)
+    urls = []
+    for _ in range(200):
+        u = (
+            rng.choice(["http://", "HTTPS://", "ftp://", ""])
+            + rng.choice(["", "user:pw@"])
+            + rng.choice(["www.", "WWW.", "m.", ""])
+            + rng.choice(["Example", "foo.bar", "x"])
+            + rng.choice([".com", ".co.uk", ".org", ""])
+            + rng.choice(["", ":8080", ":443"])
+            + rng.choice(["", "/", "/A/b", "/p/"])
+            + rng.choice(["", "?q=1&x=2"])
+            + rng.choice(["", "#frag"])
+        )
+        urls.append(u)
+    df = spark.createDataFrame([Row(i=i, u=u) for i, u in enumerate(urls)])
+    rows = df.select(
+        canonicalize_url("u").alias("c1"),
+        canonicalize_url(canonicalize_url("u")).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2, r
