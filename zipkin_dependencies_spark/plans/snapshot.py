@@ -41,6 +41,13 @@ SNAPSHOT_QUERIES: tuple[str, ...] = (
     # driver loop whose result is an 8-row local table; its per-round
     # pair/argmax plan shape is pinned by test_plans.py instead.
     "ks_drift",
+    # r09 representatives: the web-curation URL dedup (codegen'd string
+    # canonicalization, partitioned dedup windows) and the self-repeat
+    # ExactSubstr (count>=2 dup hash-agg + doc-partitioned islands).
+    # bpe_encode trains first (driver loop) — the encode plan's JVM-only
+    # property is pinned by test_plans.py instead.
+    "url_domain_dedup",
+    "exact_substr_spans_all",
 )
 
 HEADER = """# PLANS — captured physical plans (generated)
