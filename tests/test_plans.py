@@ -644,3 +644,14 @@ def test_bpe_encode_stays_jvm_side(spark):
 
     plan = formatted(e.q_bpe_encode(spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_domain_dedup_window_group_limit_trims_map_side(spark):
+    """The grouped top-k rank filters plan as WindowGroupLimit
+    Partial -> Exchange -> Final: map tasks trim to their local top-k
+    BEFORE the shuffle, so a mega-domain never ships its page count
+    through the exchange (llm/urls.py scale note)."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_url_domain_dedup(spark, SF))
+    assert plan.count("WindowGroupLimit") >= 4  # partial+final x 2 stages

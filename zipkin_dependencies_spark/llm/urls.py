@@ -19,11 +19,13 @@ never shuffles for them). URL-level dedup is one hash exchange keyed on
 the canonical URL (replica groups are crawl-duplicate-sized, tiny);
 the per-domain cap is a grouped top-k — one exchange on the registered
 domain + a local per-group sort (same shape as `top_docs_per_source`).
-A mega-domain (10⁹ pages on one domain at 100 TB) skews that sort; the
-mitigation is the standard two-phase trim — pre-filter each partition's
-local top-cap with a salted window before the global one — which AQE's
-skew-join handling approximates for free at current scales; wire the
-salted pre-trim if a real crawl profile shows a domain above task size.
+The mega-domain skew worry (10⁹ pages on one domain at 100 TB) is
+already answered by the measured plan (PLANS.md `url_domain_dedup`):
+Spark plans BOTH rank filters as WindowGroupLimit Partial→Exchange→
+Final, i.e. every map task trims to its local top-k (1 for the URL
+collapse, cap for the domain cap) BEFORE the shuffle — the two-phase
+trim, planner-applied; the exchange carries at most
+(tasks × cap) rows per domain, never the domain's page count.
 """
 
 from __future__ import annotations
