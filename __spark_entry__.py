@@ -6538,7 +6538,7 @@ FROM i GROUP BY doc_id, island
         # llm/urls.py::MULTI_LEVEL_SUFFIXES. NULLS LAST pins DuckDB's
         # DESC ordering (nulls-first by default) to Spark's desc
         # (nulls-last) — inert on this fixture, loud contract otherwise.
-        "url_domain_dedup": r"""
+        "url_domain_dedup": f"""
 WITH u AS (
   SELECT doc_id AS id, n_chars AS q,
          (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
@@ -6554,38 +6554,14 @@ WITH u AS (
          || (CASE WHEN doc_id % 9 = 0 THEN '#s' ELSE '' END) AS url
   FROM documents
 ),
-s1 AS (
-  SELECT id, q,
-         regexp_replace(regexp_replace(regexp_replace(url,
-           '#.*$', ''), '\?.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS v
-  FROM u
-),
-s2 AS (
-  SELECT id, q,
-         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-           lower(regexp_extract(v, '^([^/]*)', 1)),
-           '^[^@]*@', ''), ':[0-9]+$', ''), '\.$', ''), '^www\.', '') AS host,
-         regexp_replace(regexp_replace(v, '^[^/]*', ''), '/+$', '') AS path
-  FROM s1
-),
-lab AS (
-  SELECT id, q, host, host || path AS canonical_url,
-         string_split(host, '.') AS labels
-  FROM s2
-),
 c AS (
   SELECT id, q, canonical_url,
-         CASE WHEN len(labels) >= 3
-                   AND labels[-2] || '.' || labels[-1] IN (
-                     'co.uk','org.uk','gov.uk','ac.uk',
-                     'co.jp','ne.jp','or.jp',
-                     'com.au','net.au','org.au',
-                     'com.br','com.cn','com.mx','co.in','co.za','com.ar')
-              THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
-              WHEN len(labels) >= 2
-              THEN labels[-2] || '.' || labels[-1]
-              ELSE host END AS registered_domain
-  FROM lab
+         {llm_oracles.url_registered_domain_sql(
+             "regexp_extract(canonical_url, '^([^/]*)', 1)"
+         )} AS registered_domain
+  FROM (SELECT id, q,
+               {llm_oracles.url_canonical_sql("url")} AS canonical_url
+        FROM u)
 ),
 w1 AS (
   SELECT *, row_number() OVER (

@@ -1779,3 +1779,62 @@ def test_canonicalize_url_idempotent_randomized(spark):
     ).collect()
     for r in rows:
         assert r.c1 == r.c2, r
+
+
+def test_url_canonicalization_cross_engine_randomized(spark):
+    """The Java-regex ∩ RE2 subset claim, pinned by sweep: Spark's
+    canonicalize_url/registered_domain and the DuckDB SQL generators
+    (llm/oracles.py::url_canonical_sql/url_registered_domain_sql — the
+    same expressions the url_domain_dedup oracle composes) agree on 300
+    randomized URLs covering every rule combination, far beyond the
+    fixture's synthesized shapes."""
+    import random
+
+    import duckdb
+    from pyspark.sql import Row
+
+    from zipkin_dependencies_spark.llm.oracles import (
+        url_canonical_sql,
+        url_registered_domain_sql,
+    )
+    from zipkin_dependencies_spark.llm.urls import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    rng = random.Random(31)
+    urls = []
+    for _ in range(300):
+        urls.append(
+            rng.choice(["http://", "HTTPS://", "Ftp://", ""])
+            + rng.choice(["", "u:p@", "admin@"])
+            + rng.choice(["www.", "WWW.", "m.", "a.b.", ""])
+            + rng.choice(["Example", "foo", "x-y"])
+            + rng.choice([".com", ".co.uk", ".org.au", ".org", ".CO.UK", ""])
+            + rng.choice(["", ".", ":8080", ":65535"])
+            + rng.choice(["", "/", "/A/b", "/p//", "/trail///"])
+            + rng.choice(["", "?q=1&x=2", "?#both"])
+            + rng.choice(["", "#frag", "#a#b"])
+        )
+    df = spark.createDataFrame([Row(i=i, u=u) for i, u in enumerate(urls)])
+    got = {
+        r.i: (r.c, r.d)
+        for r in df.select(
+            "i",
+            canonicalize_url("u").alias("c"),
+            registered_domain(url_host(canonicalize_url("u"))).alias("d"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(urls)))
+    c = url_canonical_sql("u")
+    d = url_registered_domain_sql(f"regexp_extract({c}, '^([^/]*)', 1)")
+    want = {
+        i: (cc, dd)
+        for i, cc, dd in con.execute(
+            f"SELECT i, {c} AS c, {d} AS d FROM t"
+        ).fetchall()
+    }
+    assert got == want

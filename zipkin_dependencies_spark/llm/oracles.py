@@ -2010,3 +2010,43 @@ SELECT na AS n_a, nb AS n_b, nv AS n_vals,
          AS ks_q6
 FROM tot
 """
+
+
+def url_canonical_sql(url_expr: str) -> str:
+    """DuckDB expression: canonical form of ``url_expr`` — the exact
+    regex chain of llm/urls.py::canonicalize_url. Every pattern is
+    anchored (single-match), so DuckDB's first-match regexp_replace
+    equals Spark's replace-all; shared by the url_domain_dedup oracle
+    and the randomized cross-engine sweep in tests/test_llm.py."""
+    stripped = (
+        f"regexp_replace(regexp_replace(regexp_replace({url_expr}, "
+        f"'#.*$', ''), '\\?.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    )
+    host = (
+        f"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"lower(regexp_extract({stripped}, '^([^/]*)', 1)), "
+        f"'^[^@]*@', ''), ':[0-9]+$', ''), '\\.$', ''), '^www\\.', '')"
+    )
+    path = (
+        f"regexp_replace(regexp_replace({stripped}, '^[^/]*', ''), "
+        f"'/+$', '')"
+    )
+    return f"({host} || {path})"
+
+
+def url_registered_domain_sql(host_expr: str) -> str:
+    """DuckDB expression: registered domain of a lowercase host — the
+    exact CASE of llm/urls.py::registered_domain, with the same literal
+    MULTI_LEVEL_SUFFIXES table."""
+    from .urls import MULTI_LEVEL_SUFFIXES
+
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_LEVEL_SUFFIXES)
+    labels = f"string_split({host_expr}, '.')"
+    last2 = f"({labels})[-2] || '.' || ({labels})[-1]"
+    last3 = f"({labels})[-3] || '.' || {last2}"
+    return (
+        f"(CASE WHEN len({labels}) >= 3 AND ({last2}) IN ({suffixes}) "
+        f"THEN {last3} "
+        f"WHEN len({labels}) >= 2 THEN {last2} "
+        f"ELSE {host_expr} END)"
+    )
