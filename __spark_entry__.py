@@ -4773,7 +4773,8 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (same plan as bpe_train — the merge table is 8 driver rows by
     construction), then encode every document. Encoding never folds the
     corpus: merges apply once to the distinct-word VOCAB
-    (llm/bpe.py::vocab_encode, lineage bounded by rematerialize_every),
+    (llm/bpe.py::apply_merges, lineage bounded by rematerialize_every —
+    named so it never shadows the r07 `vocab_encode` id-remap query),
     one word→encoding equi-join + one doc-keyed ordered reassembly
     rebuild the encoded streams. → (doc_id, n_words, n_tokens, encoded).
     Oracle: llm/oracles.py::bpe_encode_sql — the train twin's stages

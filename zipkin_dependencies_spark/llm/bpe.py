@@ -206,7 +206,7 @@ def bpe_train(
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 
-def vocab_encode(
+def apply_merges(
     vocab: DataFrame,
     merges: list[tuple[str, str]],
     syms_col: str = "syms",
@@ -250,7 +250,7 @@ def bpe_encode(
     the text a tokenizer-consuming trainer would read).
 
     Scale decomposition mirrors training — the corpus NEVER runs a fold:
-    merges apply once to the distinct-word VOCAB (`vocab_encode`,
+    merges apply once to the distinct-word VOCAB (`apply_merges`,
     vocab-sized, Zipf-bounded — millions of rows where the corpus has
     trillions of tokens), then one word→encoding equi-join rebuilds
     documents (AQE broadcasts the encoded vocab when it fits, else a
@@ -278,7 +278,7 @@ def bpe_encode(
             F.expr("regexp_extract_all(w, '.', 0)"), F.array(F.lit(EOW))
         ).alias("syms"),
     )
-    enc = vocab_encode(vocab, merges, rematerialize_every=rematerialize_every)
+    enc = apply_merges(vocab, merges, rematerialize_every=rematerialize_every)
     return (
         wp.join(enc, "w")
         .groupBy("doc_id")
