@@ -4835,6 +4835,26 @@ def q_url_domain_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training-order shuffle (the final stage of a
+    pretraining data pipeline): every document's read position, shard,
+    and within-shard offset, fixed by (corpus, seed) alone — re-runs,
+    backfills, and engines agree byte-for-byte; a new seed is a fresh
+    epoch permutation. Position = rank of the salted-md5 bucket (the
+    hash_sample family) via the TWO-PHASE distributed row_number —
+    hash keys are uniform, so range buckets are perfectly balanced and
+    no task sorts more than corpus/n_buckets rows. The DuckDB twin runs
+    the naive single-partition window; equality IS the contract
+    (llm/sampling.py::training_order). Shards are round-robin in
+    shuffle order, so any shard prefix is an unbiased sample."""
+    from zipkin_dependencies_spark.llm.sampling import training_order
+    from zipkin_dependencies_spark.testdata import load
+
+    return training_order(
+        load(spark, sf_dir, "documents"), seed="epoch-0", n_shards=8
+    )
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov drift gate: event `value`
     distribution, first half of the month vs the rest. Collapses to
@@ -5008,10 +5028,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # r09 ROTATION (freshness ledger: EVIDENCE.json, regenerated by
     # tools/gen_evidence.py): Block A = new-in-r09 (exact_substr_spans_all,
-    # bpe_encode, url_domain_dedup). Block B = the r04-evidence cohort —
-    # 49 queries, one window minus one, so Block A's three slots displace
-    # the block's TAIL (links_strict128, f3_day_partition_links → positions
-    # 51-52, the r10 Block A leaders); the four streaming replay twins
+    # bpe_encode, url_domain_dedup, training_order — the last landed
+    # mid-round and took one more tail slot, the r08 Block-E precedent).
+    # Block B = the r04-evidence cohort — 49 queries, one window minus
+    # one, so Block A's four slots displace the block's TAIL
+    # (v1_reconstruct, links_strict128, f3_day_partition_links →
+    # positions 51-53, the r10 Block A leaders); the four streaming replay twins
     # lead the window (re-ceded slots in both r07 and r08 — they go first
     # this time, per the judge's standing order). Touched-file note: this
     # round's bpe_train/exact_substr_spans changes are parameter-gated
@@ -5029,11 +5051,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_spans_all": q_exact_substr_spans_all,
         "bpe_encode": q_bpe_encode,
         "url_domain_dedup": q_url_domain_dedup,
+        "training_order": q_training_order,
         # --- BLOCK B (r09): the r04-evidence rotation. The full r04
-        # cohort is 49 queries — one window minus one — so the three
-        # Block-A slots displace the block's TAIL (links_strict128,
-        # f3_day_partition_links) to positions 51-52 per the standing
-        # rule that new queries take slots from the oldest block's tail.
+        # cohort is 49 queries — one window minus one — so the four
+        # Block-A slots displace the block's TAIL (v1_reconstruct,
+        # links_strict128, f3_day_partition_links) to positions 51-53
+        # per the standing rule that new queries take slots from the
+        # oldest block's tail.
         # The four streaming replay twins lead (Block-E leaders since
         # r08, re-ceded twice — they go first this time) ---
         "streaming_funnel_replay": q_streaming_funnel_replay,
@@ -5082,8 +5106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "nation_volume_pairs": q_nation_volume_pairs,
         "dependency_links_f2_window": q_dependency_links_f2,
-        "v1_reconstruct": q_v1_reconstruct,
         # --- window boundary (position 50) ---
+        "v1_reconstruct": q_v1_reconstruct,
         # The two displaced r04-block tail queries: their latest driver
         # evidence stays r04 this round — they are the r10 Block A
         # leaders (EVIDENCE.json is the freshness ledger). Touched-file
@@ -6529,6 +6553,26 @@ FROM i GROUP BY doc_id, island
         # argmax scalar CTE + list_reduce greedy fold — the equivalence
         # argument lives in llm/bpe.py.
         "bpe_train": llm_oracles.bpe_train_sql(n_merges=8),
+        # training-order twin: identical salted-md5 bucket arithmetic;
+        # the oracle deliberately runs the naive single-partition
+        # row_number window the distributed rank replaces — equality IS
+        # the operator's contract (the packed_chunk_spans pattern).
+        "training_order": r"""
+WITH k AS (
+  SELECT doc_id AS id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'epoch-0'), 1, 8))::BIGINT AS sk
+  FROM documents
+),
+r AS (
+  SELECT id,
+         CAST(row_number() OVER (ORDER BY sk, id) - 1 AS BIGINT) AS global_pos
+  FROM k
+)
+SELECT id, global_pos,
+       CAST(global_pos % 8 AS BIGINT) AS shard,
+       CAST(global_pos // 8 AS BIGINT) AS pos_in_shard
+FROM r
+""",
         # Encode twin: train stages carrying the word key; v8 IS the
         # word→encoding table (generator note in llm/oracles.py).
         "bpe_encode": llm_oracles.bpe_encode_sql(n_merges=8),

@@ -104,6 +104,7 @@ def test_registry_gate_window_policy():
         # round's work. Everything else holds a green row in some
         # CORRECTNESS_r*.json (see EVIDENCE.json).
         "exact_substr_spans_all", "bpe_encode", "url_domain_dedup",
+        "training_order",
     }
     window = set(list(e.queries())[:50])
     missing = never_driver_gated - window

@@ -1838,3 +1838,39 @@ def test_url_canonicalization_cross_engine_randomized(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_training_order_is_seeded_permutation(spark):
+    """training_order: (1) global_pos is a permutation of 0..n-1; (2) it
+    equals the rank of the salted md5 bucket computed independently in
+    Python; (3) round-robin sharding invariants hold; (4) a different
+    seed gives a different permutation, the same seed reproduces."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from zipkin_dependencies_spark.llm.sampling import training_order
+
+    ids = list(range(40))
+    df = spark.createDataFrame([Row(doc_id=i) for i in ids])
+
+    def ref(seed):
+        def bucket(i):
+            return int(
+                hashlib.md5(f"{i}{seed}".encode()).hexdigest()[:8], 16
+            )
+        order = sorted(ids, key=lambda i: (bucket(i), i))
+        return {i: p for p, i in enumerate(order)}
+
+    for seed in ("epoch-0", "epoch-1"):
+        got = {
+            r.id: (r.global_pos, r.shard, r.pos_in_shard)
+            for r in training_order(df, seed=seed, n_shards=4).collect()
+        }
+        want = ref(seed)
+        assert {i: g[0] for i, g in got.items()} == want
+        for i, (gp, sh, ps) in got.items():
+            assert sh == gp % 4 and ps == gp // 4
+    a = training_order(df, seed="epoch-0", n_shards=4).collect()
+    b = training_order(df, seed="epoch-1", n_shards=4).collect()
+    assert {r.id: r.global_pos for r in a} != {r.id: r.global_pos for r in b}

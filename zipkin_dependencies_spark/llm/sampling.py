@@ -274,3 +274,53 @@ def temperature_resample(
         .filter(_bucket(F.col(key_col), salt) < F.col("_threshold"))
         .select(F.col(key_col), F.col(source_col), F.col("keep_fraction9"))
     )
+
+
+def training_order(
+    df: DataFrame,
+    seed: str = "epoch-0",
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Reproducible global TRAINING-ORDER shuffle → (id, global_pos,
+    shard, pos_in_shard): the final stage of a pretraining data pipeline
+    — the order documents are read during training, fixed by (corpus,
+    seed) alone so a re-run, a backfill, or a different cluster reads
+    byte-identical batches. A new ``seed`` is a fresh epoch permutation.
+
+    The permutation is the rank of each row's salted md5 (the same
+    32-bit bucket family as `hash_sample` — content-stable, no RNG
+    state), totally ordered by the (hash, id) tiebreak. The rank is the
+    TWO-PHASE DISTRIBUTED row_number (`operators/rank.py`): hash values
+    are uniform by construction, so the range buckets are perfectly
+    balanced and no task ever sorts more than corpus/n_buckets rows —
+    the naive `row_number() OVER (ORDER BY hash)` single-partition
+    window (which the DuckDB twin deliberately runs; equality IS the
+    contract) funnels the whole corpus through one task.
+
+    Shards are ROUND-ROBIN in shuffle order (shard = pos % n_shards,
+    pos_in_shard = pos DIV n_shards): each shard is itself a uniform
+    pseudo-random subsample with interleaved sources — a prefix of any
+    shard is unbiased, which block-contiguous sharding does not give."""
+    keyed = df.select(
+        F.col(key_col).alias("id"),
+        _bucket(F.col(key_col), seed).alias("__sk"),
+    )
+    from ..operators.rank import distributed_row_number
+
+    ranked = distributed_row_number(
+        keyed,
+        partition_by=[],
+        value_col="__sk",
+        tiebreak_cols=["id"],
+        n_buckets=n_buckets,
+        out_col="__rn",
+    )
+    gp = (F.col("__rn") - 1).cast("long")
+    return ranked.select(
+        "id",
+        gp.alias("global_pos"),
+        (gp % n_shards).cast("long").alias("shard"),
+        F.floor(gp / n_shards).cast("long").alias("pos_in_shard"),
+    )
