@@ -655,3 +655,13 @@ def test_url_domain_dedup_window_group_limit_trims_map_side(spark):
 
     plan = formatted(e.q_url_domain_dedup(spark, SF))
     assert plan.count("WindowGroupLimit") >= 4  # partial+final x 2 stages
+
+
+def test_training_order_no_single_partition_window(spark):
+    """The global shuffle rank is the two-phase distributed row_number:
+    no single-partition exchange/window anywhere in the plan (the naive
+    ORDER BY hash window the DuckDB twin runs would show one)."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_training_order(spark, SF))
+    assert "SinglePartition" not in plan
