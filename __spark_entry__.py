@@ -4738,19 +4738,24 @@ def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_exact_substr_spans_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr with the paper's FULL §4.1 semantics (scope='any'):
-    maximal token spans covered by ≥8-token substrings occurring ≥2
+    maximal token spans covered by ≥k-token substrings occurring ≥2
     times ANYWHERE in the corpus — self-repeats within one document
     included (generated spam / in-page boilerplate, the pathology the
     cross-doc variant deliberately ignores). Same two digest-keyed
     exchanges + per-doc island windows; the dup predicate is a plain
     count(*) >= 2 hash aggregate (gram positions are distinct by
-    construction). Randomized brute-force semantic test:
+    construction). k=4 here, NOT the cross-doc query's 8: the fixture's
+    word soup has no within-doc repeated 8-grams, so at k=8 the two
+    scopes coincide and the gate would never exercise the self-repeat
+    branch — at k=4 they measurably differ (sf0.01: 643 vs 639 spans),
+    so this row actually pins the scope='any' predicate. Randomized
+    brute-force semantic test:
     tests/test_llm.py::test_exact_substr_spans_any_equals_semantic_definition_randomized."""
     from zipkin_dependencies_spark.llm.dedup import exact_substr_spans
     from zipkin_dependencies_spark.testdata import load
 
     return exact_substr_spans(
-        load(spark, sf_dir, "documents"), k=8, id_col="doc_id", scope="any"
+        load(spark, sf_dir, "documents"), k=4, id_col="doc_id", scope="any"
     )
 
 
@@ -6469,86 +6474,15 @@ SELECT b.doc_id, b.n_spans,
        coalesce(k.cleaned_text, '') AS cleaned_text
 FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
 """,
-        # ExactSubstr twin: the oracle groups sliding 8-gram TEXT
-        # directly (digests are a Spark-side shuffle-width choice, not
-        # semantics); islands break when pos > prev + k. Window-sum
-        # island ids and count(*) CAST to BIGINT (the packed_chunk_spans
-        # HUGEINT lesson).
-        "exact_substr_spans": r"""
-WITH tk AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                     t -> t <> '') AS toks
-  FROM documents
-),
-g AS (
-  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
-         array_to_string(
-           list_slice(toks, CAST(u.pos AS INT), CAST(u.pos AS INT) + 7),
-           ' ') AS gram
-  FROM tk, UNNEST(generate_series(1, len(toks) - 7)) AS u(pos)
-  WHERE len(toks) >= 8
-),
-dup AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) < max(doc_id)),
-h AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
-m AS (
-  SELECT doc_id, pos,
-         CASE WHEN lag(pos) OVER w IS NULL
-                   OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk
-  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-),
-i AS (
-  SELECT doc_id, pos,
-         CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
-  FROM m
-)
-SELECT doc_id,
-       min(pos) AS span_start,
-       CAST(max(pos) + 7 AS BIGINT) AS span_end,
-       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_len,
-       CAST(count(*) AS BIGINT) AS n_dup_grams
-FROM i GROUP BY doc_id, island
-""",
-        # scope='any' twin: identical to exact_substr_spans except the
-        # dup predicate — count(*) >= 2 over (doc, pos) gram occurrences
-        # (self-repeats included, the paper's full semantics).
-        "exact_substr_spans_all": r"""
-WITH tk AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                     t -> t <> '') AS toks
-  FROM documents
-),
-g AS (
-  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
-         array_to_string(
-           list_slice(toks, CAST(u.pos AS INT), CAST(u.pos AS INT) + 7),
-           ' ') AS gram
-  FROM tk, UNNEST(generate_series(1, len(toks) - 7)) AS u(pos)
-  WHERE len(toks) >= 8
-),
-dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-h AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
-m AS (
-  SELECT doc_id, pos,
-         CASE WHEN lag(pos) OVER w IS NULL
-                   OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk
-  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-),
-i AS (
-  SELECT doc_id, pos,
-         CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
-  FROM m
-)
-SELECT doc_id,
-       min(pos) AS span_start,
-       CAST(max(pos) + 7 AS BIGINT) AS span_end,
-       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_len,
-       CAST(count(*) AS BIGINT) AS n_dup_grams
-FROM i GROUP BY doc_id, island
-""",
+        # ExactSubstr twins: ONE shared SQL generator
+        # (llm/oracles.py::exact_substr_spans_sql) — the two scopes
+        # differ by exactly the dup HAVING predicate.
+        "exact_substr_spans": llm_oracles.exact_substr_spans_sql(k=8),
+        # k=4 (not 8): the only k where the fixture differentiates the
+        # scopes — see the query docstring
+        "exact_substr_spans_all": llm_oracles.exact_substr_spans_sql(
+            k=4, dup_having="count(*) >= 2"
+        ),
         # Unrolled 8-stage BPE twin (llm/oracles.py generator): per-stage
         # argmax scalar CTE + list_reduce greedy fold — the equivalence
         # argument lives in llm/bpe.py.

@@ -99,10 +99,11 @@ def test_registry_gate_window_policy():
     import __spark_entry__ as e
 
     never_driver_gated = {
-        # r09 state: the three new-in-r09 queries (Block A); their first
-        # driver rows land in CORRECTNESS_r09, which runs AFTER this
-        # round's work. Everything else holds a green row in some
-        # CORRECTNESS_r*.json (see EVIDENCE.json).
+        # r09 state: the four new-in-r09 queries (Block A; training_order
+        # landed mid-round). Their first driver rows land in
+        # CORRECTNESS_r09, which runs AFTER this round's work. Everything
+        # else holds a green row in some CORRECTNESS_r*.json
+        # (see EVIDENCE.json).
         "exact_substr_spans_all", "bpe_encode", "url_domain_dedup",
         "training_order",
     }
@@ -202,3 +203,7 @@ def test_ledgers_reconciled_with_registry():
     for q, row in floors.items():
         assert q in names, f"floor for unregistered query {q}"
         assert row["floor_sec"] > 0
+    # EVIDENCE.json must not carry orphan rows for renamed/removed
+    # queries (gen_evidence drops them; this guards a hand-edit)
+    orphans = [q for q in ev if q not in names]
+    assert not orphans, f"evidence for unregistered queries: {orphans}"

@@ -152,3 +152,13 @@ def test_ks_empty_sample_at_v_degenerates_to_min_value(spark):
     row = ks_statistic(df, "v", F.col("is_a")).collect()[0]
     assert row.ks_q6 is None
     assert row.at_v == 3
+
+
+def test_row_number_rejects_internal_name_collisions(spark):
+    # r09 review: distributed_row_number gets the same guard as
+    # distributed_prefix_sums — no silent clobber of caller __bkt/__off
+    from zipkin_dependencies_spark.operators.rank import distributed_row_number
+
+    df = spark.createDataFrame([(1, 2, 7)], "v long, w long, __off long")
+    with pytest.raises(ValueError, match="internal"):
+        distributed_row_number(df, [], "v", ["w"])

@@ -36,6 +36,22 @@ def build() -> dict:
             )
             if green:
                 evidence[q] = max(evidence.get(q, 0), rnd)
+    # drop rows for queries no longer in the registry (r09 review): a
+    # rename/removal otherwise leaves an orphan that re-appears on every
+    # regeneration and silently pollutes rotation planning
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "se", os.path.join(ROOT, "__spark_entry__.py")
+    )
+    se = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(se)
+    registered = set(se.queries())
+    orphans = sorted(set(evidence) - registered)
+    if orphans:
+        print(f"dropping evidence for unregistered queries: {orphans}")
+        for q in orphans:
+            del evidence[q]
     return dict(sorted(evidence.items()))
 
 

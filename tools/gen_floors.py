@@ -32,8 +32,12 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def build(extra: list[str]) -> dict:
+    # COMMITTED artifacts only (r09 review): bench.py's default sidecar
+    # bench_detail.json is gitignored — globbing it let an uncommitted
+    # local run silently lower committed floors and broke clean-checkout
+    # reproducibility. Pass extra paths explicitly when merging a fresh
+    # run, then commit the merged BENCH_r{N}_local.json.
     sources = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*_local.json")))
-    sources += sorted(glob.glob(os.path.join(ROOT, "bench_detail*.json")))
     sources += extra
     floors: dict[str, dict] = {}
     for path in sources:
@@ -55,8 +59,24 @@ def build(extra: list[str]) -> dict:
         os.path.dirname(os.path.abspath(__file__)), "floor_overrides.json"
     )
     if os.path.exists(ov_path):
+        import re
+
+        def src_round(tag: str) -> int:
+            m = re.search(r"r(\d+)", tag)
+            return int(m.group(1)) if m else 0
+
         for q, ov in json.load(open(ov_path)).items():
-            if q in floors and floors[q]["floor_sec"] < ov["floor_sec"]:
+            if q not in floors:
+                continue
+            cur = floors[q]
+            # the override clamps only measurements at or before its own
+            # round (r09 review): a LATER committed clean run that beats
+            # the override is legitimate new truth and must win, or the
+            # trip wire drifts loose forever
+            if (
+                cur["floor_sec"] < ov["floor_sec"]
+                and src_round(cur["source"]) <= src_round(ov["round"])
+            ):
                 floors[q] = {
                     "floor_sec": ov["floor_sec"],
                     "source": f"override:{ov['round']}",

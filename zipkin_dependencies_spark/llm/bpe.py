@@ -200,6 +200,9 @@ def bpe_train(
                     "wc", syms.alias("syms")
                 ).localCheckpoint(eager=True)
                 applied = []
+                # the checkpoint supersedes the initial persist — free it
+                # now (idempotent; the finally is the no-checkpoint path)
+                base0.unpersist()
     finally:
         # the one explicit persist; checkpointed frames free with GC
         base0.unpersist()

@@ -2050,3 +2050,51 @@ def url_registered_domain_sql(host_expr: str) -> str:
         f"WHEN len({labels}) >= 2 THEN {last2} "
         f"ELSE {host_expr} END)"
     )
+
+
+def exact_substr_spans_sql(k: int = 8, dup_having: str = "min(doc_id) < max(doc_id)") -> str:
+    """Shared twin of llm/dedup.py::exact_substr_spans — the oracle groups
+    sliding k-gram TEXT directly (digests are a Spark-side shuffle-width
+    choice, not semantics); islands break when pos > prev + k; window-sum
+    island ids and count(*) CAST to BIGINT (the packed_chunk_spans
+    HUGEINT lesson). ``dup_having`` selects the scope: the cross-doc
+    predicate (default) or ``count(*) >= 2`` for the self-repeat-inclusive
+    paper semantics — the ONE line the two registered twins differ by
+    (r09 review: single source for the tokenize/gram/island/span SQL)."""
+    k = int(k)
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+         array_to_string(
+           list_slice(toks, CAST(u.pos AS INT), CAST(u.pos AS INT) + {k - 1}),
+           ' ') AS gram
+  FROM tk, UNNEST(generate_series(1, len(toks) - {k - 1})) AS u(pos)
+  WHERE len(toks) >= {k}
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING {dup_having}),
+h AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos > lag(pos) OVER w + {k} THEN 1 ELSE 0 END AS brk
+  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+i AS (
+  SELECT doc_id, pos,
+         CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM m
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       CAST(max(pos) + {k - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) + {k} - min(pos) AS BIGINT) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM i GROUP BY doc_id, island
+"""

@@ -318,9 +318,15 @@ def training_order(
         out_col="__rn",
     )
     gp = (F.col("__rn") - 1).cast("long")
+    # integer DIV, not floor(double /): the double quotient loses integer
+    # precision past 2^53 positions, and the DuckDB twin's `//` is exact —
+    # byte-identical cross-engine order is the operator's whole contract
+    n = int(n_shards)
     return ranked.select(
+        "id", gp.alias("global_pos")
+    ).select(
         "id",
-        gp.alias("global_pos"),
-        (gp % n_shards).cast("long").alias("shard"),
-        F.floor(gp / n_shards).cast("long").alias("pos_in_shard"),
+        "global_pos",
+        (F.col("global_pos") % n).cast("long").alias("shard"),
+        F.expr(f"CAST(global_pos DIV {n} AS BIGINT)").alias("pos_in_shard"),
     )

@@ -63,6 +63,15 @@ def distributed_row_number(
     per (group, bucket) — tune n_buckets to the executor sort budget, it
     never needs to scale with the data (1024 buckets × 8 GB sorts covers
     a multi-TB group)."""
+    # same internal-name clash guard as distributed_prefix_sums (r09
+    # review): a caller column named __bkt/__off/__n would be silently
+    # clobbered by the withColumn/join below and dropped on the way out
+    internal_clash = {"__bkt", "__off", "__n"} & set(df.columns)
+    if internal_clash:
+        raise ValueError(
+            "input columns collide with internal row-number names: "
+            f"{sorted(internal_clash)}"
+        )
     # 1. split points from a bounded sample (relativeError 0.01 — splits
     # only LOAD-BALANCE the per-bucket sorts; ranks are exact whatever
     # the splits, and the loose sketch is ~3x cheaper to build);
