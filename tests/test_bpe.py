@@ -256,3 +256,34 @@ def test_bpe_encode_randomized_vs_reference(spark, seed):
         for r in bpe_encode(docs, merges, rematerialize_every=3).collect()
     }
     assert got == _ref_encode(texts, merges)
+
+
+def test_bpe_encode_shuffled_join_fallback_identical(spark):
+    """At a real tokenizer vocab (10^7 words) the encoded vocab stops
+    fitting the broadcast threshold and the word→encoding join falls
+    back to a shuffled hash join — force that plan (threshold -1) and
+    pin that the output is identical to the broadcast plan's."""
+    from zipkin_dependencies_spark.llm.bpe import bpe_encode
+
+    texts = ["low lower newest low", "newest west wide low"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [(m[1], m[2]) for m in sorted(_ref_bpe(texts, 5))]
+
+    def run():
+        return sorted(
+            (r.doc_id, r.n_words, r.n_tokens, r.encoded)
+            for r in bpe_encode(docs, merges).collect()
+        )
+
+    broadcast_plan = run()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuffled_plan = run()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert shuffled_plan == broadcast_plan == sorted(
+        (i, *v) for i, v in _ref_encode(texts, merges).items()
+    )
