@@ -57,11 +57,26 @@ def build() -> dict:
 
 if __name__ == "__main__":
     ev = build()
+    # "as_of_round" stamps which driver artifacts the snapshot includes
+    # (r09 judge: the committed file otherwise misleads anyone reading it
+    # during the inter-round gap, when the NEXT round's CORRECTNESS file
+    # doesn't exist yet). max over rounds seen, not over values — a round
+    # whose gate went fully red would still advance the stamp.
+    import glob as _glob
+    import re as _re
+
+    as_of = max(
+        int(_re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for f in _glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
+    )
     out = os.path.join(ROOT, "EVIDENCE.json")
     with open(out, "w") as fh:
-        json.dump(ev, fh, indent=1, sort_keys=True)
+        json.dump({"as_of_round": as_of, "queries": ev}, fh, indent=1, sort_keys=True)
         fh.write("\n")
     by_round: dict[int, int] = {}
     for r in ev.values():
         by_round[r] = by_round.get(r, 0) + 1
-    print(f"wrote {out}: {len(ev)} queries; by round: {sorted(by_round.items())}")
+    print(
+        f"wrote {out} (as of r{as_of:02d}): {len(ev)} queries; "
+        f"by round: {sorted(by_round.items())}"
+    )
