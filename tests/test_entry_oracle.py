@@ -98,15 +98,11 @@ def test_registry_gate_window_policy():
     round's gate coverage — fail here instead."""
     import __spark_entry__ as e
 
-    never_driver_gated = {
-        # r09 state: the four new-in-r09 queries (Block A; training_order
-        # landed mid-round). Their first driver rows land in
-        # CORRECTNESS_r09, which runs AFTER this round's work. Everything
-        # else holds a green row in some CORRECTNESS_r*.json
-        # (see EVIDENCE.json).
-        "exact_substr_spans_all", "bpe_encode", "url_domain_dedup",
-        "training_order",
-    }
+    # r10 state: new-this-round queries (Block A) get added here as they
+    # land. Their first driver rows land in CORRECTNESS_r10, which runs
+    # AFTER this round's work. Everything else holds a green row in some
+    # CORRECTNESS_r*.json (see EVIDENCE.json).
+    never_driver_gated: set[str] = set()
     window = set(list(e.queries())[:50])
     missing = never_driver_gated - window
     assert not missing, (
