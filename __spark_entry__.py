@@ -4797,29 +4797,43 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, [(a, b) for _, a, b in learned])
 
 
-def q_url_domain_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL/registered-domain dedup (the Dolma/CCNet web-curation stage):
-    canonicalize URL → collapse exact-URL replicas (recrawls, utm-tagged
-    copies, www/scheme/port spellings) keeping the highest-quality copy →
-    cap survivors per REGISTERED domain (public-suffix-aware: m.X.co.uk
-    registers as X.co.uk) best-first. The documents fixture has no URL
-    column, so a deterministic one is synthesized JVM-side from
-    (source, doc_id) — mixed-case schemes, www/m. prefixes, ports, query
-    strings, fragments, trailing slashes, and .co.uk suffixes, so every
-    canonicalization rule and the multi-level-suffix branch all fire
-    (same fixture style as json_spans_decode building JSON from orders).
-    Canonicalization is pure codegen'd string expressions; dedup is one
-    canonical-URL exchange + one domain-keyed grouped top-k
-    (llm/urls.py::url_domain_dedup)."""
-    from zipkin_dependencies_spark.llm.urls import url_domain_dedup
-    from zipkin_dependencies_spark.testdata import load
-
+def _synth_url() -> F.Column:
+    """Deterministic URL column from (source, doc_id) — the documents
+    fixture has no URL column, so the url_domain_* gates synthesize one
+    JVM-side (same fixture style as json_spans_decode building JSON from
+    orders). Shapes chosen so every canonicalization rule fires AND the
+    r10 semantics DIFFERENTIATE from the r09 ones (the k=4 lesson):
+    mixed-case schemes, www/m. prefixes, ports, fragments, trailing
+    slashes; tracker params (utm_source — dropped) vs kept params
+    (sort/lang — kept SORTED, so the unsorted spelling exercises the
+    canonical reorder); a newline tail (the Java-$ vs RE2-$ anchor
+    case); and github.io / com.tw suffixes that only the PSL snapshot
+    resolves (the old 16-entry table registered them one level too
+    high). Shared by q_url_domain_dedup and q_url_domain_token_cap."""
     d = F.col("doc_id")
     suffix = F.element_at(
-        F.array(F.lit("com"), F.lit("org"), F.lit("co.uk"), F.lit("net")),
-        (d % 4 + 1).cast("int"),
+        F.array(
+            F.lit("com"), F.lit("org"), F.lit("co.uk"),
+            F.lit("net"), F.lit("github.io"), F.lit("com.tw"),
+        ),
+        (d % 6 + 1).cast("int"),
     )
-    url = F.concat(
+    qpart = (
+        F.when(
+            (d % 5).isin(1, 2) & (d % 13 == 0),
+            F.concat(
+                F.lit("?lang=en&utm_source="), d.cast("string"),
+                F.lit("&sort=asc"),
+            ),
+        )
+        .when(
+            (d % 5).isin(1, 2),
+            F.concat(F.lit("?utm_source="), d.cast("string")),
+        )
+        .when(d % 13 == 0, F.lit("?sort=asc&lang=en"))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(
         F.when(d % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://")),
         F.when(d % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
         F.when(d % 3 == 0, F.lit("m.")).otherwise(F.lit("")),
@@ -4827,16 +4841,71 @@ def q_url_domain_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("."),
         suffix,
         F.when(d % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
-        F.concat(F.lit("/p"), (d % 3).cast("string")),
+        # path modulus 7, COPRIME to 60: source (d%20) and suffix (d%6)
+        # jointly fix d mod 60, so any path modulus dividing 60 would be
+        # constant within a domain (1-2 pages/domain, nothing for a cap
+        # to do); 7 gives each domain ~7 distinct pages so the token
+        # budget measurably binds (fixture-differentiation rule)
+        F.concat(F.lit("/p"), (d % 7).cast("string")),
         F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.when(
-            (d % 5).isin(1, 2), F.concat(F.lit("?utm="), d.cast("string"))
-        ).otherwise(F.lit("")),
+        qpart,
         F.when(d % 9 == 0, F.lit("#s")).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("\n")).otherwise(F.lit("")),
     )
-    docs = load(spark, sf_dir, "documents").withColumn("url", url)
+
+
+def q_url_domain_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/registered-domain dedup (the Dolma/CCNet web-curation stage):
+    canonicalize URL → collapse exact-URL replicas (recrawls,
+    tracker-tagged copies, www/scheme/port spellings) keeping the
+    highest-quality copy → cap survivors per REGISTERED domain
+    (public-suffix-aware against the shipped PSL snapshot: m.X.co.uk
+    registers as X.co.uk, site.github.io stays per-site) best-first.
+    r10 semantics: tracker params drop but other query params are KEPT
+    sorted (distinct pages stay distinct), and whitespace strips up
+    front (see `_synth_url` for how the fixture differentiates).
+    Canonicalization is pure codegen'd string expressions; dedup is one
+    canonical-URL exchange + one domain-keyed grouped top-k
+    (llm/urls.py::url_domain_dedup)."""
+    from zipkin_dependencies_spark.llm.urls import url_domain_dedup
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents").withColumn("url", _synth_url())
     return url_domain_dedup(
         docs, quality_col="n_chars", per_domain_cap=2
+    )
+
+
+def q_url_domain_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGETED per-domain capping (the budget form of the Dolma
+    domain cap a token-accounted pretraining mix runs: a domain
+    contributes at most N TOKENS, not at most N documents): after the
+    same exact-URL collapse as url_domain_dedup, each registered domain
+    keeps its best docs (quality desc, id asc) while the running token
+    total stays ≤ 300 (binding on the fixture's multi-page domains —
+    rows a pure rank cap would keep are dropped by the budget, the
+    fixture-differentiation rule). The REQUIRED row cap (8) is applied first and
+    keeps the plan's map-side WindowGroupLimit trim — the running sum
+    only ever windows over ≤8 rank survivors per domain, so a
+    mega-domain never funnels through one task (the skew answer,
+    plan-pinned in tests/test_plans.py). Token counts are whitespace
+    tokens of the text (llm/text.py::token_count)
+    (llm/urls.py::url_domain_token_cap)."""
+    from zipkin_dependencies_spark.llm.text import token_count
+    from zipkin_dependencies_spark.llm.urls import url_domain_token_cap
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .withColumn("url", _synth_url())
+        .withColumn("n_toks", token_count("text"))
+    )
+    return url_domain_token_cap(
+        docs,
+        token_budget=300,
+        per_domain_cap=8,
+        quality_col="n_chars",
+        token_col="n_toks",
     )
 
 
@@ -5051,6 +5120,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- BLOCK A (r10): new-this-round queries + semantics-touched
         # re-gates (added as they land; registration closes when the
         # window is composed) ---
+        "url_domain_token_cap": q_url_domain_token_cap,
+        # re-gate: canonicalize_url + registered_domain semantics changed
+        # (PSL snapshot, tracker-param-only query strip, whitespace
+        # strip) — the r09 row does not carry per the touched rule
+        "url_domain_dedup": q_url_domain_dedup,
         # --- BLOCK B (r10): the three r04-evidence queries displaced
         # from the r09 window — the oldest driver evidence in the
         # registry, leading per the standing rotation ---
@@ -5207,7 +5281,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r09-fresh block (newest driver evidence — last) ---
         "exact_substr_spans_all": q_exact_substr_spans_all,
         "bpe_encode": q_bpe_encode,
-        "url_domain_dedup": q_url_domain_dedup,
         "training_order": q_training_order,
         "streaming_funnel_replay": q_streaming_funnel_replay,
         "streaming_anomalies_replay": q_streaming_anomalies_replay,
@@ -5256,6 +5329,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_volume_pairs": q_nation_volume_pairs,
         "dependency_links_f2_window": q_dependency_links_f2,
     }
+
+# DuckDB mirror of `_synth_url()` — the shared fixture URL for the
+# url_domain_* oracles (chr(10) = the newline tail; the list literal
+# indexes 1-based like Spark's element_at).
+_SYNTH_URL_SQL = """
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'm.' ELSE '' END)
+         || source || '.'
+         || (['com','org','co.uk','net','github.io','com.tw'])[CAST(doc_id % 6 + 1 AS INT)]
+         || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+         || '/p' || CAST(doc_id % 7 AS VARCHAR)
+         || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 5 IN (1,2) AND doc_id % 13 = 0
+                  THEN '?lang=en&utm_source=' || CAST(doc_id AS VARCHAR)
+                       || '&sort=asc'
+              WHEN doc_id % 5 IN (1,2)
+                  THEN '?utm_source=' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 13 = 0 THEN '?sort=asc&lang=en'
+              ELSE '' END)
+         || (CASE WHEN doc_id % 9 = 0 THEN '#s' ELSE '' END)
+         || (CASE WHEN doc_id % 11 = 0 THEN chr(10) ELSE '' END)
+"""
 
 _CDC_MERGE_ORACLE = """
 WITH base AS (
@@ -6495,33 +6591,25 @@ FROM r
         # Encode twin: train stages carrying the word key; v8 IS the
         # word→encoding table (generator note in llm/oracles.py).
         "bpe_encode": llm_oracles.bpe_encode_sql(n_merges=8),
-        # URL/domain dedup twin: identical synthesized URL, the same
-        # anchored regex chain (all patterns single-match by anchoring,
-        # so DuckDB's first-match regexp_replace equals Spark's
-        # replace-all), the same literal multi-level-suffix table as
-        # llm/urls.py::MULTI_LEVEL_SUFFIXES. NULLS LAST pins DuckDB's
-        # DESC ordering (nulls-first by default) to Spark's desc
-        # (nulls-last) — inert on this fixture, loud contract otherwise.
+        # URL/domain dedup twin: identical synthesized URL
+        # (_SYNTH_URL_SQL — github.io/com.tw suffixes, tracker vs kept
+        # params, newline tail), the same regex chain (the leading
+        # whitespace strip replaces-all via the 'g' flag; every later
+        # pattern is single-match by anchoring), and IN lists generated
+        # from the SAME PSL snapshot as llm/urls.py::psl_rules. NULLS
+        # LAST pins DuckDB's DESC ordering (nulls-first by default) to
+        # Spark's desc (nulls-last) — inert on this fixture, loud
+        # contract otherwise.
         "url_domain_dedup": f"""
 WITH u AS (
   SELECT doc_id AS id, n_chars AS q,
-         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
-         || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
-         || (CASE WHEN doc_id % 3 = 0 THEN 'm.' ELSE '' END)
-         || source || '.'
-         || (['com','org','co.uk','net'])[CAST(doc_id % 4 + 1 AS INT)]
-         || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
-         || '/p' || CAST(doc_id % 3 AS VARCHAR)
-         || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
-         || (CASE WHEN doc_id % 5 IN (1,2)
-                  THEN '?utm=' || CAST(doc_id AS VARCHAR) ELSE '' END)
-         || (CASE WHEN doc_id % 9 = 0 THEN '#s' ELSE '' END) AS url
+{_SYNTH_URL_SQL.strip()} AS url
   FROM documents
 ),
 c AS (
   SELECT id, q, canonical_url,
          {llm_oracles.url_registered_domain_sql(
-             "regexp_extract(canonical_url, '^([^/]*)', 1)"
+             "regexp_extract(canonical_url, '^([^/?]*)', 1)"
          )} AS registered_domain
   FROM (SELECT id, q,
                {llm_oracles.url_canonical_sql("url")} AS canonical_url
@@ -6543,6 +6631,47 @@ w2 AS (
 )
 SELECT id, canonical_url, registered_domain, domain_rank
 FROM w2 WHERE domain_rank <= 2
+""",
+        # Token-budget twin: same winners pipeline + rank-capped running
+        # token sum. The running SUM is CAST to BIGINT (DuckDB widens to
+        # HUGEINT — the packed_chunk_spans lesson); budget filter on the
+        # INCLUSIVE running total, matching the Spark greedy prefix.
+        "url_domain_token_cap": f"""
+WITH u AS (
+  SELECT doc_id AS id, n_chars AS q,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '')) AS tok,
+{_SYNTH_URL_SQL.strip()} AS url
+  FROM documents
+),
+c AS (
+  SELECT id, q, tok, canonical_url,
+         {llm_oracles.url_registered_domain_sql(
+             "regexp_extract(canonical_url, '^([^/?]*)', 1)"
+         )} AS registered_domain
+  FROM (SELECT id, q, tok,
+               {llm_oracles.url_canonical_sql("url")} AS canonical_url
+        FROM u)
+),
+w1 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY canonical_url ORDER BY q DESC NULLS LAST, id ASC) AS rn
+  FROM c
+),
+winners AS (
+  SELECT id, q, tok, canonical_url, registered_domain FROM w1 WHERE rn = 1
+),
+ranked AS (
+  SELECT id, canonical_url, registered_domain, q, tok,
+         CAST(row_number() OVER w AS BIGINT) AS domain_rank,
+         CAST(sum(tok) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM winners
+  WINDOW w AS (PARTITION BY registered_domain
+               ORDER BY q DESC NULLS LAST, id ASC)
+)
+SELECT id, canonical_url, registered_domain, domain_rank, cum_tokens
+FROM ranked WHERE domain_rank <= 8 AND cum_tokens <= 300
 """,
         # KS twin: same distinct-value collapse + DECIMAL(38,0) integer
         # gaps; split literal = 2024-01-16 00:00 UTC in epoch µs.

@@ -657,6 +657,29 @@ def test_url_domain_dedup_window_group_limit_trims_map_side(spark):
     assert plan.count("WindowGroupLimit") >= 4  # partial+final x 2 stages
 
 
+def test_url_domain_token_cap_keeps_trim_and_reuses_exchange(spark):
+    """The token-budget variant keeps the rank stage's map-side
+    WindowGroupLimit trim (the mega-domain skew answer: the running sum
+    only windows over ≤cap rank survivors), stays JVM-side, never plans
+    a single-partition window, and the running-sum window REUSES the
+    rank window's exchange — exactly one exchange keyed on the
+    registered domain, not two."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_url_domain_token_cap(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("WindowGroupLimit") >= 4  # partial+final x 2 stages
+    # exactly TWO shuffles end to end: one for the canonical-url window,
+    # one for the domain windows — the rank filter and the running sum
+    # share partitioning AND sort order, so Catalyst plans the second
+    # Window on the first's exchange instead of re-shuffling
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, plan
+
+
 def test_training_order_no_single_partition_window(spark):
     """The global shuffle rank is the two-phase distributed row_number:
     no single-partition exchange/window anywhere in the plan (the naive

@@ -2014,13 +2014,25 @@ FROM tot
 
 def url_canonical_sql(url_expr: str) -> str:
     """DuckDB expression: canonical form of ``url_expr`` — the exact
-    regex chain of llm/urls.py::canonicalize_url. Every pattern is
-    anchored (single-match), so DuckDB's first-match regexp_replace
-    equals Spark's replace-all; shared by the url_domain_dedup oracle
-    and the randomized cross-engine sweep in tests/test_llm.py."""
+    regex chain of llm/urls.py::canonicalize_url. The leading
+    whitespace/control strip uses the 'g' (replace-all) flag — the one
+    multi-match pattern; every later pattern is anchored (single-match),
+    so DuckDB's first-match regexp_replace equals Spark's replace-all
+    (and with whitespace gone, `$` means end-of-text in both dialects —
+    the r09 advisor's newline-anchor gap). Tracker params drop and the
+    remainder is kept sorted, mirroring TRACKER_PARAM_RE. Shared by the
+    url_domain_dedup / url_domain_token_cap oracles and the randomized
+    cross-engine sweep in tests/test_llm.py."""
+    from .urls import TRACKER_PARAM_RE
+
+    ws = f"regexp_replace({url_expr}, '[\\x00-\\x20]+', '', 'g')"
+    nofrag = f"regexp_replace({ws}, '#.*$', '')"
+    # COALESCE: DuckDB regexp_extract yields NULL on no match where
+    # Spark yields '' — a query-less URL must not null the whole chain
+    query = f"coalesce(regexp_extract({nofrag}, '\\?(.*)$', 1), '')"
     stripped = (
-        f"regexp_replace(regexp_replace(regexp_replace({url_expr}, "
-        f"'#.*$', ''), '\\?.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+        f"regexp_replace(regexp_replace({nofrag}, "
+        f"'\\?.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
     )
     host = (
         f"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
@@ -2031,22 +2043,47 @@ def url_canonical_sql(url_expr: str) -> str:
         f"regexp_replace(regexp_replace({stripped}, '^[^/]*', ''), "
         f"'/+$', '')"
     )
-    return f"({host} || {path})"
+    # outer COALESCE: DuckDB array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — an all-tracker/empty param list must yield
+    # the no-query canonical form, not NULL
+    qcanon = (
+        f"coalesce(array_to_string(list_sort(list_filter("
+        f"string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKER_PARAM_RE}'))), "
+        f"'&'), '')"
+    )
+    return (
+        f"({host} || {path} || "
+        f"(CASE WHEN {qcanon} = '' THEN '' ELSE '?' || {qcanon} END))"
+    )
 
 
 def url_registered_domain_sql(host_expr: str) -> str:
     """DuckDB expression: registered domain of a lowercase host — the
-    exact CASE of llm/urls.py::registered_domain, with the same literal
-    MULTI_LEVEL_SUFFIXES table."""
-    from .urls import MULTI_LEVEL_SUFFIXES
+    exact longest-match CASE of llm/urls.py::registered_domain, with IN
+    lists generated from the SAME PSL snapshot (llm/urls.py::psl_rules),
+    so both engines resolve github.io / com.tw / act.edu.au-class
+    suffixes identically."""
+    from .urls import psl_rules
 
-    suffixes = ", ".join(f"'{s}'" for s in MULTI_LEVEL_SUFFIXES)
+    r2, r3 = psl_rules()
+    in2 = ", ".join(f"'{s}'" for s in sorted(r2))
     labels = f"string_split({host_expr}, '.')"
     last2 = f"({labels})[-2] || '.' || ({labels})[-1]"
     last3 = f"({labels})[-3] || '.' || {last2}"
+    last4 = f"({labels})[-4] || '.' || {last3}"
+    branches = ""
+    if r3:
+        in3 = ", ".join(f"'{s}'" for s in sorted(r3))
+        branches += (
+            f"WHEN len({labels}) >= 4 AND ({last3}) IN ({in3}) "
+            f"THEN {last4} "
+        )
+    branches += (
+        f"WHEN len({labels}) >= 3 AND ({last2}) IN ({in2}) THEN {last3} "
+    )
     return (
-        f"(CASE WHEN len({labels}) >= 3 AND ({last2}) IN ({suffixes}) "
-        f"THEN {last3} "
+        f"(CASE {branches}"
         f"WHEN len({labels}) >= 2 THEN {last2} "
         f"ELSE {host_expr} END)"
     )

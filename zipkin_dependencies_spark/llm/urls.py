@@ -1,42 +1,63 @@
 """URL canonicalization + registered-domain dedup (the Dolma / CCNet
 web-curation stage: canonicalize URL → collapse exact-URL replicas →
-cap documents per registered domain).
+cap documents per registered domain, by rows or by token budget).
 
 Public provenance: the stage mirrors what the Dolma toolkit (Soldaini et
 al. 2024) and CCNet (Wenzek et al. 2020) describe for Common-Crawl
 curation — URL-keyed exact dedup of recrawls/mirrors, then per-domain
 caps so boilerplate-heavy domains can't dominate the corpus. Registered
 domain ("example.co.uk" from "m.example.co.uk") follows the public
-suffix list idea (publicsuffix.org); shipping the full PSL is a data
-file concern, so this implements the standard heuristic with a literal
-multi-level-suffix table — swap `MULTI_LEVEL_SUFFIXES` for a PSL load in
-production. Reference parity: the zipkin reference has no web-curation
-operators (SURVEY §2 — trace aggregator); extension surface (SURVEY §6).
+suffix list (publicsuffix.org): rules load from the shipped snapshot
+``data/public_suffix_snapshot.dat`` (a curated subset in PSL text
+format — drop a full publicsuffix.org snapshot over it to widen
+coverage; the loader accepts the full format, skipping the wildcard/
+exception rules it does not model). ``MULTI_LEVEL_SUFFIXES`` remains as
+the no-data-file fallback. Reference parity: the zipkin reference has
+no web-curation operators (SURVEY §2 — trace aggregator); extension
+surface (SURVEY §6).
+
+Query-string semantics (r09 advisor note): canonicalization no longer
+drops the whole query — it drops only known tracker parameters
+(``utm_*``, ``fbclid``, ``gclid``, ``msclkid``, ``mc_eid``, ``igshid``;
+lowercase keys, the form trackers emit) and keeps the remaining
+parameters SORTED, so ``?b=2&a=1`` and ``?a=1&b=2`` collapse while
+``?id=1`` and ``?id=2`` stay distinct pages. Whitespace/control bytes
+are stripped up front on both engines, which also removes the Java-``$``
+vs RE2-``$`` end-anchor divergence on newline-bearing input (the other
+r09 advisor note): with no newlines left, ``$`` means end-of-text in
+both regex dialects.
 
 Scale shape: canonicalization and domain extraction are pure JVM-side
-Column expressions (regex + split, whole-stage codegen — the corpus
-never shuffles for them). URL-level dedup is one hash exchange keyed on
-the canonical URL (replica groups are crawl-duplicate-sized, tiny);
-the per-domain cap is a grouped top-k — one exchange on the registered
-domain + a local per-group sort (same shape as `top_docs_per_source`).
-The mega-domain skew worry (10⁹ pages on one domain at 100 TB) is
-already answered by the measured plan (PLANS.md `url_domain_dedup`):
-Spark plans BOTH rank filters as WindowGroupLimit Partial→Exchange→
-Final, i.e. every map task trims to its local top-k (1 for the URL
-collapse, cap for the domain cap) BEFORE the shuffle — the two-phase
-trim, planner-applied; the exchange carries at most
-(tasks × cap) rows per domain, never the domain's page count.
+Column expressions (regex + split + array HOFs on the tiny param list —
+the corpus never shuffles for them; the PSL membership tests compile to
+InSet hash probes inside whole-stage codegen, no join). URL-level dedup
+is one hash exchange keyed on the canonical URL (replica groups are
+crawl-duplicate-sized, tiny); the per-domain cap is a grouped top-k —
+one exchange on the registered domain + a local per-group sort (same
+shape as `top_docs_per_source`). The mega-domain skew worry (10⁹ pages
+on one domain at 100 TB) is already answered by the measured plan
+(PLANS.md `url_domain_dedup`): Spark plans BOTH rank filters as
+WindowGroupLimit Partial→Exchange→Final, i.e. every map task trims to
+its local top-k (1 for the URL collapse, cap for the domain cap) BEFORE
+the shuffle — the two-phase trim, planner-applied; the exchange carries
+at most (tasks × cap) rows per domain, never the domain's page count.
+The token-budget variant (`url_domain_token_cap`) keeps that trim by
+requiring an explicit row cap alongside the budget: the running token
+sum only ever runs over the ≤cap rank survivors.
 """
 
 from __future__ import annotations
 
+import os
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: Two-label public suffixes the registered-domain heuristic recognizes
-#: (lowercase). "example.co.uk" → registered "example.co.uk" needs three
-#: labels; anything not listed registers at two labels. Literal table —
-#: see module note on the public suffix list.
+#: Two-label public suffixes used when the PSL snapshot data file is
+#: missing (lowercase). The snapshot supersedes this table; it survives
+#: only as the zero-data-file fallback so the operator degrades to the
+#: pre-r10 heuristic instead of failing.
 MULTI_LEVEL_SUFFIXES = (
     "co.uk", "org.uk", "gov.uk", "ac.uk",
     "co.jp", "ne.jp", "or.jp",
@@ -44,16 +65,68 @@ MULTI_LEVEL_SUFFIXES = (
     "com.br", "com.cn", "com.mx", "co.in", "co.za", "com.ar",
 )
 
+#: Tracker query parameters dropped by canonicalization (anchored match
+#: against one `key=value` parameter; lowercase keys — the form trackers
+#: emit). Everything else is kept, sorted.
+TRACKER_PARAM_RE = (
+    r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$"
+)
+
+_PSL_SNAPSHOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "public_suffix_snapshot.dat",
+)
+
+
+@lru_cache(maxsize=4)
+def psl_rules(path: str | None = None) -> tuple[frozenset, frozenset]:
+    """(two-label, three-label) public-suffix rule sets from the PSL
+    snapshot file (publicsuffix.org text format: one rule per line,
+    ``//`` comments, blank lines). Wildcard (``*.``) and exception
+    (``!``) rules are skipped — the snapshot ships none and the
+    longest-match CASE below does not model them; single-label rules
+    are implicit (every TLD registers at two labels by default) and
+    rules deeper than three labels are skipped, both documented
+    limitations. Falls back to ``MULTI_LEVEL_SUFFIXES`` when the file
+    is absent."""
+    p = path or _PSL_SNAPSHOT
+    if not os.path.exists(p):
+        return frozenset(MULTI_LEVEL_SUFFIXES), frozenset()
+    two, three = set(), set()
+    with open(p, encoding="utf-8") as fh:
+        for line in fh:
+            rule = line.strip().lower()
+            if not rule or rule.startswith("//"):
+                continue
+            if rule.startswith("*.") or rule.startswith("!"):
+                continue  # not modeled (see docstring)
+            n = rule.count(".") + 1
+            if n == 2:
+                two.add(rule)
+            elif n == 3:
+                three.add(rule)
+    return frozenset(two), frozenset(three)
+
 
 def canonicalize_url(url: Column | str) -> Column:
-    """Canonical form of a URL: fragment and query stripped, scheme
-    stripped (any `scheme://`), userinfo stripped, host lowercased with
-    a leading `www.` / trailing dot / `:port` removed, trailing slashes
-    trimmed from the path. Patterns live in the Java-regex ∩ RE2 subset
-    so the DuckDB twin replays them verbatim (the scrub_pii rule)."""
+    """Canonical form of a URL: whitespace/control bytes stripped,
+    fragment stripped, tracker query params dropped and the remaining
+    params sorted (see ``TRACKER_PARAM_RE``), scheme stripped (any
+    `scheme://`), userinfo stripped, host lowercased with a leading
+    `www.` / trailing dot / `:port` removed, trailing slashes trimmed
+    from the path. Patterns live in the Java-regex ∩ RE2 subset so the
+    DuckDB twin replays them verbatim (the scrub_pii rule); the leading
+    `[\\x00-\\x20]+` strip removes every newline, after which `$` means
+    end-of-text in both dialects."""
     u = F.col(url) if isinstance(url, str) else url
+    # control bytes + spaces can't appear literally in a valid URL
+    # (they'd be %-encoded) — stripping them first is both a data-hygiene
+    # rule and the cross-engine $-anchor fix (module docstring)
+    u = F.regexp_replace(u, r"[\x00-\x20]+", "")
     u = F.regexp_replace(u, r"#.*$", "")                 # fragment
-    u = F.regexp_replace(u, r"\?.*$", "")                # query
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    u = F.regexp_replace(u, r"\?.*$", "")                # raw query off
     u = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")  # scheme
     host = F.lower(F.regexp_extract(u, r"^([^/]*)", 1))
     path = F.regexp_replace(u, r"^[^/]*", "")
@@ -62,36 +135,105 @@ def canonicalize_url(url: Column | str) -> Column:
     host = F.regexp_replace(host, r"\.$", "")            # trailing dot
     host = F.regexp_replace(host, r"^www\.", "")
     path = F.regexp_replace(path, r"/+$", "")            # trailing slashes
-    return F.concat(host, path)
+    # tracker-filtered, sorted param remainder (tiny per-row list — the
+    # interpreted HOF path is fine on a linear stage, the r08 rule)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKER_PARAM_RE),
+        )
+    )
+    qcanon = F.array_join(params, "&")
+    return F.concat(
+        host,
+        path,
+        F.when(qcanon == "", F.lit("")).otherwise(F.concat(F.lit("?"), qcanon)),
+    )
 
 
 def url_host(canonical: Column) -> Column:
     """Host part of a `canonicalize_url` result (everything before the
-    first slash)."""
-    return F.regexp_extract(canonical, r"^([^/]*)", 1)
+    first slash or query)."""
+    return F.regexp_extract(canonical, r"^([^/?]*)", 1)
 
 
-def registered_domain(host: Column) -> Column:
-    """Registered (pay-level) domain of a lowercase host: the last two
-    labels, or the last three when the final two form a known two-label
-    public suffix (`MULTI_LEVEL_SUFFIXES`). Single-label hosts (and
-    empties) pass through unchanged."""
+def registered_domain(
+    host: Column, rules: tuple[frozenset, frozenset] | None = None
+) -> Column:
+    """Registered (pay-level) domain of a lowercase host, by
+    longest-match against the PSL snapshot: the last FOUR labels when
+    the trailing three form a known three-label suffix (act.edu.au,
+    s3.amazonaws.com), else the last THREE when the trailing two form a
+    known two-label suffix (co.uk, github.io, com.tw), else the last
+    two labels (the PSL's implicit default rule). Single-label hosts
+    (and hosts that ARE a public suffix) pass through unchanged."""
+    r2, r3 = rules if rules is not None else psl_rules()
     labels = F.split(host, r"\.")
     n = F.size(labels)
+    # F.get (0-based, null-safe) instead of element_at: out-of-range
+    # probes on short hosts return NULL (concat_ws skips them) instead
+    # of an ANSI error — the llm/bpe.py empty-accumulator idiom
     last2 = F.concat_ws(
-        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+        ".", F.get(labels, n - 2), F.get(labels, n - 1)
     )
-    last3 = F.concat_ws(
-        ".",
-        F.element_at(labels, -3),
-        F.element_at(labels, -2),
-        F.element_at(labels, -1),
+    last3 = F.concat_ws(".", F.get(labels, n - 3), last2)
+    last4 = F.concat_ws(".", F.get(labels, n - 4), last3)
+    out = F.when(n >= 2, last2).otherwise(host)
+    if r2:
+        out = F.when((n >= 3) & last2.isin(*sorted(r2)), last3).otherwise(out)
+    if r3:
+        out = F.when((n >= 4) & last3.isin(*sorted(r3)), last4).otherwise(out)
+    return out
+
+
+def _url_base(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    quality_col: str | None,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Shared stage-0/1 prep: canonicalize, extract registered domain,
+    null-url drop — all scan-local codegen. Projects to exactly the
+    columns the dedup stages use (id, q, canonical_url,
+    registered_domain[, _tok])."""
+    q = (
+        F.col(quality_col)
+        if quality_col is not None
+        else F.lit(0).cast("long")
     )
-    is_multi = last2.isin(*MULTI_LEVEL_SUFFIXES)
+    extras = (
+        [F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("_tok")]
+        if token_col is not None
+        else []
+    )
     return (
-        F.when(n >= 3, F.when(is_multi, last3).otherwise(last2))
-        .when(n == 2, last2)
-        .otherwise(host)
+        df.where(F.col(url_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            q.alias("q"),
+            canonicalize_url(url_col).alias("canonical_url"),
+            *extras,
+        )
+        .withColumn(
+            "registered_domain",
+            registered_domain(url_host(F.col("canonical_url"))),
+        )
+    )
+
+
+def _url_winners(base: DataFrame) -> DataFrame:
+    """Stage 1: exact-URL collapse — documents sharing a canonical URL
+    (recrawls, mirrors, tracker-tagged copies) keep ONE representative:
+    highest quality, then lowest id. Plans as WindowGroupLimit (map-side
+    top-1 trim before the shuffle)."""
+    w_url = Window.partitionBy("canonical_url").orderBy(
+        F.col("q").desc(), F.col("id").asc()
+    )
+    return (
+        base.withColumn("rn", F.row_number().over(w_url))
+        .where(F.col("rn") == 1)
+        .drop("rn")
     )
 
 
@@ -106,7 +248,7 @@ def url_domain_dedup(
     registered_domain, domain_rank), one row per KEPT document:
 
     1. exact-URL collapse: documents sharing a canonical URL (recrawls,
-       mirrors, utm-tagged copies) keep ONE representative — highest
+       mirrors, tracker-tagged copies) keep ONE representative — highest
        quality, then lowest id (deterministic; `max(struct(quality,
        -id))`-shaped via a window over the canonical URL).
     2. domain cap: among URL-winners, at most ``per_domain_cap`` docs
@@ -115,30 +257,7 @@ def url_domain_dedup(
 
     ``quality_col=None`` ranks by id alone (keep-first). Rows with a
     NULL url drop (no provenance → no curation decision)."""
-    q = (
-        F.col(quality_col)
-        if quality_col is not None
-        else F.lit(0).cast("long")
-    )
-    base = (
-        df.where(F.col(url_col).isNotNull())
-        .select(
-            F.col(id_col).alias("id"),
-            q.alias("q"),
-            canonicalize_url(url_col).alias("canonical_url"),
-        )
-        .withColumn(
-            "registered_domain", registered_domain(url_host(F.col("canonical_url")))
-        )
-    )
-    w_url = Window.partitionBy("canonical_url").orderBy(
-        F.col("q").desc(), F.col("id").asc()
-    )
-    winners = (
-        base.withColumn("rn", F.row_number().over(w_url))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
+    winners = _url_winners(_url_base(df, url_col, id_col, quality_col))
     w_dom = Window.partitionBy("registered_domain").orderBy(
         F.col("q").desc(), F.col("id").asc()
     )
@@ -150,5 +269,62 @@ def url_domain_dedup(
             "canonical_url",
             "registered_domain",
             F.col("domain_rank").cast("long").alias("domain_rank"),
+        )
+    )
+
+
+def url_domain_token_cap(
+    df: DataFrame,
+    token_budget: int,
+    per_domain_cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Token-BUDGETED per-domain cap → (id, canonical_url,
+    registered_domain, domain_rank, cum_tokens), one row per KEPT doc:
+    after the same exact-URL collapse as `url_domain_dedup`, each
+    registered domain keeps its best docs (quality desc, id asc) WHILE
+    the running token total stays ≤ ``token_budget`` — the budget form
+    of domain capping a token-accounted pretraining mix uses (a domain
+    contributes at most N tokens, not at most N documents). A doc whose
+    tokens would push the running total past the budget is dropped, and
+    so is everything ranked after it within reach of the budget rule
+    (greedy prefix — the deterministic, engine-agreeable reading).
+
+    ``per_domain_cap`` is REQUIRED and applied first: it is the hard
+    row cap that keeps the plan's map-side WindowGroupLimit trim (the
+    mega-domain skew answer — the running sum only ever runs over ≤cap
+    rank survivors, so no task windows over a whole mega-domain). Pick
+    it generously: any value ≥ budget/min_doc_tokens makes the row cap
+    semantically inert and purely a physical bound.
+
+    ``cum_tokens`` is the running total INCLUDING the row (≤ budget by
+    construction). NULL token counts count as 0 (SUM semantics on both
+    engines)."""
+    winners = _url_winners(
+        _url_base(df, url_col, id_col, quality_col, token_col=token_col)
+    )
+    w_dom = Window.partitionBy("registered_domain").orderBy(
+        F.col("q").desc(), F.col("id").asc()
+    )
+    capped = (
+        winners.withColumn("domain_rank", F.row_number().over(w_dom))
+        .where(F.col("domain_rank") <= per_domain_cap)
+    )
+    # same partition + order ⇒ Catalyst reuses the exchange AND the sort
+    # from the rank window: the running sum is a second Window node on
+    # already-partitioned, already-sorted data, not a second shuffle
+    w_run = w_dom.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        capped.withColumn("cum_tokens", F.sum("_tok").over(w_run))
+        .where(F.col("cum_tokens") <= F.lit(int(token_budget)))
+        .select(
+            "id",
+            "canonical_url",
+            "registered_domain",
+            F.col("domain_rank").cast("long").alias("domain_rank"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
         )
     )
