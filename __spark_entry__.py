@@ -4914,8 +4914,11 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining data pipeline): every document's read position, shard,
     and within-shard offset, fixed by (corpus, seed) alone — re-runs,
     backfills, and engines agree byte-for-byte; a new seed is a fresh
-    epoch permutation. Position = rank of the salted-md5 bucket (the
-    hash_sample family) via the TWO-PHASE distributed row_number —
+    epoch permutation. Position = rank of the FULL 128-bit salted md5
+    (r10 widening: the 32-bit bucket alone degrades toward insertion
+    order past ~10⁹ docs as birthday collisions stack; the bucket
+    survives only as the range-partitioning value) via the TWO-PHASE
+    distributed row_number —
     hash keys are uniform, so range buckets are perfectly balanced and
     no task sorts more than corpus/n_buckets rows. The DuckDB twin runs
     the naive single-partition window; equality IS the contract
@@ -4924,9 +4927,15 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.llm.sampling import training_order
     from zipkin_dependencies_spark.testdata import load
 
-    return training_order(
-        load(spark, sf_dir, "documents"), seed="epoch-0", n_shards=8
-    )
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # fixture differentiation for the r10 key widening (the k=4 lesson):
+    # ids 1004299 and 1066229 share their md5's first 32 bits under salt
+    # "epoch-0" (prefix 0b8f3b9d) but their FULL digests order 1066229
+    # first, where the old 32-bit-bucket + id tiebreak ordered 1004299
+    # first — without the injected pair, no sf-fixture id pair collides
+    # at 32 bits and the gate could not tell the two orderings apart
+    collide = spark.createDataFrame([(1004299,), (1066229,)], "doc_id long")
+    return training_order(docs.union(collide), seed="epoch-0", n_shards=8)
 
 
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5125,6 +5134,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (PSL snapshot, tracker-param-only query strip, whitespace
         # strip) — the r09 row does not carry per the touched rule
         "url_domain_dedup": q_url_domain_dedup,
+        # re-gate: shuffle key widened from the 32-bit md5 bucket to the
+        # full 128-bit digest (ordering semantics change; fixture injects
+        # a 32-bit-collision pair so the gate differentiates)
+        "training_order": q_training_order,
         # --- BLOCK B (r10): the three r04-evidence queries displaced
         # from the r09 window — the oldest driver evidence in the
         # registry, leading per the standing rotation ---
@@ -5281,7 +5294,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r09-fresh block (newest driver evidence — last) ---
         "exact_substr_spans_all": q_exact_substr_spans_all,
         "bpe_encode": q_bpe_encode,
-        "training_order": q_training_order,
         "streaming_funnel_replay": q_streaming_funnel_replay,
         "streaming_anomalies_replay": q_streaming_anomalies_replay,
         "streaming_bursts_replay": q_streaming_bursts_replay,
@@ -6562,25 +6574,30 @@ FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
         # k=4 (not 8): the only k where the fixture differentiates the
         # scopes — see the query docstring
         "exact_substr_spans_all": llm_oracles.exact_substr_spans_sql(
-            k=4, dup_having="count(*) >= 2"
+            k=4, scope="any"
         ),
         # Unrolled 8-stage BPE twin (llm/oracles.py generator): per-stage
         # argmax scalar CTE + list_reduce greedy fold — the equivalence
         # argument lives in llm/bpe.py.
         "bpe_train": llm_oracles.bpe_train_sql(n_merges=8),
-        # training-order twin: identical salted-md5 bucket arithmetic;
-        # the oracle deliberately runs the naive single-partition
-        # row_number window the distributed rank replaces — equality IS
-        # the operator's contract (the packed_chunk_spans pattern).
+        # training-order twin: identical salted-md5 arithmetic over the
+        # FULL hex digest (r10 widening — fixed-length lowercase hex, so
+        # lexicographic == numeric 128-bit order on both engines); the
+        # oracle deliberately runs the naive single-partition row_number
+        # window the distributed rank replaces — equality IS the
+        # operator's contract (the packed_chunk_spans pattern). The
+        # UNION ALL injects the 32-bit-prefix collision pair (see
+        # q_training_order).
         "training_order": r"""
 WITH k AS (
   SELECT doc_id AS id,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'epoch-0'), 1, 8))::BIGINT AS sk
-  FROM documents
+         md5(CAST(doc_id AS VARCHAR) || 'epoch-0') AS hx
+  FROM (SELECT doc_id FROM documents
+        UNION ALL SELECT * FROM (VALUES (1004299), (1066229)) v(doc_id))
 ),
 r AS (
   SELECT id,
-         CAST(row_number() OVER (ORDER BY sk, id) - 1 AS BIGINT) AS global_pos
+         CAST(row_number() OVER (ORDER BY hx, id) - 1 AS BIGINT) AS global_pos
   FROM k
 )
 SELECT id, global_pos,

@@ -1938,24 +1938,26 @@ def test_url_canonicalization_cross_engine_randomized(spark):
 
 def test_training_order_is_seeded_permutation(spark):
     """training_order: (1) global_pos is a permutation of 0..n-1; (2) it
-    equals the rank of the salted md5 bucket computed independently in
-    Python; (3) round-robin sharding invariants hold; (4) a different
-    seed gives a different permutation, the same seed reproduces."""
+    equals the rank of the FULL salted md5 hex computed independently in
+    Python (r10 widening — the fixture includes the 32-bit-prefix
+    collision pair 1004299/1066229 under salt epoch-0, whose full-hex
+    order INVERTS the old bucket+id order, so this test fails on the
+    32-bit key); (3) round-robin sharding invariants hold; (4) a
+    different seed gives a different permutation, the same seed
+    reproduces."""
     import hashlib
 
     from pyspark.sql import Row
 
     from zipkin_dependencies_spark.llm.sampling import training_order
 
-    ids = list(range(40))
+    ids = list(range(40)) + [1004299, 1066229]
     df = spark.createDataFrame([Row(doc_id=i) for i in ids])
 
     def ref(seed):
-        def bucket(i):
-            return int(
-                hashlib.md5(f"{i}{seed}".encode()).hexdigest()[:8], 16
-            )
-        order = sorted(ids, key=lambda i: (bucket(i), i))
+        def hx(i):
+            return hashlib.md5(f"{i}{seed}".encode()).hexdigest()
+        order = sorted(ids, key=lambda i: (hx(i), i))
         return {i: p for p, i in enumerate(order)}
 
     for seed in ("epoch-0", "epoch-1"):

@@ -2089,15 +2089,26 @@ def url_registered_domain_sql(host_expr: str) -> str:
     )
 
 
-def exact_substr_spans_sql(k: int = 8, dup_having: str = "min(doc_id) < max(doc_id)") -> str:
+def exact_substr_spans_sql(k: int = 8, scope: str = "cross_doc") -> str:
     """Shared twin of llm/dedup.py::exact_substr_spans — the oracle groups
     sliding k-gram TEXT directly (digests are a Spark-side shuffle-width
     choice, not semantics); islands break when pos > prev + k; window-sum
     island ids and count(*) CAST to BIGINT (the packed_chunk_spans
-    HUGEINT lesson). ``dup_having`` selects the scope: the cross-doc
-    predicate (default) or ``count(*) >= 2`` for the self-repeat-inclusive
-    paper semantics — the ONE line the two registered twins differ by
-    (r09 review: single source for the tokenize/gram/island/span SQL)."""
+    HUGEINT lesson). ``scope`` selects the dup predicate exactly as the
+    Spark operator's validated enum does (r09 advisor note: the former
+    raw ``dup_having`` SQL knob let a typo produce a silently different
+    oracle): the cross-doc predicate or the self-repeat-inclusive paper
+    semantics — the ONE line the two registered twins differ by (r09
+    review: single source for the tokenize/gram/island/span SQL)."""
+    havings = {
+        "cross_doc": "min(doc_id) < max(doc_id)",
+        "any": "count(*) >= 2",
+    }
+    if scope not in havings:
+        raise ValueError(
+            f"scope must be one of {sorted(havings)}, got {scope!r}"
+        )
+    dup_having = havings[scope]
     k = int(k)
     return f"""
 WITH tk AS (

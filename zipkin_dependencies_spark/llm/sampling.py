@@ -289,11 +289,19 @@ def training_order(
     seed) alone so a re-run, a backfill, or a different cluster reads
     byte-identical batches. A new ``seed`` is a fresh epoch permutation.
 
-    The permutation is the rank of each row's salted md5 (the same
-    32-bit bucket family as `hash_sample` — content-stable, no RNG
-    state), totally ordered by the (hash, id) tiebreak. The rank is the
-    TWO-PHASE DISTRIBUTED row_number (`operators/rank.py`): hash values
-    are uniform by construction, so the range buckets are perfectly
+    The permutation is the rank of each row's FULL 128-bit salted md5
+    (content-stable, no RNG state), totally ordered by the (hex, id)
+    tiebreak. r10 widening (advisor note): ranking by the 32-bit
+    `hash_sample` bucket alone meant birthday collisions past ~10⁹ docs
+    produced id-ascending runs inside equal-bucket groups — the shuffle
+    degraded toward insertion order at trillion-doc scale. Ordering by
+    the full lowercase hex string (fixed length ⇒ lexicographic ==
+    numeric on the 128-bit value) pushes collisions past any corpus
+    size; the 32-bit prefix survives as the NUMERIC range-bucketing
+    value (order by (prefix, hex, id) == (hex, id) since the prefix is
+    a monotone function of the hex). The rank is the TWO-PHASE
+    DISTRIBUTED row_number (`operators/rank.py`): hash values are
+    uniform by construction, so the range buckets are perfectly
     balanced and no task ever sorts more than corpus/n_buckets rows —
     the naive `row_number() OVER (ORDER BY hash)` single-partition
     window (which the DuckDB twin deliberately runs; equality IS the
@@ -305,7 +313,15 @@ def training_order(
     shard is unbiased, which block-contiguous sharding does not give."""
     keyed = df.select(
         F.col(key_col).alias("id"),
-        _bucket(F.col(key_col), seed).alias("__sk"),
+        F.md5(
+            F.concat(F.col(key_col).cast("string"), F.lit(seed))
+        ).alias("__hx"),
+    ).select(
+        "id",
+        "__hx",
+        # numeric prefix for range bucketing only (approxQuantile needs a
+        # numeric column); the full-hex tiebreak carries the ordering
+        F.conv(F.substring("__hx", 1, 8), 16, 10).cast("long").alias("__sk"),
     )
     from ..operators.rank import distributed_row_number
 
@@ -313,7 +329,7 @@ def training_order(
         keyed,
         partition_by=[],
         value_col="__sk",
-        tiebreak_cols=["id"],
+        tiebreak_cols=["__hx", "id"],
         n_buckets=n_buckets,
         out_col="__rn",
     )
