@@ -4797,6 +4797,32 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, [(a, b) for _, a, b in learned])
 
 
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ID emission + detokenize round-trip (the property that makes
+    the tokenizer family usable end-to-end): train the 8-merge table,
+    assign every symbol a contiguous id (base chars in codepoint order,
+    EOW, then merges in training order — llm/bpe.py::bpe_symbol_table,
+    id rank via the two-phase distributed row_number), emit each
+    document's id stream, then DECODE the ids back through the table's
+    inverse and verify decode(encode(doc)) equals the normalized text.
+    → (doc_id, n_words, n_ids, ids_str, roundtrip_ok); the oracle twin
+    recomputes both directions independently in DuckDB, so the identity
+    is cross-engine-checked, not self-certified. The corpus pays one
+    word→(ids, decoded) join + one ordered reassembly; every id/decode
+    derivation is vocab-sized (llm/bpe.py::bpe_encode_ids)."""
+    from zipkin_dependencies_spark.llm.bpe import bpe_encode_ids, bpe_train
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    learned = sorted(
+        (
+            (r.merge_rank, r.left_sym, r.right_sym)
+            for r in bpe_train(docs, n_merges=8).collect()
+        )
+    )
+    return bpe_encode_ids(docs, [(a, b) for _, a, b in learned])
+
+
 def _synth_url() -> F.Column:
     """Deterministic URL column from (source, doc_id) — the documents
     fixture has no URL column, so the url_domain_* gates synthesize one
@@ -5129,6 +5155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- BLOCK A (r10): new-this-round queries + semantics-touched
         # re-gates (added as they land; registration closes when the
         # window is composed) ---
+        "bpe_roundtrip": q_bpe_roundtrip,
         "url_domain_token_cap": q_url_domain_token_cap,
         # re-gate: canonicalize_url + registered_domain semantics changed
         # (PSL snapshot, tracker-param-only query strip, whitespace
@@ -6608,6 +6635,10 @@ FROM r
         # Encode twin: train stages carrying the word key; v8 IS the
         # word→encoding table (generator note in llm/oracles.py).
         "bpe_encode": llm_oracles.bpe_encode_sql(n_merges=8),
+        # Roundtrip twin: train stages + id table (binary order ==
+        # Spark's codepoint order for single chars) + independent
+        # encode/decode directions (generator note in llm/oracles.py).
+        "bpe_roundtrip": llm_oracles.bpe_roundtrip_sql(n_merges=8),
         # URL/domain dedup twin: identical synthesized URL
         # (_SYNTH_URL_SQL — github.io/com.tw suffixes, tracker vs kept
         # params, newline tail), the same regex chain (the leading

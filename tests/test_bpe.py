@@ -287,3 +287,114 @@ def test_bpe_encode_shuffled_join_fallback_identical(spark):
     assert shuffled_plan == broadcast_plan == sorted(
         (i, *v) for i, v in _ref_encode(texts, merges).items()
     )
+
+
+def _ref_symbol_table(texts, merges):
+    chars = sorted(
+        {c for t in texts for w in t.lower().strip().split() for c in w}
+    )
+    syms = chars + [EOW]
+    seen = set(syms)
+    for a, b in merges:
+        m = a + b
+        if m not in seen:
+            seen.add(m)
+            syms.append(m)
+    return {s: i + 1 for i, s in enumerate(syms)}
+
+
+def _ref_encode_ids(texts, merges):
+    table = _ref_symbol_table(texts, merges)
+    out = {}
+    for i, t in enumerate(texts):
+        words = [w for w in t.lower().strip().split() if w]
+        if not words:
+            continue
+        all_ids, decoded = [], []
+        for w in words:
+            syms = [*w, EOW]
+            for a, b in merges:
+                syms = _ref_apply(syms, a, b)
+            all_ids.extend(table[s] for s in syms)
+            inv = {v: k for k, v in table.items()}
+            decoded.append(
+                "".join(inv[x] for x in (table[s] for s in syms)).replace(
+                    EOW, ""
+                )
+            )
+        out[i] = (
+            len(words),
+            len(all_ids),
+            " ".join(str(x) for x in all_ids),
+            " ".join(decoded) == " ".join(words),
+        )
+    return out
+
+
+def test_bpe_symbol_table_layout(spark):
+    """Contiguous id layout: base chars (codepoint order) from 1, then
+    EOW, then merges in training order; duplicate merged STRINGS keep
+    the earliest rank (("lo","w") and ("l","ow") both yield "low")."""
+    from zipkin_dependencies_spark.llm.bpe import bpe_symbol_table
+
+    words = spark.createDataFrame(
+        [("low",), ("wet",)], "w string"
+    )
+    merges = [("l", "o"), ("lo", "w"), ("l", "ow"), ("w", "e")]
+    got = {
+        r.sym: r.sym_id
+        for r in bpe_symbol_table(words, merges).collect()
+    }
+    assert got == {
+        "e": 1, "l": 2, "o": 3, "t": 4, "w": 5,  # base, codepoint order
+        EOW: 6,
+        "lo": 7, "low": 8, "we": 9,  # training order; dup "low" dropped
+    }
+
+
+def test_bpe_encode_ids_roundtrip_worked_example(spark):
+    """bpe_encode_ids equals the sequential pure-Python reference
+    (ids via the same table layout), and decode(encode(doc)) holds."""
+    from zipkin_dependencies_spark.llm.bpe import bpe_encode_ids
+
+    texts = ["low lower newest low", "newest west wide low"]
+    merges = [(m[1], m[2]) for m in sorted(_ref_bpe(texts, 5))]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_ids, r.ids_str, r.roundtrip_ok)
+        for r in bpe_encode_ids(docs, merges).collect()
+    }
+    assert got == _ref_encode_ids(texts, merges)
+    assert all(v[3] for v in got.values())
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_bpe_encode_ids_randomized_vs_reference(spark, seed):
+    """Randomized corpora (repeat-heavy soup so merges stack into
+    multi-char symbols): ids, counts, and the roundtrip flag all equal
+    the sequential reference."""
+    from zipkin_dependencies_spark.llm.bpe import bpe_encode_ids
+
+    rng = random.Random(seed)
+    alphabet = "abcd"
+    texts = [
+        " ".join(
+            "".join(
+                rng.choice(alphabet)
+                for _ in range(rng.randint(1, 6))
+            )
+            for _ in range(rng.randint(1, 12))
+        )
+        for _ in range(8)
+    ]
+    merges = [(m[1], m[2]) for m in sorted(_ref_bpe(texts, 6))]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_ids, r.ids_str, r.roundtrip_ok)
+        for r in bpe_encode_ids(docs, merges).collect()
+    }
+    assert got == _ref_encode_ids(texts, merges)

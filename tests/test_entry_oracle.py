@@ -103,6 +103,7 @@ def test_registry_gate_window_policy():
     # AFTER this round's work. Everything else holds a green row in some
     # CORRECTNESS_r*.json (see EVIDENCE.json).
     never_driver_gated: set[str] = {
+        "bpe_roundtrip",
         "url_domain_token_cap",
     }
     window = set(list(e.queries())[:50])

@@ -657,6 +657,18 @@ def test_url_domain_dedup_window_group_limit_trims_map_side(spark):
     assert plan.count("WindowGroupLimit") >= 4  # partial+final x 2 stages
 
 
+def test_bpe_roundtrip_jvm_side_no_single_partition_window(spark):
+    """bpe_encode_ids: folds/joins/reassembly/decode are all JVM
+    expressions (no Python eval), and id assignment uses the two-phase
+    distributed rank — no single-partition window even on the
+    alphabet-bounded symbol table (plan uniformity)."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_bpe_roundtrip(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SinglePartition" not in plan
+
+
 def test_url_domain_token_cap_keeps_trim_and_reuses_exchange(spark):
     """The token-budget variant keeps the rank stage's map-side
     WindowGroupLimit trim (the mega-domain skew answer: the running sum

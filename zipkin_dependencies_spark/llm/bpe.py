@@ -238,6 +238,157 @@ def apply_merges(
     return out.withColumn(syms_col, col)
 
 
+def bpe_symbol_table(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "w",
+) -> DataFrame:
+    """Contiguous symbol→id table for a learned BPE tokenizer →
+    (sym, sym_id), sym_id dense from 1 (0 stays reserved for pad/OOV,
+    the `vocab_encode` convention): base characters observed in the
+    word vocabulary first (codepoint order), then the EOW marker, then
+    merged symbols in TRAINING order — the classic GPT-2-style layout
+    (base inventory, then one id per merge).
+
+    Duplicate symbol strings collapse to the earliest tier/rank: two
+    merges can produce the same string (("a","bc") and ("ab","c") both
+    yield "abc"), and an adversarial corpus can even merge up a literal
+    EOW string — the id table is keyed by the symbol STRING, so the
+    first occurrence wins (merged dups are dropped driver-side from the
+    n_merges-row list; a merged EOW dup folds onto the EOW id, and the
+    encode∘decode identity flag goes false on such corpora — the
+    documented domain edge, same spirit as the \\x01/\\x02 exclusion).
+
+    The id RANK is assigned by the two-phase distributed row_number
+    (never a single-partition window, even on this alphabet-bounded
+    table — plan uniformity): numeric range value = tier·2³² +
+    (codepoint | rank), tiebreak = sym. For single characters codepoint
+    order equals binary UTF-8 order, which is what the DuckDB twin's
+    ORDER BY (tier, rank, sym) produces — cross-engine identical ids."""
+    spark = words.sparkSession
+    seen = {EOW}
+    mrg_rows = []
+    for rank, (a, b) in enumerate(merges, start=1):
+        m = a + b
+        if m not in seen:
+            seen.add(m)
+            mrg_rows.append((m, 2, rank))
+    extra = spark.createDataFrame(
+        [(EOW, 1, 0)] + mrg_rows, "sym string, tier int, rnk long"
+    )
+    chars = (
+        words.select(
+            F.explode(
+                F.expr(f"regexp_extract_all({word_col}, '.', 0)")
+            ).alias("sym")
+        )
+        .distinct()
+        .select("sym", F.lit(0).alias("tier"), F.lit(0).cast("long").alias("rnk"))
+    )
+    keyed = chars.unionByName(extra).withColumn(
+        "v",
+        F.col("tier").cast("long") * F.lit(1 << 32)
+        + F.when(F.col("tier") == 0, F.ascii("sym").cast("long")).otherwise(
+            F.col("rnk")
+        ),
+    )
+    from ..operators.rank import distributed_row_number
+
+    return distributed_row_number(
+        keyed, partition_by=[], value_col="v", tiebreak_cols=["sym"],
+        out_col="sym_id",
+    ).select("sym", F.col("sym_id").cast("long").alias("sym_id"))
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rematerialize_every: int = 16,
+) -> DataFrame:
+    """Encode a corpus to contiguous BPE token IDS and verify the
+    round-trip → (doc_id, n_words, n_ids, ids_str, roundtrip_ok):
+    per document, the word count, total id count, the full id stream
+    (space-joined, words in document order — the stream a pretraining
+    loader reads), and whether DECODING that stream (ids → symbols →
+    strip EOW → space-join words) reproduces the document's normalized
+    text exactly. roundtrip_ok is computed from the REAL decode path —
+    ids join back through the symbol table's inverse — so a broken
+    table, a wrong merge apply, or a reordered reassembly all flip it.
+
+    Scale decomposition mirrors `bpe_encode` — the corpus never folds
+    and never decodes: merges apply once to the distinct-word VOCAB,
+    ids and decoded words are derived per VOCAB WORD (explode+join on
+    the broadcast symbol table, vocab-sized both ways), and the corpus
+    pays exactly one word→(ids, decoded) equi-join plus one doc-keyed
+    ordered reassembly. Documents with zero tokens drop (nothing to
+    encode; same on the DuckDB twin)."""
+    wp = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens(text_col)).alias("pos", "w"),
+        )
+        .where(~F.col("w").contains("\x01") & ~F.col("w").contains("\x02"))
+    )
+    vocab = wp.select("w").distinct().select(
+        "w",
+        F.concat(
+            F.expr("regexp_extract_all(w, '.', 0)"), F.array(F.lit(EOW))
+        ).alias("syms"),
+    )
+    enc = apply_merges(vocab, merges, rematerialize_every=rematerialize_every)
+    symtab = bpe_symbol_table(vocab, merges)
+    # vocab-side: word → ordered id array (encode direction)
+    wids = (
+        enc.select("w", F.posexplode("syms").alias("i", "sym"))
+        .join(F.broadcast(symtab), "sym")
+        .groupBy("w")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "sym_id"))),
+                lambda s: s["sym_id"],
+            ).alias("ids")
+        )
+    )
+    # vocab-side: ids → decoded word through the INVERSE table (decode
+    # direction — deliberately not a shortcut through `syms`)
+    dec = (
+        wids.select("w", F.posexplode("ids").alias("j", "sym_id"))
+        .join(F.broadcast(symtab), "sym_id")
+        .groupBy("w")
+        .agg(
+            F.expr(
+                f"replace(concat_ws('', transform(array_sort("
+                f"collect_list(struct(j, sym))), s -> s.sym)), '{EOW}', '')"
+            ).alias("w_dec")
+        )
+    )
+    word_table = wids.join(dec, "w")
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "w", "ids", "w_dec")))
+    return (
+        wp.join(word_table, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.size("ids")).cast("long").alias("n_ids"),
+            F.array_join(
+                F.transform(
+                    F.flatten(F.transform(ordered, lambda s: s["ids"])),
+                    lambda x: x.cast("string"),
+                ),
+                " ",
+            ).alias("ids_str"),
+            (
+                F.array_join(
+                    F.transform(ordered, lambda s: s["w_dec"]), " "
+                )
+                == F.array_join(F.transform(ordered, lambda s: s["w"]), " ")
+            ).alias("roundtrip_ok"),
+        )
+    )
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],

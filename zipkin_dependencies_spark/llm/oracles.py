@@ -1965,6 +1965,90 @@ GROUP BY doc_id
     )
 
 
+def bpe_roundtrip_sql(n_merges: int = 8, eow: str = "</w>") -> str:
+    """Twin of llm/bpe.py::bpe_encode_ids with merges learned in-query:
+    the carry-word train stages replay training (same as bpe_encode_sql),
+    then (1) the symbol table assigns contiguous ids — base chars in
+    binary order, EOW, merges in rank order, duplicate strings keeping
+    the earliest tier/rank (mirrors bpe_symbol_table; for single chars
+    binary UTF-8 order == the Spark side's codepoint order); (2) each
+    vocab word encodes to its ordered id list; (3) the DECODE path joins
+    ids back through the table's inverse, strips EOW, and the per-doc
+    reassembly compares decoded text against the normalized original —
+    the encode∘decode identity, computed independently per engine.
+    Window-free id assignment is a Spark-side scale choice (two-phase
+    rank); the oracle's one tiny ORDER BY window is the usual
+    naive-twin contract."""
+    n = int(n_merges)
+    stages = _bpe_stages(n, eow, carry_word=True)
+    merge_union = "\nUNION ALL\n".join(
+        f"SELECT a || b AS merged, CAST({i} AS BIGINT) AS rnk FROM b{i}"
+        for i in range(1, n + 1)
+    )
+    stages.append(
+        f"""mrg AS (
+  SELECT merged, rnk FROM (
+    SELECT merged, rnk,
+           row_number() OVER (PARTITION BY merged ORDER BY rnk) AS rn
+    FROM ({merge_union})
+  ) WHERE rn = 1 AND merged <> '{eow}'
+)"""
+    )
+    stages.append(
+        f"""chars AS (
+  SELECT DISTINCT unnest(regexp_extract_all(w, '.')) AS sym FROM w0
+),
+symtab AS (
+  SELECT sym,
+         CAST(row_number() OVER (ORDER BY tier, rnk, sym) AS BIGINT)
+           AS sym_id
+  FROM (
+    SELECT sym, 0 AS tier, CAST(0 AS BIGINT) AS rnk FROM chars
+    UNION ALL SELECT '{eow}', 1, 0
+    UNION ALL SELECT merged, 2, rnk FROM mrg
+  )
+),
+wsym AS (
+  SELECT w, CAST(u.i AS BIGINT) AS i, syms[CAST(u.i AS INT)] AS sym
+  FROM v{n}, UNNEST(generate_series(1, len(syms))) AS u(i)
+),
+wids AS (
+  SELECT w, list(sym_id ORDER BY i) AS ids
+  FROM wsym JOIN symtab USING (sym) GROUP BY w
+),
+wflat AS (
+  SELECT w, CAST(u.j AS BIGINT) AS j, ids[CAST(u.j AS INT)] AS sym_id
+  FROM wids, UNNEST(generate_series(1, len(ids))) AS u(j)
+),
+dec AS (
+  SELECT w,
+         replace(string_agg(sym, '' ORDER BY j), '{eow}', '') AS w_dec
+  FROM wflat JOIN symtab USING (sym_id) GROUP BY w
+),
+wp AS (
+  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, toks[CAST(u.pos AS INT)] AS w
+  FROM (SELECT doc_id, {TEXT_TOKENS} AS toks FROM documents) d,
+       UNNEST(generate_series(1, len(toks))) AS u(pos)
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"""
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(ids)) AS BIGINT) AS n_ids,
+       array_to_string(flatten(list(ids ORDER BY pos)), ' ') AS ids_str,
+       (string_agg(w_dec, ' ' ORDER BY pos)
+        = string_agg(w, ' ' ORDER BY pos)) AS roundtrip_ok
+FROM (SELECT * FROM wp
+      WHERE NOT contains(w, chr(1)) AND NOT contains(w, chr(2))) t
+JOIN wids USING (w) JOIN dec USING (w)
+GROUP BY doc_id
+"""
+    )
+
+
 def ks_drift_sql(split_epoch_us: int) -> str:
     """Twin of operators/stats.py::ks_statistic over the events table,
     sample A = events strictly before split_epoch_us. Same distinct-value
