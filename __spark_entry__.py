@@ -779,6 +779,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load(spark, sf_dir, "documents"))
 
 
+def q_simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-banded near-dup pairs (Manku/Jain/Das Sarma WWW'07 — the
+    Hamming-ball complement of MinHash banding): 64-bit fingerprints
+    split into 4 bands, band-equality self-join for candidates, codegen
+    popcount verify at Hamming ≤ 3. Recall is EXACT by pigeonhole for
+    max_hamming ≤ n_bands−1 (the operator refuses configurations that
+    break it), pinned by the brute-force equality test in
+    tests/test_llm.py. Banding is a projection; the candidate join is
+    one (band, band_key) exchange (llm/dedup.py::simhash_band_candidates)."""
+    from zipkin_dependencies_spark.llm.dedup import simhash_band_candidates
+    from zipkin_dependencies_spark.testdata import load
+
+    return simhash_band_candidates(
+        load(spark, sf_dir, "documents"), max_hamming=3, n_bands=4
+    )
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (affine oracle-parity variant), exploded to
     (id, hash_idx, minhash) for engine-agnostic value hashing."""
@@ -5156,6 +5173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-gates (added as they land; registration closes when the
         # window is composed) ---
         "bpe_roundtrip": q_bpe_roundtrip,
+        "simhash_band_candidates": q_simhash_band_candidates,
         "url_domain_token_cap": q_url_domain_token_cap,
         # re-gate: canonicalize_url + registered_domain semantics changed
         # (PSL snapshot, tracker-param-only query strip, whitespace
@@ -5850,6 +5868,11 @@ GROUP BY 1, 2, 3
         "dedupe_exact": llm_oracles.dedupe_exact_sql(),
         "text_stats": llm_oracles.text_stats_sql(),
         "simhash": llm_oracles.simhash_sql(),
+        # banded near-dup twin: same signature SQL + band split /
+        # self-join / popcount verify (DuckDB >> is arithmetic like
+        # Spark's shiftright; mask-after-shift voids the sign fill).
+        "simhash_band_candidates":
+            llm_oracles.simhash_band_candidates_sql(max_hamming=3, n_bands=4),
         "minhash_signatures": llm_oracles.minhash_signatures_sql(num_hashes=16),
         "minhash_lsh": llm_oracles.minhash_lsh_sql(num_hashes=16, bands=4, id_mod=5),
         "ngram_jaccard": llm_oracles.ngram_jaccard_sql(k=3, threshold=0.5, id_mod=5),

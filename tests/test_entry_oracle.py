@@ -104,6 +104,7 @@ def test_registry_gate_window_policy():
     # CORRECTNESS_r*.json (see EVIDENCE.json).
     never_driver_gated: set[str] = {
         "bpe_roundtrip",
+        "simhash_band_candidates",
         "url_domain_token_cap",
     }
     window = set(list(e.queries())[:50])

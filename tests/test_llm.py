@@ -99,6 +99,58 @@ def test_simhash_identical_and_distinct(spark, docs):
     assert ham < ham_far  # near dup closer in hamming space than unrelated
 
 
+def test_simhash_band_candidates_exact_recall(spark):
+    """Pigeonhole exactness: for max_hamming ≤ n_bands−1 the banded
+    candidate set, after verify, equals the BRUTE-FORCE all-pairs
+    Hamming-≤d set exactly (recall 1.0 by construction, precision 1.0
+    by verify) — on a randomized near-dup-heavy corpus. Also: the
+    guarantee-breaking configuration raises."""
+    import random
+
+    import pytest as _pytest
+
+    from zipkin_dependencies_spark.llm.dedup import (
+        simhash,
+        simhash_band_candidates,
+    )
+
+    rng = random.Random(41)
+    vocab = [f"tok{i}" for i in range(30)]
+    base = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 20)))
+        for _ in range(10)
+    ]
+    texts = list(base)
+    for t in base:  # near-dup variants: tweak one token
+        ws = t.split()
+        ws[rng.randrange(len(ws))] = rng.choice(vocab)
+        texts.append(" ".join(ws))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for d, b in ((3, 4), (1, 2), (7, 8)):
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_band_candidates(
+                docs, max_hamming=d, n_bands=b
+            ).collect()
+        }
+        sigs = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+        want = {}
+        ids = sorted(sigs)
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    h = bin((sigs[i] ^ sigs[j]) & (2**64 - 1)).count("1")
+                    if h <= d:
+                        want[(i, j)] = h
+        assert got == want, (d, b)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_band_candidates(docs, max_hamming=4, n_bands=4)
+    with _pytest.raises(ValueError, match="divide 64"):
+        simhash_band_candidates(docs, max_hamming=2, n_bands=3)
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import math

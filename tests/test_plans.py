@@ -669,6 +669,17 @@ def test_bpe_roundtrip_jvm_side_no_single_partition_window(spark):
     assert "SinglePartition" not in plan
 
 
+def test_simhash_band_candidates_no_single_partition(spark):
+    """Banding explode + (band, band_key) self-join + popcount verify:
+    no single-partition exchange/window anywhere; the only Python node
+    is the declared Arrow-batched simhash kernel."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_simhash_band_candidates(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time path stays out
+
+
 def test_url_domain_token_cap_keeps_trim_and_reuses_exchange(spark):
     """The token-budget variant keeps the rank stage's map-side
     WindowGroupLimit trim (the mega-domain skew answer: the running sum

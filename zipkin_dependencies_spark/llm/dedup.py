@@ -538,6 +538,96 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def simhash_band_candidates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash-banded near-dup detection → (id_a, id_b, hamming), one
+    row per UNORDERED doc pair whose 64-bit SimHash fingerprints differ
+    in ≤ ``max_hamming`` bits — the Hamming-ball complement of MinHash
+    banding (Manku, Jain & Das Sarma, WWW 2007: near-duplicate
+    detection by fingerprint banding). The fingerprints are split into
+    ``n_bands`` equal bit bands; candidates are pairs agreeing EXACTLY
+    on at least one band; each candidate is verified by popcount(xor).
+
+    Recall is EXACT (1.0), not probabilistic, for ``max_hamming ≤
+    n_bands − 1``: by pigeonhole, ≤ max_hamming differing bits cannot
+    touch all n_bands bands, so every qualifying pair shares an intact
+    band. The constructor REFUSES a configuration that breaks the
+    guarantee (a silent recall cliff otherwise — the auto_banding
+    recall-floor discipline). 64 must divide evenly into n_bands.
+
+    Scale shape: banding is a projection (explode × n_bands); the
+    candidate join is one hash exchange on (band, band_key) — bucket
+    sizes are corpus/2^band_bits in expectation, and the verify filter
+    is codegen'd popcount. Honest limit (same as the paper's): with
+    64-bit fingerprints and the exactness-minimum 4 bands, band keys
+    are 16 bits, so past ~10⁸ docs expected bucket occupancy (N/65536)
+    makes candidate pairs quadratic-in-bucket — the paper's fix is
+    longer fingerprints and/or permuted prefix tables, which this
+    operator's contract accommodates by raising n_bands with a wider
+    fingerprint; at the repo's 64-bit fingerprint it is the
+    right tool through ~10⁷–10⁸ docs and `minhash_lsh` / near_dup
+    family covers beyond. Empty/zero-token docs fingerprint to 0 and
+    pair as exact dups of each other (hamming 0), the documented
+    degenerate group."""
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole recall "
+            f"guarantee for n_bands={n_bands} (needs max_hamming <= "
+            f"{n_bands - 1}); raise n_bands"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sigs = simhash(docs, text_col=text_col, id_col=id_col)
+    bands = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "id", "simhash", F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        # a pair agreeing on several bands surfaces once per band
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.where(ham <= max_hamming).select(
+        "id_a", "id_b", ham.cast("long").alias("hamming")
+    )
+
+
 # --- embedding near-dup ---------------------------------------------------------
 
 def auto_planes(corpus_rows: int, target_occupancy: float = 8.0) -> int:

@@ -222,6 +222,32 @@ FROM documents d LEFT JOIN sig s ON s.id = d.doc_id
 """
 
 
+def simhash_band_candidates_sql(max_hamming: int = 3, n_bands: int = 4) -> str:
+    """Twin of llm/dedup.py::simhash_band_candidates: the simhash_sql
+    signature computation, then band split / band-equality self-join /
+    popcount verify. DuckDB's ``>>`` on BIGINT is arithmetic like
+    Spark's shiftright — masking after the shift makes the sign-fill
+    bits irrelevant on both engines."""
+    width = 64 // int(n_bands)
+    mask = (1 << width) - 1
+    return f"""
+WITH sigs AS ({simhash_sql().strip()}),
+bands AS (
+  SELECT id, simhash, CAST(b.i AS INT) AS band,
+         (simhash >> (CAST(b.i AS INT) * {width})) & {mask} AS band_key
+  FROM sigs, (SELECT unnest(range(0, {int(n_bands)})) AS i) b
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {int(max_hamming)}
+"""
+
+
 TEXT_TOKENS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')"
 
 
