@@ -5232,12 +5232,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolated_purchases": q_interpolated_purchases,
         "customer_order_distribution": q_customer_order_distribution,
         "top_supplier_revenue": q_top_supplier_revenue,
+        # --- window boundary (position 50): the five Block-A entries
+        # displaced Block C's tail (bracketed_discount_revenue …
+        # ewma_event_value, r06 evidence) to positions 51–55 per the
+        # standing rule — they lead the r11 window ---
         "bracketed_discount_revenue": q_bracketed_discount_revenue,
         "nation_market_share": q_nation_market_share,
         "product_type_profit": q_product_type_profit,
         "winnowed_fingerprints": q_winnowed_fingerprints,
         "ewma_event_value": q_ewma_event_value,
-        # --- window boundary (position 50) ---
         "forecast_revenue_change": q_forecast_revenue_change,
         "nation_trade_volume": q_nation_trade_volume,
         "basket_part_pairs": q_basket_part_pairs,

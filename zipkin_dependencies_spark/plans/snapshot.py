@@ -48,6 +48,12 @@ SNAPSHOT_QUERIES: tuple[str, ...] = (
     # property is pinned by test_plans.py instead.
     "url_domain_dedup",
     "exact_substr_spans_all",
+    # r10 representatives: the token-budget domain cap (rank trim +
+    # exchange-reusing running sum) and the SimHash banding self-join.
+    # bpe_roundtrip trains first (driver loop) — its JVM-only/no-single-
+    # partition properties are pinned by test_plans.py instead.
+    "url_domain_token_cap",
+    "simhash_band_candidates",
 )
 
 HEADER = """# PLANS — captured physical plans (generated)
