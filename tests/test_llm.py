@@ -1828,6 +1828,70 @@ def test_url_domain_token_cap_budget_semantics(spark):
     }
 
 
+def test_url_domain_token_cap_randomized_vs_reference(spark):
+    """Randomized corpora vs an independent pure-Python greedy
+    reference: collapse by canonical URL (quality desc, id asc), then
+    per domain keep rank ≤ cap AND inclusive running-token ≤ budget."""
+    import random
+
+    from zipkin_dependencies_spark.llm.urls import (
+        canonicalize_url,
+        registered_domain,
+        url_domain_token_cap,
+        url_host,
+    )
+
+    rng = random.Random(73)
+    rows = []
+    for i in range(120):
+        rows.append(
+            (
+                i,
+                rng.choice(["http://", "https://", ""])
+                + rng.choice(["www.", "m.", ""])
+                + rng.choice(["a.com", "b.co.uk", "c.github.io", "a.com"])
+                + rng.choice(["/x", "/y", "/z", ""])
+                + rng.choice(["", "?p=1", "?utm_source=t"]),
+                rng.randint(0, 5),
+                rng.choice([None, 10, 40, 90, 150]),
+            )
+        )
+    df = spark.createDataFrame(rows, "doc_id long, url string, q long, t long")
+    got = {
+        r.id: (r.registered_domain, r.domain_rank, r.cum_tokens)
+        for r in url_domain_token_cap(
+            df, token_budget=200, per_domain_cap=4,
+            quality_col="q", token_col="t",
+        ).collect()
+    }
+    # independent reference: reuse the Spark canonical/domain columns
+    # (their cross-engine correctness is pinned elsewhere), reimplement
+    # the dedup/cap/budget logic in pure Python
+    cano = {
+        r.doc_id: (r.c, r.d)
+        for r in df.select(
+            "doc_id",
+            canonicalize_url("url").alias("c"),
+            registered_domain(url_host(canonicalize_url("url"))).alias("d"),
+        ).collect()
+    }
+    by_url = {}
+    for i, _, q, t in rows:
+        by_url.setdefault(cano[i][0], []).append((-q, i, t))
+    want = {}
+    by_dom = {}
+    for c, cands in by_url.items():
+        nq, i, t = min(cands)
+        by_dom.setdefault(cano[i][1], []).append((nq, i, t))
+    for d, winners in by_dom.items():
+        cum = 0
+        for rank, (nq, i, t) in enumerate(sorted(winners)[:4], start=1):
+            cum += t or 0
+            if cum <= 200:
+                want[i] = (d, rank, cum)
+    assert got == want
+
+
 def test_psl_rules_snapshot_and_fallback(tmp_path):
     """The PSL snapshot loader: (1) the shipped snapshot resolves the
     judge-named github.io / co.kr / com.tw class plus a 3-label rule;
