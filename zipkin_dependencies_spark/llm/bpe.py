@@ -331,15 +331,30 @@ def bpe_encode_ids(
         )
         .where(~F.col("w").contains("\x01") & ~F.col("w").contains("\x02"))
     )
-    vocab = wp.select("w").distinct().select(
-        "w",
-        F.concat(
-            F.expr("regexp_extract_all(w, '.', 0)"), F.array(F.lit(EOW))
-        ).alias("syms"),
+    # materialize-once: the distinct-word vocab fans out to four
+    # consumers (merge apply, symbol table — whose two-phase rank also
+    # runs eager internal jobs at build time — encode ids, decode), each
+    # an action over this frame; without the checkpoint every consumer
+    # re-runs the corpus tokenize+distinct (measured 19.7 s → 4.6 s at
+    # sf0.1). Vocab-sized (Zipf-bounded); at cluster scale a durable
+    # checkpoint/parquet write is the drop-in equivalent (the bpe_train
+    # idiom).
+    vocab = (
+        wp.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.concat(
+                F.expr("regexp_extract_all(w, '.', 0)"), F.array(F.lit(EOW))
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
     )
     enc = apply_merges(vocab, merges, rematerialize_every=rematerialize_every)
     symtab = bpe_symbol_table(vocab, merges)
-    # vocab-side: word → ordered id array (encode direction)
+    # vocab-side: word → ordered id array (encode direction).
+    # Checkpointed too: the decode stage and the final word_table join
+    # would otherwise both replay the fold+explode+agg pipeline.
     wids = (
         enc.select("w", F.posexplode("syms").alias("i", "sym"))
         .join(F.broadcast(symtab), "sym")
@@ -350,6 +365,7 @@ def bpe_encode_ids(
                 lambda s: s["sym_id"],
             ).alias("ids")
         )
+        .localCheckpoint(eager=True)
     )
     # vocab-side: ids → decoded word through the INVERSE table (decode
     # direction — deliberately not a shortcut through `syms`)
