@@ -2052,6 +2052,72 @@ def test_url_canonicalization_cross_engine_randomized(spark):
     assert got == want
 
 
+def test_url_canonicalization_property_arbitrary_ascii(spark):
+    """Hypothesis property sweep over ARBITRARY printable-ASCII strings
+    (not URL-shaped — any garbage): (1) Spark and the DuckDB oracle
+    expression produce the identical canonical form + registered
+    domain; (2) canonicalization is idempotent. Batched: one Spark job
+    per example set. Hosts are ASCII by contract (llm/urls.py module
+    note — the engines' Unicode lower() diverge on full-vs-simple case
+    mapping, so IDNs must arrive punycoded)."""
+    import string
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zipkin_dependencies_spark.llm.oracles import (
+        url_canonical_sql,
+        url_registered_domain_sql,
+    )
+    from zipkin_dependencies_spark.llm.urls import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    # full printable ASCII: quotes, backslashes, %, control-ish
+    # whitespace — exactly the garbage worth sweeping (values reach
+    # DuckDB parameterized, so quoting is never an escape concern)
+    alphabet = string.printable
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.text(alphabet=alphabet, max_size=60), min_size=20, max_size=40))
+    def run(urls):
+        df = spark.createDataFrame(
+            list(enumerate(urls)), "i int, u string"
+        )
+        got = {
+            r.i: (r.c, r.c2, r.d)
+            for r in df.select(
+                "i",
+                canonicalize_url("u").alias("c"),
+                canonicalize_url(canonicalize_url("u")).alias("c2"),
+                registered_domain(
+                    url_host(canonicalize_url("u"))
+                ).alias("d"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (i INT, u VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?,?)", list(enumerate(urls)))
+        c = url_canonical_sql("u")
+        d = url_registered_domain_sql(f"regexp_extract({c}, '^([^/?]*)', 1)")
+        want = {
+            i: (cc, dd)
+            for i, cc, dd in con.execute(
+                f"SELECT i, {c}, {d} FROM t"
+            ).fetchall()
+        }
+        con.close()
+        for i, u in enumerate(urls):
+            cs, c2s, ds = got[i]
+            assert c2s == cs, (u, cs, c2s)  # idempotent
+            assert (cs, ds) == want[i], (u, (cs, ds), want[i])
+
+    run()
+
+
 def test_training_order_is_seeded_permutation(spark):
     """training_order: (1) global_pos is a permutation of 0..n-1; (2) it
     equals the rank of the FULL salted md5 hex computed independently in

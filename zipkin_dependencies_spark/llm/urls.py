@@ -27,6 +27,16 @@ vs RE2-``$`` end-anchor divergence on newline-bearing input (the other
 r09 advisor note): with no newlines left, ``$`` means end-of-text in
 both regex dialects.
 
+Character-set contract: hosts are treated as ASCII (the form real crawl
+URLs arrive in — internationalized domain names are punycoded on the
+wire). The engines' ``lower()`` functions differ on full-vs-simple
+Unicode case mapping (Spark maps ``İ`` → ``i`` + combining dot and
+applies final-sigma context; DuckDB folds simply), so a raw non-ASCII
+host canonicalizes engine-dependently — punycode upstream, as crawlers
+do. Pinned by the printable-ASCII hypothesis property sweep in
+tests/test_llm.py (arbitrary garbage, not just URL-shaped strings,
+agrees cross-engine and is idempotent).
+
 Scale shape: canonicalization and domain extraction are pure JVM-side
 Column expressions (regex + split + array HOFs on the tiny param list —
 the corpus never shuffles for them; the PSL membership tests compile to
