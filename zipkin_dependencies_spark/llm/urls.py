@@ -312,7 +312,10 @@ def url_domain_token_cap(
 
     ``cum_tokens`` is the running total INCLUDING the row (≤ budget by
     construction). NULL token counts count as 0 (SUM semantics on both
-    engines)."""
+    engines). Token counts must be ≥ 0 (they are counts): the budget
+    filter equals the greedy PREFIX only because the running total is
+    monotone — a negative count would re-admit later rows (the filter
+    semantics both engines compute, but no longer a prefix)."""
     winners = _url_winners(
         _url_base(df, url_col, id_col, quality_col, token_col=token_col)
     )
