@@ -4840,6 +4840,35 @@ def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_ids(docs, [(a, b) for _, a, b in learned])
 
 
+def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus LINE dedup (the CCNet paragraph-hash stage, Wenzek
+    et al. 2020 §3.1; C4/RefinedWeb line granularity): lines whose
+    trimmed text repeats across ≥3 DISTINCT documents are boilerplate
+    and drop from every document. The documents fixture is single-line,
+    so multi-line text is synthesized JVM-side (fixture-differentiation
+    rule): a per-source NAV header (~25 docs share it at sf0.01 —
+    dropped), a parity PROMO line (half the corpus — dropped), a global
+    copyright footer (every doc — dropped), and three 40-char body
+    chunks of the original text (mostly unique — kept). One digest-keyed
+    hash aggregate (the shuffle carries md5 digests, never line text) +
+    an AQE-broadcast membership join + one doc-keyed ordered reassembly
+    (llm/dedup.py::corpus_line_dedup)."""
+    from zipkin_dependencies_spark.llm.dedup import corpus_line_dedup
+    from zipkin_dependencies_spark.testdata import load
+
+    d = F.col("doc_id")
+    text2 = F.concat(
+        F.lit("NAV "), F.col("source"), F.lit("\n"),
+        F.substring("text", 1, 40), F.lit("\n"),
+        F.substring("text", 41, 40), F.lit("\n"),
+        F.substring("text", 81, 40), F.lit("\n"),
+        F.lit("PROMO "), (d % 2).cast("string"), F.lit("\n"),
+        F.lit("copyright footer"),
+    )
+    docs = load(spark, sf_dir, "documents").withColumn("text", text2)
+    return corpus_line_dedup(docs, min_docs=3)
+
+
 def _synth_url() -> F.Column:
     """Deterministic URL column from (source, doc_id) — the documents
     fixture has no URL column, so the url_domain_* gates synthesize one
@@ -5183,6 +5212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full 128-bit digest (ordering semantics change; fixture injects
         # a 32-bit-collision pair so the gate differentiates)
         "training_order": q_training_order,
+        # landed mid-round (the r09 training_order precedent): takes one
+        # more Block-C tail slot
+        "corpus_line_dedup": q_corpus_line_dedup,
         # --- BLOCK B (r10): the three r04-evidence queries displaced
         # from the r09 window — the oldest driver evidence in the
         # registry, leading per the standing rotation ---
@@ -5231,11 +5263,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sole_return_suppliers": q_sole_return_suppliers,
         "interpolated_purchases": q_interpolated_purchases,
         "customer_order_distribution": q_customer_order_distribution,
-        "top_supplier_revenue": q_top_supplier_revenue,
-        # --- window boundary (position 50): the five Block-A entries
-        # displaced Block C's tail (bracketed_discount_revenue …
-        # ewma_event_value, r06 evidence) to positions 51–55 per the
+        # --- window boundary (position 50): the six Block-A entries
+        # displaced Block C's tail (top_supplier_revenue …
+        # ewma_event_value, r06 evidence) to positions 51–56 per the
         # standing rule — they lead the r11 window ---
+        "top_supplier_revenue": q_top_supplier_revenue,
         "bracketed_discount_revenue": q_bracketed_discount_revenue,
         "nation_market_share": q_nation_market_share,
         "product_type_profit": q_product_type_profit,
@@ -5871,6 +5903,43 @@ GROUP BY 1, 2, 3
         "dedupe_exact": llm_oracles.dedupe_exact_sql(),
         "text_stats": llm_oracles.text_stats_sql(),
         "simhash": llm_oracles.simhash_sql(),
+        # Cross-corpus line-dedup twin: identical synthesized multi-line
+        # text (chr(10) joins), digest-frequency HAVING, string_agg
+        # skipping boiler lines (NULL CASE arms) == Spark's filtered
+        # array_join; all-boiler docs coalesce to ''.
+        "corpus_line_dedup": """
+WITH d2 AS (
+  SELECT doc_id,
+         'NAV ' || source || chr(10)
+         || substr(text, 1, 40) || chr(10)
+         || substr(text, 41, 40) || chr(10)
+         || substr(text, 81, 40) || chr(10)
+         || 'PROMO ' || CAST(doc_id % 2 AS VARCHAR) || chr(10)
+         || 'copyright footer' AS text
+  FROM documents
+  WHERE text IS NOT NULL
+),
+l AS (
+  SELECT doc_id, CAST(u.ln AS BIGINT) AS ln,
+         trim(lines[CAST(u.ln AS INT)]) AS lt
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d2),
+       UNNEST(generate_series(1, len(lines))) AS u(ln)
+),
+c AS (SELECT doc_id, ln, lt, md5(lt) AS dig FROM l WHERE lt <> ''),
+b AS (
+  SELECT dig FROM c GROUP BY dig HAVING count(DISTINCT doc_id) >= 3
+),
+f AS (
+  SELECT c.doc_id, c.ln, c.lt, (b.dig IS NOT NULL) AS isb
+  FROM c LEFT JOIN b USING (dig)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       coalesce(string_agg(CASE WHEN NOT isb THEN lt END, chr(10)
+                           ORDER BY ln), '') AS text_clean
+FROM f GROUP BY doc_id
+""",
         # banded near-dup twin: same signature SQL + band split /
         # self-join / popcount verify (DuckDB >> is arithmetic like
         # Spark's shiftright; mask-after-shift voids the sign fill).

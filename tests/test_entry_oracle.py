@@ -106,6 +106,7 @@ def test_registry_gate_window_policy():
         "bpe_roundtrip",
         "simhash_band_candidates",
         "url_domain_token_cap",
+        "corpus_line_dedup",
     }
     window = set(list(e.queries())[:50])
     missing = never_driver_gated - window

@@ -1787,6 +1787,83 @@ def test_url_domain_dedup_collapse_and_cap(spark):
     }
 
 
+def test_corpus_line_dedup_semantics(spark):
+    """Lines repeating across >= min_docs DISTINCT documents drop from
+    every document (no representative); within-doc repeats alone don't
+    qualify; blank lines drop; order preserved; all-boiler docs keep an
+    empty text_clean; null-text docs drop entirely."""
+    from pyspark.sql import Row
+
+    from zipkin_dependencies_spark.llm.dedup import corpus_line_dedup
+
+    docs = [
+        Row(doc_id=1, text="NAV\nalpha beta\n  \ngamma\nfooter"),
+        Row(doc_id=2, text="NAV\ndelta\nfooter"),
+        Row(doc_id=3, text="NAV\nNAV\nepsilon"),   # in-doc repeat of a boiler line
+        Row(doc_id=4, text="solo solo\nsolo solo"),  # in-doc repeat only: kept
+        Row(doc_id=5, text="NAV\n  footer  "),       # all boiler (trim matches)
+        Row(doc_id=6, text=None),
+    ]
+    got = {
+        r.doc_id: (r.n_lines, r.n_dropped, r.text_clean)
+        for r in corpus_line_dedup(
+            spark.createDataFrame(docs), min_docs=2
+        ).collect()
+    }
+    # NAV in docs 1,2,3 (and 5) >= 2 distinct; footer in 1,2,5
+    assert got == {
+        1: (4, 2, "alpha beta\ngamma"),
+        2: (3, 2, "delta"),
+        3: (3, 2, "epsilon"),  # both NAV copies drop, one content line
+        4: (2, 0, "solo solo\nsolo solo"),  # 2 docs needed, not 2 lines
+        5: (2, 2, ""),
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_docs"):
+        corpus_line_dedup(spark.createDataFrame(docs), min_docs=1)
+
+
+def test_corpus_line_dedup_randomized_vs_reference(spark):
+    """Randomized multi-line corpora vs an independent pure-Python
+    reference of the same contract."""
+    import random
+
+    from zipkin_dependencies_spark.llm.dedup import corpus_line_dedup
+
+    rng = random.Random(17)
+    pool = [f"line {i}" for i in range(12)] + ["", "  "]
+    docs = [
+        (i, "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 10))))
+        for i in range(25)
+    ]
+    min_docs = 3
+    got = {
+        r.doc_id: (r.n_lines, r.n_dropped, r.text_clean)
+        for r in corpus_line_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            min_docs=min_docs,
+        ).collect()
+    }
+    from collections import defaultdict
+
+    by_line = defaultdict(set)
+    for i, t in docs:
+        for ln in t.split("\n"):
+            if ln.strip():
+                by_line[ln.strip()].add(i)
+    boiler = {l for l, ds in by_line.items() if len(ds) >= min_docs}
+    want = {}
+    for i, t in docs:
+        content = [ln.strip() for ln in t.split("\n") if ln.strip()]
+        if not content:
+            continue  # no non-blank lines -> doc drops
+        kept = [ln for ln in content if ln not in boiler]
+        want[i] = (len(content), len(content) - len(kept), "\n".join(kept))
+    assert got == want
+
+
 def test_url_domain_token_cap_budget_semantics(spark):
     """Greedy-prefix budget: per domain, docs keep best-first while the
     INCLUSIVE running token total stays ≤ budget — a doc that would

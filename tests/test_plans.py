@@ -669,6 +669,17 @@ def test_bpe_roundtrip_jvm_side_no_single_partition_window(spark):
     assert "SinglePartition" not in plan
 
 
+def test_corpus_line_dedup_digest_shuffle_jvm_only(spark):
+    """corpus_line_dedup: explode/trim/digest are scan-local codegen;
+    the frequency aggregate + membership join + doc reassembly plan
+    with no Python eval node and no single-partition window."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_corpus_line_dedup(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SinglePartition" not in plan
+
+
 def test_simhash_band_candidates_no_single_partition(spark):
     """Banding explode + (band, band_key) self-join + popcount verify:
     no single-partition exchange/window anywhere; the only Python node

@@ -628,6 +628,68 @@ def simhash_band_candidates(
     )
 
 
+def corpus_line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus LINE deduplication (the CCNet paragraph-hash dedup
+    stage, Wenzek et al. 2020 §3.1 — boilerplate removal: nav bars,
+    cookie banners, footers repeat verbatim across a site's pages; C4 /
+    RefinedWeb apply the same idea at line granularity) →
+    (doc_id, n_lines, n_dropped, text_clean), one row per document:
+    every line whose TRIMMED text appears in ≥ ``min_docs`` DISTINCT
+    documents is dropped from every document (no representative kept —
+    boilerplate is noise, not content), blank lines drop too, and
+    ``text_clean`` rejoins the survivors in original line order.
+
+    Scale shape: the frequency table is one hash aggregate keyed on the
+    line digest (md5 — the shuffle carries 16-byte digests + doc ids,
+    never line text), map-side combined; `count(distinct doc_id)`
+    within a digest group is exact. The boilerplate membership check
+    joins the EXPLODED lines against the ≥min_docs digest table —
+    frequent-line tables are small by construction (a digest needs
+    min_docs repeats to qualify), so AQE broadcasts it; the per-doc
+    reassembly is one doc-keyed sort-struct-flatten aggregation, the
+    bpe_encode idiom. Nothing driver-side. Documents whose text is NULL
+    drop (no content → no curation decision; same on the twin)."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    lines = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("ln", "line"),
+    ).withColumn("lt", F.trim("line"))
+    content = lines.where(F.col("lt") != "").withColumn(
+        "dig", F.md5(F.col("lt"))
+    )
+    boiler = (
+        content.groupBy("dig")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= int(min_docs))
+        .select("dig")
+    )
+    flagged = content.join(
+        boiler.withColumn("is_boiler", F.lit(True)), "dig", "left_outer"
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("ln", "lt", "is_boiler")))
+    kept = "filter(ordered, s -> s.is_boiler is null)"
+    return (
+        flagged.groupBy("doc_id")
+        .agg(ordered.alias("ordered"))
+        .select(
+            "doc_id",
+            F.size("ordered").cast("long").alias("n_lines"),
+            F.expr(
+                f"CAST(size(ordered) - size({kept}) AS BIGINT)"
+            ).alias("n_dropped"),
+            F.expr(
+                f"array_join(transform({kept}, s -> s.lt), '\\n')"
+            ).alias("text_clean"),
+        )
+    )
+
+
 # --- embedding near-dup ---------------------------------------------------------
 
 def auto_planes(corpus_rows: int, target_occupancy: float = 8.0) -> int:

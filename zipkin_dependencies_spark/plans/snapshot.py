@@ -54,6 +54,7 @@ SNAPSHOT_QUERIES: tuple[str, ...] = (
     # partition properties are pinned by test_plans.py instead.
     "url_domain_token_cap",
     "simhash_band_candidates",
+    "corpus_line_dedup",
 )
 
 HEADER = """# PLANS — captured physical plans (generated)
