@@ -4840,6 +4840,38 @@ def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_ids(docs, [(a, b) for _, a, b in learned])
 
 
+def q_bpe_byte_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level BPE (GPT-2-style byte fallback, Radford et al. 2019
+    §2.2) + id round-trip: words decompose into UTF-8 BYTES (uppercase
+    hex pairs) instead of characters, the symbol table reserves ALL 256
+    byte ids up front — no out-of-vocabulary base symbol can exist, the
+    byte-level point — then EOW and the 8 learned merges in training
+    order; decode goes ids → symbols → unhex → UTF-8 and roundtrip_ok
+    certifies decode(encode(doc)) == normalized text THROUGH the byte
+    layer. Fixture differentiation: a multibyte suffix (café/naïve/世界)
+    appended to every document, so char-level and byte-level
+    decompositions measurably diverge (é is one char but two base
+    symbols C3+A9) and the UTF-8 re-decode is exercised on real
+    multibyte boundaries. Same scale shape as bpe_roundtrip: merges and
+    ids are vocab-side, the corpus pays one join + one ordered
+    reassembly (llm/bpe.py::bpe_encode_ids, pretokenizer='byte')."""
+    from zipkin_dependencies_spark.llm.bpe import bpe_encode_ids, bpe_train
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text", F.concat("text", F.lit(" café naïve 世界"))
+    )
+    learned = sorted(
+        (
+            (r.merge_rank, r.left_sym, r.right_sym)
+            for r in bpe_train(docs, n_merges=8, pretokenizer="byte").collect()
+        )
+    )
+    return bpe_encode_ids(
+        docs, [(a, b) for _, a, b in learned], pretokenizer="byte"
+    )
+
+
 def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus LINE dedup (the CCNet paragraph-hash stage, Wenzek
     et al. 2020 §3.1; C4/RefinedWeb line granularity): lines whose
@@ -5201,6 +5233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- BLOCK A (r10): new-this-round queries + semantics-touched
         # re-gates (added as they land; registration closes when the
         # window is composed) ---
+        "bpe_byte_roundtrip": q_bpe_byte_roundtrip,
         "bpe_roundtrip": q_bpe_roundtrip,
         "simhash_band_candidates": q_simhash_band_candidates,
         "url_domain_token_cap": q_url_domain_token_cap,
@@ -5262,11 +5295,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_variety": q_supplier_part_variety,
         "sole_return_suppliers": q_sole_return_suppliers,
         "interpolated_purchases": q_interpolated_purchases,
-        "customer_order_distribution": q_customer_order_distribution,
-        # --- window boundary (position 50): the six Block-A entries
-        # displaced Block C's tail (top_supplier_revenue …
-        # ewma_event_value, r06 evidence) to positions 51–56 per the
+        # --- window boundary (position 50): the seven Block-A entries
+        # displaced Block C's tail (customer_order_distribution …
+        # ewma_event_value, r06 evidence) to positions 51–57 per the
         # standing rule — they lead the r11 window ---
+        "customer_order_distribution": q_customer_order_distribution,
         "top_supplier_revenue": q_top_supplier_revenue,
         "bracketed_discount_revenue": q_bracketed_discount_revenue,
         "nation_market_share": q_nation_market_share,
@@ -6734,6 +6767,16 @@ FROM r
         # Spark's codepoint order for single chars) + independent
         # encode/decode directions (generator note in llm/oracles.py).
         "bpe_roundtrip": llm_oracles.bpe_roundtrip_sql(n_merges=8),
+        # Byte-level roundtrip twin: same stages with the byte
+        # pretokenizer (hex(encode(w)) — DuckDB's uppercase hex over the
+        # same UTF-8 bytes as Spark's), all 256 reserved byte ids, and
+        # the multibyte fixture suffix applied in the source subquery.
+        "bpe_byte_roundtrip": llm_oracles.bpe_roundtrip_sql(
+            n_merges=8,
+            pretokenizer="byte",
+            source="(SELECT doc_id, text || ' café naïve 世界' AS text "
+            "FROM documents) src",
+        ),
         # URL/domain dedup twin: identical synthesized URL
         # (_SYNTH_URL_SQL — github.io/com.tw suffixes, tracker vs kept
         # params, newline tail), the same regex chain (the leading

@@ -398,3 +398,94 @@ def test_bpe_encode_ids_randomized_vs_reference(spark, seed):
         for r in bpe_encode_ids(docs, merges).collect()
     }
     assert got == _ref_encode_ids(texts, merges)
+
+
+# --- byte-level pretokenizer (GPT-2-style UTF-8 byte fallback) ---------------
+
+
+def _hex_rename(sym: str) -> str:
+    """Char-level symbol → its byte-level (hex-pair) name: every char
+    outside the EOW marker becomes its UTF-8 hex; EOW stays EOW."""
+    return EOW.join(
+        "".join(f"{b:02X}" for b in part.encode("utf-8"))
+        for part in sym.split(EOW)
+    )
+
+
+def test_byte_level_train_equals_char_on_single_byte_corpus(spark):
+    """On a pure-ASCII corpus every char is one byte, so byte-level
+    training must learn the SAME merge sequence as char-level under the
+    hex renaming — the pinned equivalence from the module docstring."""
+    texts = ["low " * 5 + "lower " * 2 + "newest " * 6]
+    docs = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    char_m = sorted(
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_train(docs, n_merges=4).collect()
+    )
+    byte_m = sorted(
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_train(docs, n_merges=4, pretokenizer="byte").collect()
+    )
+    assert byte_m == [
+        (rk, _hex_rename(a), _hex_rename(b), c) for rk, a, b, c in char_m
+    ]
+
+
+def test_byte_symbol_table_reserves_all_256_bytes(spark):
+    """The byte-level table is the GPT-2 layout: ids 1–256 are ALL byte
+    values in byte order (observed or not — the no-OOV property), 257 is
+    EOW, merges follow in training order."""
+    from zipkin_dependencies_spark.llm.bpe import bpe_symbol_table
+
+    words = spark.createDataFrame([("hi",)], "w string")
+    merges = [("68", "69")]  # 'h'+'i'
+    got = {r.sym: r.sym_id for r in
+           bpe_symbol_table(words, merges, pretokenizer="byte").collect()}
+    assert len(got) == 258
+    assert got["00"] == 1 and got["68"] == 0x68 + 1 and got["FF"] == 256
+    assert got[EOW] == 257 and got["6869"] == 258
+
+
+def test_byte_roundtrip_multibyte(spark):
+    """decode(encode(doc)) through the byte layer holds on multibyte
+    text (é = C3 A9 splits across two base symbols), and n_ids equals a
+    sequential pure-Python byte-level reference."""
+    from zipkin_dependencies_spark.llm.bpe import bpe_encode_ids
+
+    texts = ["café naïve café", "café 世界 naïve", "abc café abc"]
+
+    def byte_syms(w: str) -> list[str]:
+        h = w.encode("utf-8").hex().upper()
+        return [h[i:i + 2] for i in range(0, len(h), 2)] + [EOW]
+
+    # sequential reference: train 4 merges at byte level
+    words = Counter(w for t in texts for w in t.lower().split() if w)
+    vocab = [(byte_syms(w), c) for w, c in words.items()]
+    merges = []
+    for _ in range(4):
+        pc: Counter[tuple[str, str]] = Counter()
+        for syms, c in vocab:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        (a, b), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((a, b))
+        vocab = [(_ref_apply(s, a, b), c) for s, c in vocab]
+    enc_len = {w: len(s) for (s, _c), w in zip(vocab, words)}
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    spark_merges = sorted(
+        (r.merge_rank, r.left_sym, r.right_sym)
+        for r in bpe_train(docs, n_merges=4, pretokenizer="byte").collect()
+    )
+    assert [(a, b) for _, a, b in spark_merges] == merges
+    rows = bpe_encode_ids(
+        docs, merges, pretokenizer="byte"
+    ).collect()
+    assert all(r.roundtrip_ok for r in rows)
+    want_n_ids = {
+        i: sum(enc_len[w] for w in t.lower().split() if w)
+        for i, t in enumerate(texts)
+    }
+    assert {r.doc_id: r.n_ids for r in rows} == want_n_ids

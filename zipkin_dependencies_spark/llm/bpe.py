@@ -71,6 +71,40 @@ MERGES_SCHEMA = (
 )
 
 
+def _pretok_syms(word_col: str, pretokenizer: str) -> Column:
+    """Base symbol array for one word under the chosen pretokenizer.
+
+    ``"char"`` — unicode characters (the classic Sennrich form).
+    ``"byte"`` — the word's UTF-8 BYTES, each rendered as a fixed-width
+    uppercase hex pair (GPT-2-style byte-level fallback, Radford et al.
+    2019 §2.2: every string decomposes into base symbols by
+    construction, so a byte-level symbol table has NO out-of-vocabulary
+    characters — the table reserves all 256 byte ids up front, see
+    `bpe_symbol_table`). Hex pairs keep symbols printable and
+    delimiter-free (the \\x01/\\x02 fold contract holds vacuously) and
+    sort lexicographically == numerically (fixed width, uppercase), so
+    the DuckDB twin's ORDER BY sym equals byte order. Both engines
+    produce identical hex: Spark `hex(encode(w,'UTF-8'))` and DuckDB
+    `hex(encode(w))` are uppercase over the same UTF-8 bytes."""
+    if pretokenizer == "char":
+        return F.expr(f"regexp_extract_all({word_col}, '.', 0)")
+    if pretokenizer == "byte":
+        return F.expr(
+            f"regexp_extract_all(hex(encode({word_col}, 'UTF-8')), '..', 0)"
+        )
+    raise ValueError(f"unknown pretokenizer {pretokenizer!r}")
+
+
+def _decode_word(hexish: Column, pretokenizer: str) -> Column:
+    """Decode direction's final step: the EOW-stripped symbol
+    concatenation is the word itself under ``"char"``, and the word's
+    UTF-8 hex under ``"byte"`` (unhex → decode; exact inverse of
+    `_pretok_syms` because merges concatenate, never reorder, bytes)."""
+    if pretokenizer == "char":
+        return hexish
+    return F.decode(F.unhex(hexish), "UTF-8")
+
+
 def _apply_merge(syms: Column, a: str, b: str) -> Column:
     """Exact single-pass greedy apply of merge (a, b) → a+b as a fold.
 
@@ -119,6 +153,7 @@ def bpe_train(
     n_merges: int = 8,
     text_col: str = "text",
     rematerialize_every: int = 16,
+    pretokenizer: str = "char",
 ) -> DataFrame:
     """Learn the top `n_merges` BPE merges from a document corpus.
 
@@ -135,6 +170,12 @@ def bpe_train(
     round still sees the vocab with ALL prior merges applied; pinned by
     tests/test_bpe.py). For n_merges ≤ R (the gated query: 8 ≤ 16) no
     checkpoint ever fires and the plan is unchanged.
+
+    ``pretokenizer`` picks the base decomposition (`_pretok_syms`):
+    ``"char"`` (default, classic Sennrich) or ``"byte"`` (GPT-2-style
+    UTF-8 byte fallback — symbols are uppercase hex pairs; on a pure
+    single-byte corpus the learned merge SEQUENCE is char-training's
+    under the hex renaming, pinned by tests/test_bpe.py).
 
     Stops early (fewer rows than n_merges) if the vocabulary runs out of
     adjacent pairs — only reachable on degenerate corpora where every
@@ -156,7 +197,7 @@ def bpe_train(
     base0 = words.select(
         "wc",
         F.concat(
-            F.expr("regexp_extract_all(w, '.', 0)"), F.array(F.lit(EOW))
+            _pretok_syms("w", pretokenizer), F.array(F.lit(EOW))
         ).alias("syms"),
     ).persist()
     base = base0
@@ -242,6 +283,7 @@ def bpe_symbol_table(
     words: DataFrame,
     merges: list[tuple[str, str]],
     word_col: str = "w",
+    pretokenizer: str = "char",
 ) -> DataFrame:
     """Contiguous symbol→id table for a learned BPE tokenizer →
     (sym, sym_id), sym_id dense from 1 (0 stays reserved for pad/OOV,
@@ -264,7 +306,15 @@ def bpe_symbol_table(
     table — plan uniformity): numeric range value = tier·2³² +
     (codepoint | rank), tiebreak = sym. For single characters codepoint
     order equals binary UTF-8 order, which is what the DuckDB twin's
-    ORDER BY (tier, rank, sym) produces — cross-engine identical ids."""
+    ORDER BY (tier, rank, sym) produces — cross-engine identical ids.
+
+    ``pretokenizer="byte"`` switches to the GPT-2 byte-level layout:
+    tier 0 is ALL 256 byte symbols (uppercase hex pairs, byte order —
+    reserved up front whether observed or not, which is the byte-level
+    point: any future text encodes with NO out-of-vocabulary base
+    symbol), then EOW, then merges in training order; the numeric tier-0
+    value is the byte value (conv base 16), and fixed-width uppercase
+    hex makes the twin's lexicographic ORDER BY sym equal byte order."""
     spark = words.sparkSession
     seen = {EOW}
     mrg_rows = []
@@ -276,21 +326,30 @@ def bpe_symbol_table(
     extra = spark.createDataFrame(
         [(EOW, 1, 0)] + mrg_rows, "sym string, tier int, rnk long"
     )
-    chars = (
-        words.select(
-            F.explode(
-                F.expr(f"regexp_extract_all({word_col}, '.', 0)")
-            ).alias("sym")
+    if pretokenizer == "byte":
+        # all 256 byte symbols reserved up front (GPT-2 layout — the
+        # no-OOV property); 256 rows, driver-side by construction
+        base = spark.range(256).select(
+            F.lpad(F.hex("id"), 2, "0").alias("sym"),
+            F.lit(0).alias("tier"),
+            F.lit(0).cast("long").alias("rnk"),
         )
-        .distinct()
-        .select("sym", F.lit(0).alias("tier"), F.lit(0).cast("long").alias("rnk"))
-    )
-    keyed = chars.unionByName(extra).withColumn(
+        base_val = F.conv("sym", 16, 10).cast("long")
+    else:
+        base = (
+            words.select(
+                F.explode(_pretok_syms(word_col, pretokenizer)).alias("sym")
+            )
+            .distinct()
+            .select(
+                "sym", F.lit(0).alias("tier"), F.lit(0).cast("long").alias("rnk")
+            )
+        )
+        base_val = F.ascii("sym").cast("long")
+    keyed = base.unionByName(extra).withColumn(
         "v",
         F.col("tier").cast("long") * F.lit(1 << 32)
-        + F.when(F.col("tier") == 0, F.ascii("sym").cast("long")).otherwise(
-            F.col("rnk")
-        ),
+        + F.when(F.col("tier") == 0, base_val).otherwise(F.col("rnk")),
     )
     from ..operators.rank import distributed_row_number
 
@@ -306,6 +365,7 @@ def bpe_encode_ids(
     text_col: str = "text",
     id_col: str = "doc_id",
     rematerialize_every: int = 16,
+    pretokenizer: str = "char",
 ) -> DataFrame:
     """Encode a corpus to contiguous BPE token IDS and verify the
     round-trip → (doc_id, n_words, n_ids, ids_str, roundtrip_ok):
@@ -323,7 +383,14 @@ def bpe_encode_ids(
     the broadcast symbol table, vocab-sized both ways), and the corpus
     pays exactly one word→(ids, decoded) equi-join plus one doc-keyed
     ordered reassembly. Documents with zero tokens drop (nothing to
-    encode; same on the DuckDB twin)."""
+    encode; same on the DuckDB twin).
+
+    ``pretokenizer="byte"`` runs the GPT-2-style byte-level form: base
+    symbols are UTF-8 hex pairs (`_pretok_syms`), the symbol table
+    reserves all 256 byte ids (no OOV by construction), and the decode
+    direction ends with unhex→UTF-8 decode (`_decode_word`) — so
+    ``roundtrip_ok`` certifies the identity THROUGH the byte layer,
+    multibyte characters included."""
     wp = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -345,13 +412,13 @@ def bpe_encode_ids(
         .select(
             "w",
             F.concat(
-                F.expr("regexp_extract_all(w, '.', 0)"), F.array(F.lit(EOW))
+                _pretok_syms("w", pretokenizer), F.array(F.lit(EOW))
             ).alias("syms"),
         )
         .localCheckpoint(eager=True)
     )
     enc = apply_merges(vocab, merges, rematerialize_every=rematerialize_every)
-    symtab = bpe_symbol_table(vocab, merges)
+    symtab = bpe_symbol_table(vocab, merges, pretokenizer=pretokenizer)
     # vocab-side: word → ordered id array (encode direction).
     # Checkpointed too: the decode stage and the final word_table join
     # would otherwise both replay the fold+explode+agg pipeline.
@@ -374,9 +441,12 @@ def bpe_encode_ids(
         .join(F.broadcast(symtab), "sym_id")
         .groupBy("w")
         .agg(
-            F.expr(
-                f"replace(concat_ws('', transform(array_sort("
-                f"collect_list(struct(j, sym))), s -> s.sym)), '{EOW}', '')"
+            _decode_word(
+                F.expr(
+                    f"replace(concat_ws('', transform(array_sort("
+                    f"collect_list(struct(j, sym))), s -> s.sym)), '{EOW}', '')"
+                ),
+                pretokenizer,
             ).alias("w_dec")
         )
     )
@@ -411,6 +481,7 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     rematerialize_every: int = 16,
+    pretokenizer: str = "char",
 ) -> DataFrame:
     """Encode a corpus with a learned BPE merge table.
 
@@ -445,7 +516,7 @@ def bpe_encode(
     vocab = wp.groupBy("w").agg(F.count(F.lit(1)).alias("_wc")).select(
         "w",
         F.concat(
-            F.expr("regexp_extract_all(w, '.', 0)"), F.array(F.lit(EOW))
+            _pretok_syms("w", pretokenizer), F.array(F.lit(EOW))
         ).alias("syms"),
     )
     enc = apply_merges(vocab, merges, rematerialize_every=rematerialize_every)

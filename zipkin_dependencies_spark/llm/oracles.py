@@ -1887,17 +1887,33 @@ FROM occ o LEFT JOIN news n ON o.bucket = n.bucket
 """
 
 
-def _bpe_stages(n_merges: int, eow: str, carry_word: bool) -> list[str]:
+def _bpe_stages(
+    n_merges: int,
+    eow: str,
+    carry_word: bool,
+    pretokenizer: str = "char",
+    source: str = "documents",
+) -> list[str]:
     """Shared CTE-stage builder for the BPE twins: w0/v0 (weighted word
     vocab → symbol lists) then per-merge (p{i} pair counts, b{i} argmax,
     v{i} fold-applied vocab). With ``carry_word`` each v{i} keeps the
     word key so a downstream encode stage can join words back — the
-    train twin drops it (one fewer column through 8 stages)."""
+    train twin drops it (one fewer column through 8 stages).
+    ``pretokenizer`` mirrors llm/bpe.py::_pretok_syms ('char' = unicode
+    chars, 'byte' = UTF-8 bytes as uppercase hex pairs — DuckDB's
+    hex(encode(w)) is the exact Spark hex(encode(w,'UTF-8')) twin);
+    ``source`` lets a gate swap in a transformed-documents subquery
+    (aliased) for the fixture-differentiation text."""
     wsel = "w, " if carry_word else ""
+    syms0 = (
+        "regexp_extract_all(w, '.')"
+        if pretokenizer == "char"
+        else "regexp_extract_all(hex(encode(w)), '..')"
+    )
     stages = [
         f"""w0 AS (
   SELECT t AS w, CAST(count(*) AS BIGINT) AS wc
-  FROM (SELECT unnest({TEXT_TOKENS}) AS t FROM documents)
+  FROM (SELECT unnest({TEXT_TOKENS}) AS t FROM {source})
   -- exclude tokens containing the fold delimiters (chr(1)/chr(2)) —
   -- the SAME filter the Spark side applies (llm/bpe.py), making the
   -- operator well-defined on binary-garbage corpora where the string
@@ -1906,7 +1922,7 @@ def _bpe_stages(n_merges: int, eow: str, carry_word: bool) -> list[str]:
   GROUP BY 1
 ),
 v0 AS (
-  SELECT {wsel}wc, list_append(regexp_extract_all(w, '.'), '{eow}') AS syms
+  SELECT {wsel}wc, list_append({syms0}, '{eow}') AS syms
   FROM w0
 )"""
     ]
@@ -1991,7 +2007,12 @@ GROUP BY doc_id
     )
 
 
-def bpe_roundtrip_sql(n_merges: int = 8, eow: str = "</w>") -> str:
+def bpe_roundtrip_sql(
+    n_merges: int = 8,
+    eow: str = "</w>",
+    pretokenizer: str = "char",
+    source: str = "documents",
+) -> str:
     """Twin of llm/bpe.py::bpe_encode_ids with merges learned in-query:
     the carry-word train stages replay training (same as bpe_encode_sql),
     then (1) the symbol table assigns contiguous ids — base chars in
@@ -2004,9 +2025,17 @@ def bpe_roundtrip_sql(n_merges: int = 8, eow: str = "</w>") -> str:
     the encode∘decode identity, computed independently per engine.
     Window-free id assignment is a Spark-side scale choice (two-phase
     rank); the oracle's one tiny ORDER BY window is the usual
-    naive-twin contract."""
+    naive-twin contract.
+
+    ``pretokenizer="byte"`` mirrors the GPT-2 byte-level form: tier 0
+    reserves ALL 256 byte symbols (hex pairs, byte order — fixed-width
+    uppercase hex makes ORDER BY sym equal byte order, matching the
+    Spark side's conv(sym,16,10) rank value), and the decode direction
+    ends with unhex → UTF-8 decode."""
     n = int(n_merges)
-    stages = _bpe_stages(n, eow, carry_word=True)
+    stages = _bpe_stages(
+        n, eow, carry_word=True, pretokenizer=pretokenizer, source=source
+    )
     merge_union = "\nUNION ALL\n".join(
         f"SELECT a || b AS merged, CAST({i} AS BIGINT) AS rnk FROM b{i}"
         for i in range(1, n + 1)
@@ -2020,16 +2049,32 @@ def bpe_roundtrip_sql(n_merges: int = 8, eow: str = "</w>") -> str:
   ) WHERE rn = 1 AND merged <> '{eow}'
 )"""
     )
+    if pretokenizer == "byte":
+        base_cte = (
+            "base AS (\n"
+            "  SELECT lpad(hex(CAST(u.i AS INT)), 2, '0') AS sym\n"
+            "  FROM UNNEST(generate_series(0, 255)) AS u(i)\n"
+            ")"
+        )
+        dec_expr = (
+            f"decode(unhex(replace(string_agg(sym, '' ORDER BY j), "
+            f"'{eow}', '')))"
+        )
+    else:
+        base_cte = (
+            "base AS (\n"
+            "  SELECT DISTINCT unnest(regexp_extract_all(w, '.')) AS sym"
+            " FROM w0\n)"
+        )
+        dec_expr = f"replace(string_agg(sym, '' ORDER BY j), '{eow}', '')"
     stages.append(
-        f"""chars AS (
-  SELECT DISTINCT unnest(regexp_extract_all(w, '.')) AS sym FROM w0
-),
+        f"""{base_cte},
 symtab AS (
   SELECT sym,
          CAST(row_number() OVER (ORDER BY tier, rnk, sym) AS BIGINT)
            AS sym_id
   FROM (
-    SELECT sym, 0 AS tier, CAST(0 AS BIGINT) AS rnk FROM chars
+    SELECT sym, 0 AS tier, CAST(0 AS BIGINT) AS rnk FROM base
     UNION ALL SELECT '{eow}', 1, 0
     UNION ALL SELECT merged, 2, rnk FROM mrg
   )
@@ -2047,13 +2092,12 @@ wflat AS (
   FROM wids, UNNEST(generate_series(1, len(ids))) AS u(j)
 ),
 dec AS (
-  SELECT w,
-         replace(string_agg(sym, '' ORDER BY j), '{eow}', '') AS w_dec
+  SELECT w, {dec_expr} AS w_dec
   FROM wflat JOIN symtab USING (sym_id) GROUP BY w
 ),
 wp AS (
   SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, toks[CAST(u.pos AS INT)] AS w
-  FROM (SELECT doc_id, {TEXT_TOKENS} AS toks FROM documents) d,
+  FROM (SELECT doc_id, {TEXT_TOKENS} AS toks FROM {source}) d,
        UNNEST(generate_series(1, len(toks))) AS u(pos)
 )"""
     )
