@@ -796,6 +796,25 @@ def q_simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_permuted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permuted-prefix SimHash tables (Manku/Jain/Das Sarma WWW'07 §4 —
+    the scale regime banding hands off to): 8 blocks of 8 bits, one
+    table per 6-block subset (C(8,2)=28 tables), candidates agree on a
+    full 48-bit permuted prefix, popcount verify at Hamming ≤ 2. Exact
+    recall by block-pigeonhole (≤2 dirty blocks always leave a clean
+    6-subset); 48-bit keys keep bucket occupancy ~1 through ~10¹³ docs
+    where 4-band banding's 16-bit keys go quadratic past ~10⁸. The
+    oracle is the brute-force all-pairs Hamming join — output equality
+    IS the exact-recall proof, cross-engine
+    (llm/dedup.py::simhash_permuted_candidates)."""
+    from zipkin_dependencies_spark.llm.dedup import simhash_permuted_candidates
+    from zipkin_dependencies_spark.testdata import load
+
+    return simhash_permuted_candidates(
+        load(spark, sf_dir, "documents"), max_hamming=2, n_blocks=8
+    )
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (affine oracle-parity variant), exploded to
     (id, hash_idx, minhash) for engine-agnostic value hashing."""
@@ -5234,6 +5253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-gates (added as they land; registration closes when the
         # window is composed) ---
         "bpe_byte_roundtrip": q_bpe_byte_roundtrip,
+        "simhash_permuted": q_simhash_permuted,
         "bpe_roundtrip": q_bpe_roundtrip,
         "simhash_band_candidates": q_simhash_band_candidates,
         "url_domain_token_cap": q_url_domain_token_cap,
@@ -5294,11 +5314,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": q_small_quantity_revenue,
         "supplier_part_variety": q_supplier_part_variety,
         "sole_return_suppliers": q_sole_return_suppliers,
-        "interpolated_purchases": q_interpolated_purchases,
-        # --- window boundary (position 50): the seven Block-A entries
-        # displaced Block C's tail (customer_order_distribution …
-        # ewma_event_value, r06 evidence) to positions 51–57 per the
+        # --- window boundary (position 50): the eight Block-A entries
+        # displaced Block C's tail (interpolated_purchases …
+        # ewma_event_value, r06 evidence) to positions 51–58 per the
         # standing rule — they lead the r11 window ---
+        "interpolated_purchases": q_interpolated_purchases,
         "customer_order_distribution": q_customer_order_distribution,
         "top_supplier_revenue": q_top_supplier_revenue,
         "bracketed_discount_revenue": q_bracketed_discount_revenue,
@@ -5978,6 +5998,9 @@ FROM f GROUP BY doc_id
         # Spark's shiftright; mask-after-shift voids the sign fill).
         "simhash_band_candidates":
             llm_oracles.simhash_band_candidates_sql(max_hamming=3, n_bands=4),
+        # permuted-prefix twin: the brute-force all-pairs Hamming join —
+        # output equality IS the exact-recall proof (generator note).
+        "simhash_permuted": llm_oracles.simhash_permuted_sql(max_hamming=2),
         "minhash_signatures": llm_oracles.minhash_signatures_sql(num_hashes=16),
         "minhash_lsh": llm_oracles.minhash_lsh_sql(num_hashes=16, bands=4, id_mod=5),
         "ngram_jaccard": llm_oracles.ngram_jaccard_sql(k=3, threshold=0.5, id_mod=5),

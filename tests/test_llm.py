@@ -151,6 +151,68 @@ def test_simhash_band_candidates_exact_recall(spark):
         simhash_band_candidates(docs, max_hamming=2, n_bands=3)
 
 
+def test_simhash_permuted_exact_recall(spark):
+    """Block-pigeonhole exactness for the permuted-prefix tables: for
+    max_hamming ≤ n_blocks−1 the verified candidate set equals the
+    brute-force all-pairs Hamming-≤d set exactly, on the same
+    near-dup-heavy corpus shape as the banding test — and the two
+    operators agree with EACH OTHER at equal d (different physical
+    plans, same contract). Guarantee-breaking configs raise."""
+    import random
+
+    import pytest as _pytest
+
+    from zipkin_dependencies_spark.llm.dedup import (
+        simhash,
+        simhash_band_candidates,
+        simhash_permuted_candidates,
+    )
+
+    rng = random.Random(43)
+    vocab = [f"tok{i}" for i in range(30)]
+    base = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 20)))
+        for _ in range(10)
+    ]
+    texts = list(base)
+    for t in base:
+        ws = t.split()
+        ws[rng.randrange(len(ws))] = rng.choice(vocab)
+        texts.append(" ".join(ws))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(sigs)
+    for d, blocks in ((2, 8), (1, 4), (3, 8)):
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_permuted_candidates(
+                docs, max_hamming=d, n_blocks=blocks
+            ).collect()
+        }
+        want = {
+            (i, j): bin((sigs[i] ^ sigs[j]) & (2**64 - 1)).count("1")
+            for i in ids
+            for j in ids
+            if i < j
+            and bin((sigs[i] ^ sigs[j]) & (2**64 - 1)).count("1") <= d
+        }
+        assert got == want, (d, blocks)
+        band = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_band_candidates(
+                docs, max_hamming=d, n_bands=d + 1 if 64 % (d + 1) == 0 else 4
+            ).collect()
+        } if d in (1, 3) else None
+        if band is not None:
+            assert band == got, (d, blocks)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_permuted_candidates(docs, max_hamming=8, n_blocks=8)
+    with _pytest.raises(ValueError, match="divide 64"):
+        simhash_permuted_candidates(docs, max_hamming=2, n_blocks=5)
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import math

@@ -248,6 +248,23 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {int(max_hamming)}
 """
 
 
+def simhash_permuted_sql(max_hamming: int = 2) -> str:
+    """EXACT-RECALL twin of llm/dedup.py::simhash_permuted_candidates:
+    the brute-force all-pairs Hamming join over the simhash_sql
+    signatures. Deliberately NOT a structural mirror of the 28-table
+    permuted-prefix machinery — the operator's contract is exact recall
+    at Hamming ≤ d, so output equality against the quadratic ground
+    truth is the strongest possible check (the prefix_filter_pairs
+    precedent)."""
+    return f"""
+WITH sigs AS ({simhash_sql().strip()})
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {int(max_hamming)}
+"""
+
+
 TEXT_TOKENS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')"
 
 
