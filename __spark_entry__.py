@@ -4930,9 +4930,15 @@ def _synth_url() -> F.Column:
     slashes; tracker params (utm_source — dropped) vs kept params
     (sort/lang — kept SORTED, so the unsorted spelling exercises the
     canonical reorder); a newline tail (the Java-$ vs RE2-$ anchor
-    case); and github.io / com.tw suffixes that only the PSL snapshot
+    case); github.io / com.tw suffixes that only the PSL snapshot
     resolves (the old 16-entry table registered them one level too
-    high). Shared by q_url_domain_dedup and q_url_domain_token_cap."""
+    high); and r10.5 percent-escape shapes — an unreserved escape pair
+    `%41%6b` (decodes to `Ak`, both hex cases exercised), a RESERVED
+    escape `%2F` (stays encoded: it is data, not spelling), and a
+    MALFORMED sequence `%4%31` (gates the whole URL's decode off — the
+    idempotence guard) — so the percent-decoding pass measurably
+    differentiates from the r10 semantics. Shared by q_url_domain_dedup
+    and q_url_domain_token_cap."""
     d = F.col("doc_id")
     suffix = F.element_at(
         F.array(
@@ -4970,6 +4976,12 @@ def _synth_url() -> F.Column:
         # to do); 7 gives each domain ~7 distinct pages so the token
         # budget measurably binds (fixture-differentiation rule)
         F.concat(F.lit("/p"), (d % 7).cast("string")),
+        # percent-escape shapes (moduli coprime to the 60-cycle above so
+        # escapes land across many domains): unreserved pair / reserved
+        # / malformed — see docstring
+        F.when(d % 17 == 0, F.lit("/%41%6bx")).otherwise(F.lit("")),
+        F.when(d % 19 == 0, F.lit("/%2Fz")).otherwise(F.lit("")),
+        F.when(d % 23 == 0, F.lit("/%4%31")).otherwise(F.lit("")),
         F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
         qpart,
         F.when(d % 9 == 0, F.lit("#s")).otherwise(F.lit("")),
@@ -4986,7 +4998,10 @@ def q_url_domain_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     registers as X.co.uk, site.github.io stays per-site) best-first.
     r10 semantics: tracker params drop but other query params are KEPT
     sorted (distinct pages stay distinct), and whitespace strips up
-    front (see `_synth_url` for how the fixture differentiates).
+    front; r10.5 adds unreserved percent-escape decoding (%41 → A, both
+    hex spellings; reserved escapes stay; malformed %-sequences gate
+    the whole URL's decode off) — see `_synth_url` for how the fixture
+    differentiates each rule.
     Canonicalization is pure codegen'd string expressions; dedup is one
     canonical-URL exchange + one domain-keyed grouped top-k
     (llm/urls.py::url_domain_dedup)."""
@@ -5029,6 +5044,91 @@ def q_url_domain_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_domain_cap=8,
         quality_col="n_chars",
         token_col="n_toks",
+    )
+
+
+def q_url_token_cap_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-EPOCH token-budgeted domain capping (the incremental form
+    of url_domain_token_cap an ongoing crawl ingestion runs — the
+    budget is a property of the domain ACROSS epochs): epoch 1 =
+    doc_id-blocks of 60 with even block index through the plain token
+    cap (budget 300, row cap 8); its per-domain consumption
+    (max(cum_tokens)) becomes the STATE; epoch 2 = odd blocks admitted
+    while carried + running ≤ the same budget. The epoch key is
+    (doc_id DIV 60) % 2 — NOT doc_id % 2, which is confounded with the
+    synthesized URL's suffix modulus (d%6) and would give the two
+    epochs DISJOINT domain sets, so no domain would ever carry state;
+    blocks of 60 cover every (source, suffix) residue in both epochs,
+    making the carryover measurably bind (fixture-differentiation
+    rule). Domains new in epoch 2 carry 0. The state join lands after the rank
+    filter (≤ row-cap rows per domain reach it) and is
+    domain-cardinality — AQE broadcasts it; everything upstream is the
+    token_cap plan verbatim (llm/urls.py::url_domain_token_cap_carryover)."""
+    from pyspark.sql import functions as SF
+
+    from zipkin_dependencies_spark.llm.text import token_count
+    from zipkin_dependencies_spark.llm.urls import (
+        url_domain_token_cap,
+        url_domain_token_cap_carryover,
+    )
+    from zipkin_dependencies_spark.testdata import load
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .withColumn("url", _synth_url())
+        .withColumn("n_toks", token_count("text"))
+    )
+    ep = SF.expr("(doc_id DIV 60) % 2")
+    epoch1 = url_domain_token_cap(
+        docs.where(ep == 0),
+        token_budget=300,
+        per_domain_cap=8,
+        quality_col="n_chars",
+        token_col="n_toks",
+    )
+    state = epoch1.groupBy("registered_domain").agg(
+        SF.max("cum_tokens").alias("tokens_used")
+    )
+    return url_domain_token_cap_carryover(
+        docs.where(ep == 1),
+        state,
+        token_budget=300,
+        per_domain_cap=8,
+        quality_col="n_chars",
+        token_col="n_toks",
+    )
+
+
+def q_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped mixture allocation (Chung et al. 2023 — the
+    waterfilling budget split a multilingual pretraining mix runs):
+    sources visit smallest-first, each takes min(cap·n, uniform share
+    of what remains); small sources cap at 2 epochs, the waterfall
+    splits evenly among the large ones. The fixture's natural sources
+    are near-uniform (nothing to differentiate), so docs regroup by a
+    GEOMETRIC key — doc_id%256 bucketed at power-of-two boundaries,
+    group sizes 1,2,4,…,129 — giving both branches: g0–g4 cap at 2.0
+    epochs, g5–g7 split the remainder at fractional epochs (budget =
+    4/5 of corpus tokens, exact rational arithmetic — closed-form
+    prefix test, every allocation BIGINT;
+    llm/sampling.py::unimax_plan)."""
+    from zipkin_dependencies_spark.llm.sampling import unimax_plan
+    from zipkin_dependencies_spark.testdata import load
+
+    m = F.col("doc_id") % 256
+    grp = (
+        F.when(m < 1, "g0")
+        .when(m < 3, "g1")
+        .when(m < 7, "g2")
+        .when(m < 15, "g3")
+        .when(m < 31, "g4")
+        .when(m < 63, "g5")
+        .when(m < 127, "g6")
+        .otherwise("g7")
+    )
+    docs = load(spark, sf_dir, "documents").withColumn("src_grp", grp)
+    return unimax_plan(
+        docs, epoch_cap=2, budget_num=4, budget_den=5, source_col="src_grp"
     )
 
 
@@ -5257,6 +5357,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_roundtrip": q_bpe_roundtrip,
         "simhash_band_candidates": q_simhash_band_candidates,
         "url_domain_token_cap": q_url_domain_token_cap,
+        # r10.5: cross-epoch carryover form of the token cap (new) +
+        # percent-decoding canonicalization (semantics change — the
+        # url_* re-gates below cover it; fixture adds escape shapes)
+        "url_token_cap_carryover": q_url_token_cap_carryover,
+        # r10.5: UniMax epoch-capped waterfilling mixture (new)
+        "unimax_plan": q_unimax_plan,
         # re-gate: canonicalize_url + registered_domain semantics changed
         # (PSL snapshot, tracker-param-only query strip, whitespace
         # strip) — the r09 row does not carry per the touched rule
@@ -5486,6 +5592,9 @@ _SYNTH_URL_SQL = """
          || (['com','org','co.uk','net','github.io','com.tw'])[CAST(doc_id % 6 + 1 AS INT)]
          || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
          || '/p' || CAST(doc_id % 7 AS VARCHAR)
+         || (CASE WHEN doc_id % 17 = 0 THEN '/%41%6bx' ELSE '' END)
+         || (CASE WHEN doc_id % 19 = 0 THEN '/%2Fz' ELSE '' END)
+         || (CASE WHEN doc_id % 23 = 0 THEN '/%4%31' ELSE '' END)
          || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
          || (CASE WHEN doc_id % 5 IN (1,2) AND doc_id % 13 = 0
                   THEN '?lang=en&utm_source=' || CAST(doc_id AS VARCHAR)
@@ -6881,6 +6990,107 @@ ranked AS (
 )
 SELECT id, canonical_url, registered_domain, domain_rank, cum_tokens
 FROM ranked WHERE domain_rank <= 8 AND cum_tokens <= 300
+""",
+        # Cross-epoch twin: ONE pipeline partitioned by epoch
+        # ((doc_id//60)%2 — block key, NOT parity: parity is confounded
+        # with the synth-URL suffix modulus and gives disjoint domain
+        # sets) — equivalent to the Spark side's two filtered runs
+        # because every window key is prefixed with the epoch; epoch-0
+        # budget survivors aggregate into the state, epoch-1 admits
+        # while carried + running ≤ the shared budget.
+        "url_token_cap_carryover": f"""
+WITH u AS (
+  SELECT doc_id AS id, (doc_id // 60) % 2 AS ep, n_chars AS q,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '')) AS tok,
+{_SYNTH_URL_SQL.strip()} AS url
+  FROM documents
+),
+c AS (
+  SELECT id, ep, q, tok, canonical_url,
+         {llm_oracles.url_registered_domain_sql(
+             "regexp_extract(canonical_url, '^([^/?]*)', 1)"
+         )} AS registered_domain
+  FROM (SELECT id, ep, q, tok,
+               {llm_oracles.url_canonical_sql("url")} AS canonical_url
+        FROM u)
+),
+w1 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY ep, canonical_url ORDER BY q DESC NULLS LAST, id ASC) AS rn
+  FROM c
+),
+winners AS (
+  SELECT id, ep, q, tok, canonical_url, registered_domain FROM w1 WHERE rn = 1
+),
+ranked AS (
+  SELECT id, ep, canonical_url, registered_domain, q, tok,
+         CAST(row_number() OVER w AS BIGINT) AS domain_rank,
+         CAST(sum(tok) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM winners
+  WINDOW w AS (PARTITION BY ep, registered_domain
+               ORDER BY q DESC NULLS LAST, id ASC)
+),
+state AS (
+  SELECT registered_domain, max(cum_tokens) AS tokens_used
+  FROM ranked WHERE ep = 0 AND domain_rank <= 8 AND cum_tokens <= 300
+  GROUP BY 1
+)
+SELECT r.id, r.canonical_url, r.registered_domain, r.domain_rank,
+       r.cum_tokens,
+       CAST(coalesce(s.tokens_used, 0) AS BIGINT) AS carried_tokens
+FROM ranked r LEFT JOIN state s USING (registered_domain)
+WHERE r.ep = 1 AND r.domain_rank <= 8
+  AND coalesce(s.tokens_used, 0) + r.cum_tokens <= 300
+""",
+        # UniMax twin: identical closed-form waterfilling — capped
+        # sources form a prefix of the size-sorted order, boundary k =
+        # first failing BIGINT test; the only float is the reported
+        # epochs9 ratio (CAST both sides to DOUBLE — DuckDB's bare
+        # `*1.0` would route through DECIMAL division).
+        "unimax_plan": """
+WITH counts AS (
+  SELECT (CASE WHEN doc_id % 256 < 1 THEN 'g0'
+               WHEN doc_id % 256 < 3 THEN 'g1'
+               WHEN doc_id % 256 < 7 THEN 'g2'
+               WHEN doc_id % 256 < 15 THEN 'g3'
+               WHEN doc_id % 256 < 31 THEN 'g4'
+               WHEN doc_id % 256 < 63 THEN 'g5'
+               WHEN doc_id % 256 < 127 THEN 'g6'
+               ELSE 'g7' END) AS source,
+         CAST(sum(len(list_filter(string_split_regex(lower(trim(text)),
+                                                     '\\s+'),
+                                  t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+staged AS (
+  SELECT source, n_tokens, n_tokens * 2 AS cap_tokens,
+         row_number() OVER (ORDER BY n_tokens, source) AS rk,
+         count(*) OVER () AS n_src,
+         coalesce(sum(n_tokens * 2) OVER (
+           ORDER BY n_tokens, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pref,
+         (sum(n_tokens) OVER () * 4) // 5 AS budget
+  FROM counts
+),
+kk AS (
+  SELECT *, min(CASE WHEN cap_tokens * (n_src - rk + 1) > budget - pref
+                     THEN rk END) OVER () AS k
+  FROM staged
+),
+kp AS (
+  SELECT *, max(CASE WHEN rk = k THEN pref END) OVER () AS pref_k FROM kk
+)
+SELECT source, n_tokens, CAST(cap_tokens AS BIGINT) AS cap_tokens,
+       CAST(CASE WHEN k IS NULL OR rk < k THEN cap_tokens
+                 ELSE (budget - pref_k) // (n_src - k + 1) END
+            AS BIGINT) AS allocated_tokens,
+       (k IS NULL OR rk < k) AS is_capped,
+       round(CAST(CASE WHEN k IS NULL OR rk < k THEN cap_tokens
+                       ELSE (budget - pref_k) // (n_src - k + 1) END
+                  AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS epochs9
+FROM kp
 """,
         # KS twin: same distinct-value collapse + DECIMAL(38,0) integer
         # gaps; split literal = 2024-01-16 00:00 UTC in epoch µs.

@@ -1790,6 +1790,18 @@ def test_canonicalize_url_and_registered_domain(spark):
         ("http://sub.site.github.io/p", "sub.site.github.io/p"),
         ("http://m.shop.com.tw/x", "m.shop.com.tw/x"),
         ("http://x.act.edu.au/q", "x.act.edu.au/q"),
+        # r10.5 percent-decoding: unreserved escapes decode (both hex
+        # spellings), reserved/malformed stay
+        ("http://ex%41mple.com/p%61th", "example.com/path"),
+        ("http://a.com/x%7e%7E", "a.com/x~~"),
+        ("http://a.com/%2Fkeep", "a.com/%2Fkeep"),    # reserved: data
+        ("http://a.com/%2541", "a.com/%2541"),        # %25 stays; no refold
+        ("http://a.com/%4%31", "a.com/%4%31"),        # malformed: gate off
+        ("http://%77%77%77%2Eexample.com/a", "example.com/a"),  # www. via decode
+        # userinfo ends at the LAST @ (hypothesis-found regression: the
+        # non-greedy strip left an '@' and broke idempotence)
+        ("http://u@x@a.com/p", "a.com/p"),
+        (",K1THbh@X\x0c@91=Zg", "91=zg"),
     ]
     df = spark.createDataFrame([Row(i=i, u=u) for i, (u, _) in enumerate(cases)])
     got = {
@@ -1806,6 +1818,9 @@ def test_canonicalize_url_and_registered_domain(spark):
         6: "a.com", 7: "a.com",
         # longest-match PSL: registered = suffix + one label
         8: "site.github.io", 9: "shop.com.tw", 10: "x.act.edu.au",
+        11: "example.com", 12: "a.com", 13: "a.com", 14: "a.com",
+        15: "a.com", 16: "example.com",
+        17: "a.com", 18: "91=zg",
     }
     for i, (u, want_c) in enumerate(cases):
         assert got[i][0] == want_c, (u, got[i])
@@ -2031,6 +2046,203 @@ def test_url_domain_token_cap_randomized_vs_reference(spark):
     assert got == want
 
 
+def test_url_token_cap_carryover_randomized_vs_reference(spark):
+    """Cross-epoch carryover vs a pure-Python greedy reference over
+    randomized corpora: epoch-1 (even ids) consumes budget through the
+    plain token cap; epoch-2 (odd ids) admits while carried + running ≤
+    budget. Also pins the two structural properties: empty state ==
+    plain token cap + carried 0, and Σ admitted tokens across both
+    epochs ≤ budget per domain."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from zipkin_dependencies_spark.llm.urls import (
+        canonicalize_url,
+        registered_domain,
+        url_domain_token_cap,
+        url_domain_token_cap_carryover,
+        url_host,
+    )
+
+    rng = random.Random(101)
+    rows = []
+    for i in range(140):
+        rows.append(
+            (
+                i,
+                rng.choice(["http://", ""])
+                + rng.choice(["www.", ""])
+                + rng.choice(["a.com", "b.co.uk", "c.github.io"])
+                + rng.choice(["/x", "/y", "/z", "/w", ""]),
+                rng.randint(0, 5),
+                rng.choice([None, 10, 40, 90, 150]),
+            )
+        )
+    df = spark.createDataFrame(rows, "doc_id long, url string, q long, t long")
+    even = df.where(F.col("doc_id") % 2 == 0)
+    odd = df.where(F.col("doc_id") % 2 == 1)
+    epoch1 = url_domain_token_cap(
+        even, token_budget=200, per_domain_cap=4, quality_col="q", token_col="t"
+    )
+    state = epoch1.groupBy("registered_domain").agg(
+        F.max("cum_tokens").alias("tokens_used")
+    )
+    got = {
+        r.id: (r.registered_domain, r.domain_rank, r.cum_tokens, r.carried_tokens)
+        for r in url_domain_token_cap_carryover(
+            odd, state, token_budget=200, per_domain_cap=4,
+            quality_col="q", token_col="t",
+        ).collect()
+    }
+
+    # pure-Python reference (canonical/domain columns reused from Spark,
+    # their cross-engine correctness pinned elsewhere)
+    cano = {
+        r.doc_id: (r.c, r.d)
+        for r in df.select(
+            "doc_id",
+            canonicalize_url("url").alias("c"),
+            registered_domain(url_host(canonicalize_url("url"))).alias("d"),
+        ).collect()
+    }
+
+    def greedy(ids, carried):
+        by_url = {}
+        for i, _, q, t in rows:
+            if i in ids:
+                by_url.setdefault(cano[i][0], []).append((-q, i, t))
+        by_dom = {}
+        for c, cands in by_url.items():
+            nq, i, t = min(cands)
+            by_dom.setdefault(cano[i][1], []).append((nq, i, t))
+        kept = {}
+        for d, winners in by_dom.items():
+            cum = 0
+            for rank, (nq, i, t) in enumerate(sorted(winners)[:4], start=1):
+                cum += t or 0
+                if carried.get(d, 0) + cum <= 200:
+                    kept[i] = (d, rank, cum, carried.get(d, 0))
+        return kept
+
+    evens = {i for i, *_ in rows if i % 2 == 0}
+    odds = {i for i, *_ in rows if i % 2 == 1}
+    e1 = greedy(evens, {})
+    used = {}
+    for i, (d, rank, cum, _) in e1.items():
+        used[d] = max(used.get(d, 0), cum)
+    want = greedy(odds, used)
+    assert got == want
+
+    # property 1: empty state == plain token cap + carried 0
+    empty_state = spark.createDataFrame(
+        [], "registered_domain string, tokens_used long"
+    )
+    stateless = {
+        r.id: (r.registered_domain, r.domain_rank, r.cum_tokens, r.carried_tokens)
+        for r in url_domain_token_cap_carryover(
+            odd, empty_state, token_budget=200, per_domain_cap=4,
+            quality_col="q", token_col="t",
+        ).collect()
+    }
+    plain = {
+        r.id: (r.registered_domain, r.domain_rank, r.cum_tokens, 0)
+        for r in url_domain_token_cap(
+            odd, token_budget=200, per_domain_cap=4,
+            quality_col="q", token_col="t",
+        ).collect()
+    }
+    assert stateless == plain
+
+    # property 2: Σ admitted tokens across epochs ≤ budget per domain
+    total = dict(used)
+    for i, (d, rank, cum, carried) in got.items():
+        total[d] = max(total.get(d, 0), carried + cum)
+    assert all(v <= 200 for v in total.values()), total
+
+
+def test_unimax_plan_vs_sequential_reference(spark):
+    """The closed-form waterfilling (capped-prefix + one boundary test)
+    vs the paper's SEQUENTIAL loop run in exact Fraction arithmetic
+    (Chung et al. 2023: visit sources smallest-first, take
+    min(c·n, R/m)): the capped set must agree EXACTLY (the boundary
+    test c·nᵢ·(N−i+1) ≤ R is the same inequality the rational loop
+    evaluates), capped allocations equal c·n, and uncapped ones equal
+    the floor of the exact rational uniform share. Randomized sizes,
+    caps, and budgets, including degenerate corners (budget ≥ c·total:
+    all capped; budget below the smallest cap: all uncapped)."""
+    import random
+    from fractions import Fraction
+
+    from zipkin_dependencies_spark.llm.sampling import unimax_plan
+
+    rng = random.Random(17)
+    trials = [
+        (2, 4, 5), (1, 1, 2), (3, 3, 1), (2, 1, 10), (2, 100, 1),
+    ]
+    for t, (c, num, den) in enumerate(trials):
+        n_src = rng.randint(1, 9)
+        sizes = {f"s{i}": rng.randint(1, 300) for i in range(n_src)}
+        rows = [(k, " ".join(["w"] * n)) for k, n in sizes.items()]
+        df = spark.createDataFrame(rows, "source string, text string")
+        got = {
+            r.source: (
+                r.n_tokens, r.cap_tokens, r.allocated_tokens,
+                r.is_capped, r.epochs9,
+            )
+            for r in unimax_plan(
+                df, epoch_cap=c, budget_num=num, budget_den=den
+            ).collect()
+        }
+        total = sum(sizes.values())
+        B = (total * num) // den
+        order = sorted(sizes.items(), key=lambda kv: (kv[1], kv[0]))
+        R = Fraction(B)
+        want = {}
+        uncapped_started = False
+        for i, (s, n) in enumerate(order):
+            m = len(order) - i
+            u = R / m
+            if not uncapped_started and Fraction(c * n) <= u:
+                a_exact = Fraction(c * n)
+                capped = True
+            else:
+                uncapped_started = True  # prefix property: never re-caps
+                a_exact = u
+                capped = False
+            R -= a_exact
+            a_int = c * n if capped else int(a_exact)  # floor for uncapped
+            want[s] = (
+                n, c * n, a_int, capped,
+                round(a_int / n, 9),
+            )
+        assert got == want, (t, c, num, den, sizes)
+
+
+def test_percent_pairs_table():
+    """The shared escape-spelling table: 66 unreserved chars, one
+    spelling when both hex digits are digits, two when the low nibble
+    is A-F; round-trips through bytes.fromhex; contains no reserved
+    escapes (%2F, %3A, %3F, %20, %25)."""
+    from zipkin_dependencies_spark.llm.urls import percent_pairs
+
+    pairs = percent_pairs()
+    escapes = [e for e, _ in pairs]
+    assert len(set(escapes)) == len(escapes)
+    chars = {c for _, c in pairs}
+    assert len(chars) == 66  # 52 letters + 10 digits + -._~
+    for esc, ch in pairs:
+        assert esc[0] == "%" and len(esc) == 3
+        assert bytes.fromhex(esc[1:]).decode() == ch
+        assert ch.isalnum() or ch in "-._~"
+    for reserved in ("%2F", "%3A", "%3F", "%20", "%25", "%2f"):
+        assert reserved not in escapes
+    # both spellings present where the low nibble is a letter
+    assert ("%2E", ".") in pairs and ("%2e", ".") in pairs
+    assert ("%41", "A") in pairs  # digit-only spelling: exactly one
+    assert "%61" in escapes and "%41" in escapes
+
+
 def test_psl_rules_snapshot_and_fallback(tmp_path):
     """The PSL snapshot loader: (1) the shipped snapshot resolves the
     judge-named github.io / co.kr / com.tw class plus a 3-label rule;
@@ -2148,7 +2360,7 @@ def test_url_canonicalization_cross_engine_randomized(spark):
     for _ in range(300):
         urls.append(
             rng.choice(["http://", "HTTPS://", "Ftp://", ""])
-            + rng.choice(["", "u:p@", "admin@"])
+            + rng.choice(["", "u:p@", "admin@", "a@b@"])
             + rng.choice(["www.", "WWW.", "m.", "a.b.", ""])
             + rng.choice(["Example", "foo", "x-y"])
             # multi-level PSL suffixes incl. a 3-label rule (act.edu.au)
@@ -2158,6 +2370,13 @@ def test_url_canonicalization_cross_engine_randomized(spark):
             )
             + rng.choice(["", ".", ":8080", ":65535"])
             + rng.choice(["", "/", "/A/b", "/p//", "/trail///"])
+            # percent-escape shapes: unreserved (decode, both hex
+            # cases), reserved (keep), double-encoded, malformed (gate
+            # the whole URL's decode off)
+            + rng.choice(
+                ["", "/%41x", "/%6b%7E", "/%2Fkeep", "/%2541",
+                 "/%4%31", "/%ZZ", "/%"]
+            )
             # tracker-only, mixed, unsorted-dup, and empty query shapes
             + rng.choice(
                 ["", "?q=1&x=2", "?x=2&q=1", "?utm_source=a&b=1",

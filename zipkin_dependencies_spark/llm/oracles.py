@@ -2193,11 +2193,24 @@ def url_canonical_sql(url_expr: str) -> str:
     the r09 advisor's newline-anchor gap). Tracker params drop and the
     remainder is kept sorted, mirroring TRACKER_PARAM_RE. Shared by the
     url_domain_dedup / url_domain_token_cap oracles and the randomized
-    cross-engine sweep in tests/test_llm.py."""
-    from .urls import TRACKER_PARAM_RE
+    cross-engine sweep in tests/test_llm.py. The unreserved
+    percent-escape decode consumes the SAME spelling table as the Spark
+    chain (llm/urls.py::percent_pairs) behind the same well-formedness
+    gate (PERCENT_GATE_RE — malformed ``%`` sequences skip decoding so
+    the canonical form stays a fixed point on both engines); literal
+    replace() is all-occurrence in both dialects, so no regex flag is
+    involved."""
+    from .urls import PERCENT_GATE_RE, TRACKER_PARAM_RE, percent_pairs
 
     ws = f"regexp_replace({url_expr}, '[\\x00-\\x20]+', '', 'g')"
-    nofrag = f"regexp_replace({ws}, '#.*$', '')"
+    dec = ws
+    for esc, ch in percent_pairs():
+        dec = f"replace({dec}, '{esc}', '{ch}')"
+    pd = (
+        f"(CASE WHEN regexp_matches({ws}, '{PERCENT_GATE_RE}') "
+        f"THEN {dec} ELSE {ws} END)"
+    )
+    nofrag = f"regexp_replace({pd}, '#.*$', '')"
     # COALESCE: DuckDB regexp_extract yields NULL on no match where
     # Spark yields '' — a query-less URL must not null the whole chain
     query = f"coalesce(regexp_extract({nofrag}, '\\?(.*)$', 1), '')"
@@ -2208,7 +2221,7 @@ def url_canonical_sql(url_expr: str) -> str:
     host = (
         f"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
         f"lower(regexp_extract({stripped}, '^([^/]*)', 1)), "
-        f"'^[^@]*@', ''), ':[0-9]+$', ''), '\\.$', ''), '^www\\.', '')"
+        f"'^.*@', ''), ':[0-9]+$', ''), '\\.$', ''), '^www\\.', '')"
     )
     path = (
         f"regexp_replace(regexp_replace({stripped}, '^[^/]*', ''), "

@@ -346,3 +346,95 @@ def training_order(
         (F.col("global_pos") % n).cast("long").alias("shard"),
         F.expr(f"CAST(global_pos DIV {n} AS BIGINT)").alias("pos_in_shard"),
     )
+
+
+def unimax_plan(
+    docs: DataFrame,
+    epoch_cap: int,
+    budget_num: int,
+    budget_den: int = 1,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling" — the epoch-capped waterfilling
+    mixture): given a total token budget B and a per-source epoch cap
+    c, visit sources smallest-first; each takes min(c·nᵢ, u) where u is
+    the uniform share of the remaining budget over the remaining
+    sources. Small sources are CAPPED at c epochs (fairness: never
+    over-repeat a small language/source); what they cannot absorb
+    waterfalls to the large ones, which split the remainder evenly.
+
+    → one row per source: (source, n_tokens, cap_tokens,
+    allocated_tokens, is_capped, epochs9), allocation exact integers.
+
+    Closed form instead of the paper's sequential loop: once a source
+    is UNcapped, the uniform share u stays constant for every later
+    (larger) source — allocating u from R over m sources leaves
+    u·(m−1) — so capped sources form a PREFIX of the size-sorted order.
+    The boundary k is the first i failing c·nᵢ·(N−i+1) ≤ B − Σ_{j<i}
+    c·nⱼ, and every test is BIGINT arithmetic (the budget enters as the
+    rational budget_num/budget_den of the corpus total: B =
+    (total·num) div den — no float touches an allocation; the only
+    float is the reported epochs9 ratio, one divide of two exact ints,
+    the round-9 contract). Window functions over the |sources|-row
+    aggregate — dims-sized single-partition frames, the
+    temperature_resample precedent; the corpus pays exactly one
+    map-side-combined token-count aggregate.
+
+    Reference parity: the zipkin reference has no mixture planner
+    (SURVEY §6 extension surface). Degenerate cases are well-defined:
+    B ≥ c·total caps every source (k never fires); a budget too small
+    for even the smallest cap makes EVERY source uncapped and u = B
+    div N (floor division keeps Σ allocated ≤ B)."""
+    from .text import token_count
+
+    c = int(epoch_cap)
+    counts = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(token_count(text_col)).cast("long").alias("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy("n_tokens", "source")
+    w_pref = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    cap = (F.col("n_tokens") * c).alias("cap_tokens")
+    staged = counts.select(
+        "source",
+        "n_tokens",
+        cap,
+        F.row_number().over(w_ord).alias("_rk"),
+        F.count(F.lit(1)).over(w_all).alias("_n_src"),
+        F.sum(F.col("n_tokens") * c).over(w_all).alias("_cap_total"),
+        F.coalesce(
+            F.sum(F.col("n_tokens") * c).over(w_pref), F.lit(0)
+        ).alias("_pref"),
+        F.expr(
+            f"(sum(n_tokens) OVER () * {int(budget_num)})"
+            f" DIV {int(budget_den)}"
+        ).alias("_budget"),
+    )
+    fail = (
+        F.col("cap_tokens") * (F.col("_n_src") - F.col("_rk") + 1)
+        > F.col("_budget") - F.col("_pref")
+    )
+    staged = staged.withColumn(
+        "_k",
+        F.min(F.when(fail, F.col("_rk"))).over(w_all),
+    ).withColumn(
+        "_pref_k",
+        F.max(
+            F.when(F.col("_rk") == F.col("_k"), F.col("_pref"))
+        ).over(w_all),
+    )
+    uniform = F.expr("(_budget - _pref_k) DIV (_n_src - _k + 1)")
+    is_capped = F.col("_k").isNull() | (F.col("_rk") < F.col("_k"))
+    alloc = F.when(is_capped, F.col("cap_tokens")).otherwise(uniform)
+    return staged.select(
+        "source",
+        "n_tokens",
+        "cap_tokens",
+        alloc.cast("long").alias("allocated_tokens"),
+        is_capped.alias("is_capped"),
+        F.round(
+            alloc.cast("double") / F.col("n_tokens").cast("double"), 9
+        ).alias("epochs9"),
+    )

@@ -16,6 +16,15 @@ the no-data-file fallback. Reference parity: the zipkin reference has
 no web-curation operators (SURVEY §2 — trace aggregator); extension
 surface (SURVEY §6).
 
+Percent-escape semantics (r10.5): unreserved escapes (RFC 3986 §2.3 —
+ALPHA / DIGIT / ``-._~``) decode before the regex chain, in both hex
+spellings, so recrawls differing only by escape spelling collapse;
+reserved escapes (``%2F`` ``%3F`` …) stay encoded — they are data, not
+spelling. A URL containing ANY malformed ``%`` sequence skips decoding
+entirely (``PERCENT_GATE_RE``): decoding malformed input can fabricate
+escapes ("%4%31" → "%41"), which would break the pinned idempotence
+property.
+
 Query-string semantics (r09 advisor note): canonicalization no longer
 drops the whole query — it drops only known tracker parameters
 (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``, ``mc_eid``, ``igshid``;
@@ -59,6 +68,7 @@ sum only ever runs over the ≤cap rank survivors.
 from __future__ import annotations
 
 import os
+import string
 from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, Window
@@ -81,6 +91,43 @@ MULTI_LEVEL_SUFFIXES = (
 TRACKER_PARAM_RE = (
     r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$"
 )
+
+#: Gate for the percent-decoding pass: decode only when EVERY ``%`` in
+#: the (whitespace-stripped) URL heads a well-formed two-hex-digit
+#: escape. Decoding a malformed string can FABRICATE an escape
+#: ("%4%31" → replace %31→'1' → "%41" → a second pass would decode to
+#: "A"), breaking the pinned idempotence property; well-formed strings
+#: are closed under the decode (decoded chars are unreserved — never
+#: '%' — and retained escapes keep their own two hex digits), so on the
+#: gated domain decode-once == decode-twice. Pure alternation/class
+#: regex — identical semantics in Java regex and RE2 (anchored, so
+#: partial-match engines agree too).
+PERCENT_GATE_RE = r"^([^%]|%[0-9A-Fa-f]{2})*$"
+
+
+@lru_cache(maxsize=1)
+def percent_pairs() -> tuple[tuple[str, str], ...]:
+    """(escape-spelling, decoded-char) pairs for every RFC 3986 §2.3
+    UNRESERVED percent-escape — ALPHA / DIGIT / ``-`` ``.`` ``_``
+    ``~`` — in both hex spellings where the low nibble is a letter
+    (``%2E`` and ``%2e`` both mean ``.``; the high nibble is always a
+    digit for this set). Reserved escapes (``%2F`` ``%3A`` ``%3F`` …)
+    and non-ASCII bytes stay encoded: they are DATA, not alternate
+    spellings — decoding them would change which character delimits
+    path/query/host. The DuckDB twin consumes this same table, so both
+    engines decode the identical spelling set in the identical order
+    (order is immaterial on the gated domain, but identical is
+    identical)."""
+    chars = string.ascii_uppercase + string.ascii_lowercase
+    chars += string.digits + "-._~"
+    out: list[tuple[str, str]] = []
+    for ch in chars:
+        hh = f"{ord(ch):02X}"
+        out.append((f"%{hh}", ch))
+        if hh != hh.lower():  # second hex digit A-F: add the lowercase
+            out.append((f"%{hh.lower()}", ch))
+    return tuple(out)
+
 
 _PSL_SNAPSHOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -121,26 +168,43 @@ def psl_rules(path: str | None = None) -> tuple[frozenset, frozenset]:
 
 def canonicalize_url(url: Column | str) -> Column:
     """Canonical form of a URL: whitespace/control bytes stripped,
-    fragment stripped, tracker query params dropped and the remaining
-    params sorted (see ``TRACKER_PARAM_RE``), scheme stripped (any
-    `scheme://`), userinfo stripped, host lowercased with a leading
-    `www.` / trailing dot / `:port` removed, trailing slashes trimmed
-    from the path. Patterns live in the Java-regex ∩ RE2 subset so the
-    DuckDB twin replays them verbatim (the scrub_pii rule); the leading
-    `[\\x00-\\x20]+` strip removes every newline, after which `$` means
-    end-of-text in both dialects."""
+    UNRESERVED percent-escapes decoded (``%41`` → ``A``, ``%7e`` →
+    ``~`` — recrawls that differ only by escape spelling collapse;
+    reserved escapes like ``%2F`` stay encoded, and a URL with ANY
+    malformed ``%`` sequence skips decoding entirely — see
+    ``PERCENT_GATE_RE`` for why that gate is what keeps the canonical
+    form a fixed point), fragment stripped, tracker query params
+    dropped and the remaining params sorted (see ``TRACKER_PARAM_RE``),
+    scheme stripped (any `scheme://`), userinfo stripped, host
+    lowercased with a leading `www.` / trailing dot / `:port` removed,
+    trailing slashes trimmed from the path. Patterns live in the
+    Java-regex ∩ RE2 subset so the DuckDB twin replays them verbatim
+    (the scrub_pii rule); the leading `[\\x00-\\x20]+` strip removes
+    every newline, after which `$` means end-of-text in both
+    dialects."""
     u = F.col(url) if isinstance(url, str) else url
     # control bytes + spaces can't appear literally in a valid URL
     # (they'd be %-encoded) — stripping them first is both a data-hygiene
     # rule and the cross-engine $-anchor fix (module docstring)
     u = F.regexp_replace(u, r"[\x00-\x20]+", "")
+    # unreserved-escape decode: a chain of literal all-occurrence
+    # replaces (84 nodes, scan-local codegen — no regex-flag divergence
+    # between engines), applied only behind the well-formedness gate
+    decoded = u
+    for esc, ch in percent_pairs():
+        decoded = F.replace(decoded, F.lit(esc), F.lit(ch))
+    u = F.when(u.rlike(PERCENT_GATE_RE), decoded).otherwise(u)
     u = F.regexp_replace(u, r"#.*$", "")                 # fragment
     query = F.regexp_extract(u, r"\?(.*)$", 1)
     u = F.regexp_replace(u, r"\?.*$", "")                # raw query off
     u = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")  # scheme
     host = F.lower(F.regexp_extract(u, r"^([^/]*)", 1))
     path = F.regexp_replace(u, r"^[^/]*", "")
-    host = F.regexp_replace(host, r"^[^@]*@", "")        # userinfo
+    # userinfo ends at the LAST @ (WHATWG URL §host parsing; '@' in
+    # userinfo should be %-encoded but garbage input has it literally —
+    # the non-greedy [^@]*@ left an '@' behind and broke idempotence,
+    # caught by the hypothesis sweep)
+    host = F.regexp_replace(host, r"^.*@", "")
     host = F.regexp_replace(host, r":[0-9]+$", "")       # port
     host = F.regexp_replace(host, r"\.$", "")            # trailing dot
     host = F.regexp_replace(host, r"^www\.", "")
@@ -339,5 +403,86 @@ def url_domain_token_cap(
             "registered_domain",
             F.col("domain_rank").cast("long").alias("domain_rank"),
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )
+
+
+def url_domain_token_cap_carryover(
+    df: DataFrame,
+    state: DataFrame,
+    token_budget: int,
+    per_domain_cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+    token_col: str = "n_tokens",
+    state_domain_col: str = "registered_domain",
+    state_used_col: str = "tokens_used",
+) -> DataFrame:
+    """Cross-EPOCH token-budgeted per-domain cap — the incremental form
+    of `url_domain_token_cap` an ongoing crawl ingestion runs: the
+    budget is a property of the DOMAIN ACROSS EPOCHS, so this epoch's
+    admissions start from what previous epochs already consumed.
+    ``state`` is (``state_domain_col``, ``state_used_col``) — one row
+    per domain seen before, tokens already consumed (absent domain =
+    0); build it from the previous run's output as
+    ``max(cum_tokens) + carried_tokens`` per domain, which makes the
+    operator COMPOSABLE: epoch N's output is epoch N+1's state, and the
+    invariant ``Σ admitted tokens across epochs ≤ token_budget`` holds
+    per domain. Earlier epochs have priority by construction — that is
+    the semantics of an ongoing ingestion (NOT equivalent to one run
+    over the union, which would rank all epochs' docs together).
+
+    Semantics: identical ranking and row-cap as `url_domain_token_cap`
+    (quality desc, id asc; ``per_domain_cap`` applied first — it keeps
+    the map-side WindowGroupLimit trim, the mega-domain skew answer),
+    then admit while ``carried + running ≤ token_budget``. A domain
+    whose state already meets the budget admits only zero-token rows
+    (degenerate but well-defined on both engines).
+
+    Scale shape: the state join lands AFTER the rank filter, so it
+    touches at most ``tasks × per_domain_cap`` rows per domain, and the
+    join key is the registered domain — state is domain-cardinality
+    (orders of magnitude below corpus-cardinality); AQE picks broadcast
+    when it fits, shuffled-hash otherwise. Everything upstream reuses
+    the token_cap plan verbatim (same windows, same exchange reuse).
+
+    Output adds ``carried_tokens`` (state tokens for the domain, 0 when
+    new); ``cum_tokens`` stays THIS-epoch-only so downstream state
+    building composes as documented above."""
+    winners = _url_winners(
+        _url_base(df, url_col, id_col, quality_col, token_col=token_col)
+    )
+    w_dom = Window.partitionBy("registered_domain").orderBy(
+        F.col("q").desc(), F.col("id").asc()
+    )
+    capped = (
+        winners.withColumn("domain_rank", F.row_number().over(w_dom))
+        .where(F.col("domain_rank") <= per_domain_cap)
+    )
+    w_run = w_dom.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    st = state.select(
+        F.col(state_domain_col).alias("_st_domain"),
+        F.coalesce(F.col(state_used_col).cast("long"), F.lit(0)).alias(
+            "carried_tokens"
+        ),
+    )
+    return (
+        capped.withColumn("cum_tokens", F.sum("_tok").over(w_run))
+        .join(st, F.col("registered_domain") == F.col("_st_domain"), "left")
+        .withColumn(
+            "carried_tokens", F.coalesce(F.col("carried_tokens"), F.lit(0))
+        )
+        .where(
+            F.col("carried_tokens") + F.col("cum_tokens")
+            <= F.lit(int(token_budget))
+        )
+        .select(
+            "id",
+            "canonical_url",
+            "registered_domain",
+            F.col("domain_rank").cast("long").alias("domain_rank"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+            F.col("carried_tokens").cast("long").alias("carried_tokens"),
         )
     )
