@@ -4795,6 +4795,26 @@ def q_exact_substr_spans_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr CUT — the removal stage completing the Lee et al.
+    2022 §4.1 pipeline (the spans queries only FIND duplicated spans;
+    this one deletes them): every token covered by a ≥4-token substring
+    occurring ≥2 times anywhere in the corpus drops from its document
+    (drop-ALL, the paper's released-code policy) and survivors
+    reassemble in order → (doc_id, n_tokens, n_cut, text_clean). Same
+    k=4 / scope='any' fixture as exact_substr_spans_all so the cut set
+    is the measurably-nonempty one. Coverage is an as-of window over
+    the union of tokens and dup-gram starts (no tokens×spans range
+    join); reassembly is the doc-keyed sort-struct-flatten
+    (llm/dedup.py::exact_substr_cut)."""
+    from zipkin_dependencies_spark.llm.dedup import exact_substr_cut
+    from zipkin_dependencies_spark.testdata import load
+
+    return exact_substr_cut(
+        load(spark, sf_dir, "documents"), k=4, id_col="doc_id", scope="any"
+    )
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016): the top-8
     learned merges with their pair counts. ONE corpus-scale stage (the
@@ -5363,6 +5383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_token_cap_carryover": q_url_token_cap_carryover,
         # r10.5: UniMax epoch-capped waterfilling mixture (new)
         "unimax_plan": q_unimax_plan,
+        # r10.5: the ExactSubstr removal stage (completes Lee et al.)
+        "exact_substr_cut": q_exact_substr_cut,
         # re-gate: canonicalize_url + registered_domain semantics changed
         # (PSL snapshot, tracker-param-only query strip, whitespace
         # strip) — the r09 row does not carry per the touched rule
@@ -6861,6 +6883,9 @@ FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
         # k=4 (not 8): the only k where the fixture differentiates the
         # scopes — see the query docstring
         "exact_substr_spans_all": llm_oracles.exact_substr_spans_sql(
+            k=4, scope="any"
+        ),
+        "exact_substr_cut": llm_oracles.exact_substr_cut_sql(
             k=4, scope="any"
         ),
         # Unrolled 8-stage BPE twin (llm/oracles.py generator): per-stage

@@ -2161,6 +2161,59 @@ def test_url_token_cap_carryover_randomized_vs_reference(spark):
     assert all(v <= 200 for v in total.values()), total
 
 
+def test_exact_substr_cut_equals_span_removal(spark):
+    """The cut operator == 'delete exactly the spans the finder
+    reports' (the two share semantics by the window-cover lemma, but
+    arrive via different plans — islands vs as-of coverage): on
+    randomized corpora with planted duplicates, text_clean must equal
+    the tokens minus the union of exact_substr_spans ranges, n_cut the
+    union's size, and docs shorter than k pass through intact. Both
+    scopes exercised."""
+    import random
+
+    from zipkin_dependencies_spark.llm.dedup import (
+        exact_substr_cut,
+        exact_substr_spans,
+    )
+
+    rng = random.Random(43)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial, scope in [(0, "cross_doc"), (1, "any"), (2, "any")]:
+        k = rng.choice([2, 3, 4])
+        docs = []
+        boiler = " ".join(rng.choices(vocab, k=k + 2))
+        for i in range(24):
+            words = rng.choices(vocab, k=rng.randint(0, 14))
+            if i % 3 == 0:
+                words += boiler.split()
+            if i % 7 == 0:  # self-repeat for scope='any'
+                rep = rng.choices(vocab, k=k)
+                words += rep + rng.choices(vocab, k=2) + rep
+            docs.append((i, " ".join(words)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        spans = {}
+        for r in exact_substr_spans(df, k=k, scope=scope).collect():
+            spans.setdefault(r.doc_id, []).append(
+                (r.span_start, r.span_end)
+            )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_cut, r.text_clean)
+            for r in exact_substr_cut(df, k=k, scope=scope).collect()
+        }
+        for i, text in docs:
+            toks = text.lower().split()
+            if not toks:
+                assert i not in got
+                continue
+            cutset = set()
+            for s, e in spans.get(i, []):
+                cutset.update(range(s, e + 1))
+            keep = [t for p, t in enumerate(toks, start=1) if p not in cutset]
+            assert got[i] == (len(toks), len(cutset), " ".join(keep)), (
+                trial, i, text, spans.get(i), got[i],
+            )
+
+
 def test_unimax_plan_vs_sequential_reference(spark):
     """The closed-form waterfilling (capped-prefix + one boundary test)
     vs the paper's SEQUENTIAL loop run in exact Fraction arithmetic

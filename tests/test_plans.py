@@ -722,3 +722,53 @@ def test_training_order_no_single_partition_window(spark):
 
     plan = formatted(e.q_training_order(spark, SF))
     assert "SinglePartition" not in plan
+
+
+def test_url_token_cap_carryover_keeps_trim_and_joins_after_rank(spark):
+    """Cross-epoch carryover: the token-cap skeleton keeps its map-side
+    WindowGroupLimit trims and two domain-keyed exchanges per epoch
+    pipeline; the state join stays JVM-side (no Python eval, no
+    single-partition window) and joins AFTER the rank filter — the plan
+    shows a join whose streamed side already carries the rank filter
+    (domain_rank <= cap), never a corpus-sized join below the windows."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_url_token_cap_carryover(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SinglePartition" not in plan
+    # both epoch pipelines keep the rank trim (partial+final x 2 stages
+    # each; epoch-1 feeds the state aggregate, epoch-2 the output)
+    assert plan.count("WindowGroupLimit") >= 8
+
+
+def test_unimax_plan_one_corpus_exchange_dims_sized_windows(spark):
+    """UniMax: the corpus pays exactly one map-side-combined token-count
+    aggregate; every window (rank, prefix, boundary min/max) runs on the
+    |sources|-row aggregate — the single-partition frames there are
+    dims-sized by construction (the temperature_resample precedent), so
+    the pin is JVM-only + partial aggregation pushed before the source
+    exchange."""
+    import re
+
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_unimax_plan(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # partial (map-side) token-count aggregate before the source shuffle
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    # exactly ONE exchange carries corpus-derived rows (the groupBy
+    # source); the window stack's single-partition exchange moves only
+    # the |sources|-row frame
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(source", plan)
+    assert len(hash_exchanges) <= 1, plan
+
+
+def test_exact_substr_cut_doc_partitioned_jvm_only(spark):
+    """exact_substr_cut: digest-only dup shuffle, the as-of coverage
+    window and the reassembly are doc-partitioned (no single-partition
+    window), and everything is JVM expressions (no Python eval)."""
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_exact_substr_cut(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SinglePartition" not in plan

@@ -1859,3 +1859,125 @@ def semantic_dedup(
             "max_cos9",
         )
     )
+
+
+def exact_substr_cut(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scope: str = "cross_doc",
+) -> DataFrame:
+    """ExactSubstr CUT — the removal stage that completes the Lee et
+    al. 2022 §4.1 pipeline (`exact_substr_spans` finds the duplicated
+    spans; this operator deletes them): every token covered by some
+    ≥``k``-token duplicated substring is dropped from its document, and
+    the survivors reassemble in order. → (doc_id, n_tokens, n_cut,
+    text_clean), one row per document with ≥1 token. Drop-ALL policy —
+    every occurrence goes, exactly what the paper's released
+    deduplicate-text-datasets code does (in aggregate the corpus keeps
+    the information; a keep-first policy would need a global
+    occurrence ordering the paper does not define). ``scope`` as in
+    `exact_substr_spans` (cross_doc / any). Documents shorter than
+    ``k`` tokens have no grams, are never covered, and pass through
+    intact.
+
+    Coverage without a range join: token t is covered iff some
+    duplicated gram STARTS in [t−k+1, t], so union the token stream
+    with the dup-start stream and take a running doc-partitioned
+    max-of-start (starts sort before tokens at equal pos) — one as-of
+    window instead of a tokens×spans BETWEEN join. Scale shape matches
+    the finder: digest-only shuffles for the dup table, and the
+    coverage window + ordered reassembly are PARTITIONED BY doc
+    (bounded by doc length, never corpus-scale) — one doc-keyed
+    exchange carries (pos, token) pairs, the same width the reassembly
+    in `corpus_line_dedup` ships."""
+    from pyspark.sql import Window
+
+    from ..scaling import ensure_min_parallelism
+
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    base = ensure_min_parallelism(
+        docs.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
+    ).filter(F.size("tk") >= 1)
+    toks = base.select(
+        "doc_id", F.posexplode("tk").alias("pos0", "tok")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok"
+    )
+    # sequence(1, n-k+1) would DESCEND for short docs (Spark generates
+    # decreasing sequences when stop < start) — guard to an empty array
+    digests = F.when(
+        F.size("tk") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - k + 1),
+            lambda i: F.sha2(F.array_join(F.slice("tk", i, k), " "), 256),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    grams = base.select(
+        "doc_id", F.posexplode(digests).alias("pos0", "digest")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "digest"
+    )
+    if scope == "cross_doc":
+        dup = (
+            grams.groupBy("digest")
+            .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+            .filter(F.col("mn") < F.col("mx"))
+            .select("digest")
+        )
+    elif scope == "any":
+        dup = (
+            grams.groupBy("digest")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("digest")
+        )
+    else:
+        raise ValueError(f"scope must be 'cross_doc' or 'any', got {scope!r}")
+    starts = grams.join(dup, "digest").select("doc_id", "pos")
+    events = toks.select(
+        "doc_id", "pos", "tok", F.lit(0).alias("m")
+    ).unionByName(
+        starts.select(
+            "doc_id",
+            "pos",
+            F.lit(None).cast("string").alias("tok"),
+            F.lit(1).alias("m"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("pos").asc(), F.col("m").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = (
+        events.withColumn(
+            "last_start",
+            F.max(F.when(F.col("m") == 1, F.col("pos"))).over(w),
+        )
+        .filter(F.col("m") == 0)
+        .withColumn(
+            "cut",
+            F.col("last_start").isNotNull()
+            & (F.col("last_start") >= F.col("pos") - k + 1),
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.col("cut").cast("long")).cast("long").alias("n_cut"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("cut"), F.struct("pos", "tok"))
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )

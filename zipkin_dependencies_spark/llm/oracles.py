@@ -2194,20 +2194,35 @@ def url_canonical_sql(url_expr: str) -> str:
     remainder is kept sorted, mirroring TRACKER_PARAM_RE. Shared by the
     url_domain_dedup / url_domain_token_cap oracles and the randomized
     cross-engine sweep in tests/test_llm.py. The unreserved
-    percent-escape decode consumes the SAME spelling table as the Spark
-    chain (llm/urls.py::percent_pairs) behind the same well-formedness
-    gate (PERCENT_GATE_RE — malformed ``%`` sequences skip decoding so
-    the canonical form stays a fixed point on both engines); literal
-    replace() is all-occurrence in both dialects, so no regex flag is
-    involved."""
-    from .urls import PERCENT_GATE_RE, TRACKER_PARAM_RE, percent_pairs
+    percent-escape decode is the same single-pass split-on-% HOF as the
+    Spark side (llm/urls.py::canonicalize_url — every piece after the
+    first starts with two hex digits behind the gate; decode the byte
+    numerically via the proven '0x'||hex cast idiom and keep it only
+    for RFC 3986 unreserved code points), behind the same
+    well-formedness gate (PERCENT_GATE_RE — malformed ``%`` sequences
+    skip decoding so the canonical form stays a fixed point on both
+    engines). llm/urls.py::percent_pairs is the pinned SPEC of the
+    spelling set."""
+    from .urls import PERCENT_GATE_RE, TRACKER_PARAM_RE
 
     ws = f"regexp_replace({url_expr}, '[\\x00-\\x20]+', '', 'g')"
-    dec = ws
-    for esc, ch in percent_pairs():
-        dec = f"replace({dec}, '{esc}', '{ch}')"
+    npc = "(('0x' || substr(p, 1, 2))::INT)"
+    unres = (
+        f"({npc} BETWEEN 48 AND 57 OR {npc} BETWEEN 65 AND 90 "
+        f"OR {npc} BETWEEN 97 AND 122 OR {npc} IN (45, 46, 95, 126))"
+    )
+    piece = (
+        f"CASE WHEN {unres} THEN chr({npc}) || substr(p, 3) "
+        f"ELSE '%' || p END"
+    )
+    dec = (
+        f"(string_split({ws}, '%')[1] || coalesce(array_to_string("
+        f"list_transform(string_split({ws}, '%')[2:], p -> {piece}), "
+        f"''), ''))"
+    )
     pd = (
-        f"(CASE WHEN regexp_matches({ws}, '{PERCENT_GATE_RE}') "
+        f"(CASE WHEN strpos({ws}, '%') > 0 "
+        f"AND regexp_matches({ws}, '{PERCENT_GATE_RE}') "
         f"THEN {dec} ELSE {ws} END)"
     )
     nofrag = f"regexp_replace({pd}, '#.*$', '')"
@@ -2329,4 +2344,73 @@ SELECT doc_id,
        CAST(max(pos) + {k} - min(pos) AS BIGINT) AS span_len,
        CAST(count(*) AS BIGINT) AS n_dup_grams
 FROM i GROUP BY doc_id, island
+"""
+
+
+def exact_substr_cut_sql(k: int = 8, scope: str = "cross_doc") -> str:
+    """Twin of llm/dedup.py::exact_substr_cut — same tokenize/gram/dup
+    SQL as `exact_substr_spans_sql` (grams group by TEXT, the digest is
+    a Spark shuffle-width choice), then the as-of coverage window
+    (union tokens with dup-gram starts, running max-of-start, covered
+    iff a start lies within the trailing k-window) and the ordered
+    FILTERed reassembly. COALESCE on the reassembly: an all-cut doc's
+    filtered list aggregate is NULL in DuckDB where Spark's
+    collect_list is an empty array."""
+    havings = {
+        "cross_doc": "min(doc_id) < max(doc_id)",
+        "any": "count(*) >= 2",
+    }
+    if scope not in havings:
+        raise ValueError(
+            f"scope must be one of {sorted(havings)}, got {scope!r}"
+        )
+    dup_having = havings[scope]
+    k = int(k)
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+         array_to_string(
+           list_slice(toks, CAST(u.pos AS INT), CAST(u.pos AS INT) + {k - 1}),
+           ' ') AS gram
+  FROM tk, UNNEST(generate_series(1, len(toks) - {k - 1})) AS u(pos)
+  WHERE len(toks) >= {k}
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING {dup_having}),
+starts AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+tox AS (
+  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+         toks[CAST(u.pos AS INT)] AS tok
+  FROM tk, UNNEST(generate_series(1, len(toks))) AS u(pos)
+  WHERE len(toks) >= 1
+),
+ev AS (
+  SELECT doc_id, pos, tok, 0 AS m FROM tox
+  UNION ALL
+  SELECT doc_id, pos, NULL AS tok, 1 AS m FROM starts
+),
+cov AS (
+  SELECT *, max(CASE WHEN m = 1 THEN pos END) OVER (
+    PARTITION BY doc_id ORDER BY pos, m DESC
+    ROWS UNBOUNDED PRECEDING) AS last_start
+  FROM ev
+),
+flagged AS (
+  SELECT doc_id, pos, tok,
+         (last_start IS NOT NULL AND last_start >= pos - {k - 1}) AS cut
+  FROM cov WHERE m = 0
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+       coalesce(
+         array_to_string(list(tok ORDER BY pos) FILTER (WHERE NOT cut),
+                         ' '),
+         '') AS text_clean
+FROM flagged GROUP BY doc_id
 """

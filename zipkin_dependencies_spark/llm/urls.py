@@ -187,13 +187,46 @@ def canonicalize_url(url: Column | str) -> Column:
     # (they'd be %-encoded) — stripping them first is both a data-hygiene
     # rule and the cross-engine $-anchor fix (module docstring)
     u = F.regexp_replace(u, r"[\x00-\x20]+", "")
-    # unreserved-escape decode: a chain of literal all-occurrence
-    # replaces (84 nodes, scan-local codegen — no regex-flag divergence
-    # between engines), applied only behind the well-formedness gate
-    decoded = u
-    for esc, ch in percent_pairs():
-        decoded = F.replace(decoded, F.lit(esc), F.lit(ch))
-    u = F.when(u.rlike(PERCENT_GATE_RE), decoded).otherwise(u)
+    # unreserved-escape decode, single-pass HOF form: split on '%' —
+    # behind the gate every piece after the first starts with exactly
+    # two hex digits — and decode each piece's leading byte numerically
+    # (conv base-16 → char), keeping it only when the code point is
+    # RFC 3986 §2.3 unreserved (48–57 / 65–90 / 97–122 / -._~). One
+    # split + ~10 expression nodes instead of the 84-replace chain the
+    # first cut used (which cost ~3 s of codegen compile per session
+    # and ~2× canonicalization wall — measured, see BASELINE.md r10.5
+    # note); `percent_pairs()` remains the SPEC of the spelling set and
+    # the unit suite pins this decoder against it pair by pair. The
+    # contains-% pre-guard short-circuits the (overwhelmingly common)
+    # escape-free row; the well-formedness gate preserves idempotence
+    # on malformed input (PERCENT_GATE_RE docstring).
+    def _decode_piece(p: Column) -> Column:
+        n = F.conv(p.substr(1, 2), 16, 10).cast("int")
+        unreserved = (
+            n.between(48, 57)
+            | n.between(65, 90)
+            | n.between(97, 122)
+            | n.isin(45, 46, 95, 126)
+        )
+        rest = p.substr(F.lit(3), F.length(p) - 2)
+        return F.when(
+            unreserved, F.concat(F.char(n), rest)
+        ).otherwise(F.concat(F.lit("%"), p))
+
+    parts = F.split(u, "%")
+    decoded = F.concat(
+        F.get(parts, 0),
+        F.array_join(
+            F.transform(
+                F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+                _decode_piece,
+            ),
+            "",
+        ),
+    )
+    u = F.when(
+        u.contains("%") & u.rlike(PERCENT_GATE_RE), decoded
+    ).otherwise(u)
     u = F.regexp_replace(u, r"#.*$", "")                 # fragment
     query = F.regexp_extract(u, r"\?(.*)$", 1)
     u = F.regexp_replace(u, r"\?.*$", "")                # raw query off

@@ -55,6 +55,13 @@ SNAPSHOT_QUERIES: tuple[str, ...] = (
     "url_domain_token_cap",
     "simhash_band_candidates",
     "corpus_line_dedup",
+    # r10.5 representatives: the cross-epoch carryover (token-cap plan +
+    # one post-rank-filter state join) and the UniMax planner (one
+    # corpus aggregate + dims-sized window stack); simhash_permuted's
+    # 28-table generate/join shape and the percent-decode replace chain
+    # ride the queries above (url_domain_* now canonicalize through it).
+    "url_token_cap_carryover",
+    "unimax_plan",
 )
 
 HEADER = """# PLANS — captured physical plans (generated)
