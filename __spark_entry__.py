@@ -5119,6 +5119,33 @@ def q_url_token_cap_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantiles of lineitem extended price (cents) by
+    distributed SELECTION — the precise percentile report
+    percentile_approx can't give: approxQuantile splits only
+    load-balance the buckets, one map-side count per bucket collects
+    n_buckets rows to the driver, the driver pinpoints the bucket +
+    within-bucket offset holding each target rank, and ONLY those ≤7
+    buckets pay a sort (no single-partition global sort — the textbook
+    exact formulation's killer at 100 TB). Type-1 semantics pinned on
+    both engines: rank = min(n, floor(p·n)+1) ascending over non-null
+    values; ties need no tiebreak (equal values give equal answers at
+    every rank). Price quantized to integer cents so the selected
+    VALUES are engine-exact (operators/stats.py::exact_quantiles)."""
+    from zipkin_dependencies_spark.operators.stats import exact_quantiles
+    from zipkin_dependencies_spark.testdata import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents")
+    )
+    return exact_quantiles(
+        li, "price_cents",
+        probs=(0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999),
+    )
+
+
 def q_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax epoch-capped mixture allocation (Chung et al. 2023 — the
     waterfilling budget split a multilingual pretraining mix runs):
@@ -5385,6 +5412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_plan": q_unimax_plan,
         # r10.5: the ExactSubstr removal stage (completes Lee et al.)
         "exact_substr_cut": q_exact_substr_cut,
+        # r10.5: exact quantiles by distributed selection
+        "exact_quantiles": q_exact_quantiles,
         # re-gate: canonicalize_url + registered_domain semantics changed
         # (PSL snapshot, tracker-param-only query strip, whitespace
         # strip) — the r09 row does not carry per the touched rule
@@ -7068,6 +7097,33 @@ SELECT r.id, r.canonical_url, r.registered_domain, r.domain_rank,
 FROM ranked r LEFT JOIN state s USING (registered_domain)
 WHERE r.ep = 1 AND r.domain_rank <= 8
   AND coalesce(s.tokens_used, 0) + r.cum_tokens <= 300
+""",
+        # Exact-quantile twin: the NAIVE single-partition row_number
+        # formulation (DuckDB's problem there, not ours) with the same
+        # type-1 rank rule min(n, floor(p*n)+1); float multiply then
+        # floor matches the Spark driver's Python float math (IEEE
+        # doubles, identical literals).
+        "exact_quantiles": """
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS val
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+n AS (SELECT count(*) AS c FROM v),
+r AS (SELECT val, row_number() OVER (ORDER BY val) AS i FROM v),
+t AS (
+  -- CAST to DOUBLE: bare decimal literals are DECIMAL in DuckDB and
+  -- p*c would run decimal arithmetic where Spark's driver runs IEEE
+  -- doubles; the output column must be DOUBLE to hash-match too
+  SELECT CAST(p.p AS DOUBLE) AS prob,
+         least((SELECT c FROM n),
+               CAST(floor(CAST(p.p AS DOUBLE) * (SELECT c FROM n))
+                    AS BIGINT) + 1)
+           AS rank_idx
+  FROM (VALUES (0.01), (0.25), (0.5), (0.75), (0.9), (0.99), (0.999))
+       AS p(p)
+)
+SELECT t.prob, t.rank_idx, r.val AS value
+FROM t JOIN r ON r.i = t.rank_idx
 """,
         # UniMax twin: identical closed-form waterfilling — capped
         # sources form a prefix of the size-sorted order, boundary k =

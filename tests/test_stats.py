@@ -162,3 +162,42 @@ def test_row_number_rejects_internal_name_collisions(spark):
     df = spark.createDataFrame([(1, 2, 7)], "v long, w long, __off long")
     with pytest.raises(ValueError, match="internal"):
         distributed_row_number(df, [], "v", ["w"])
+
+
+def test_exact_quantiles_randomized_vs_sorted_reference(spark):
+    """Distributed selection == sort-and-index, over randomized data
+    with heavy ties (few distinct values -> buckets collapse), skew,
+    and n smaller than the bucket count; type-1 rank rule
+    min(n, floor(p*n)+1)."""
+    import math
+    import random
+
+    from zipkin_dependencies_spark.operators.stats import exact_quantiles
+
+    rng = random.Random(59)
+    shapes = [
+        [rng.randint(0, 5) for _ in range(500)],        # heavy ties
+        [rng.randint(0, 10**9) for _ in range(300)],    # spread
+        [7] * 40,                                       # constant
+        [rng.randint(0, 100) for _ in range(3)],        # n < buckets
+    ]
+    probs = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999)
+    for t, vals in enumerate(shapes):
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        got = {
+            r.prob: (r.rank_idx, r.value)
+            for r in exact_quantiles(df, "x", probs=probs).collect()
+        }
+        s = sorted(vals)
+        n = len(s)
+        want = {
+            float(p): (min(n, math.floor(p * n) + 1),
+                       s[min(n, math.floor(p * n) + 1) - 1])
+            for p in probs
+        }
+        assert got == want, (t, got, want)
+    # empty input -> empty output, schema intact
+    empty = spark.createDataFrame([], "x long")
+    out = exact_quantiles(empty, "x", probs=probs)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["prob", "rank_idx", "value"]

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Scale-tier measurement for the r10.5 operators (SCALING.md rows):
+bpe_byte_roundtrip, simhash_permuted, url_token_cap_carryover,
+unimax_plan, exact_substr_cut, plus the percent-decode re-tier of
+url_domain_dedup, at the dirs passed as argv (default sf0.1 / sf1 /
+sf10). One JSON line per (query, tier). Queries whose output text
+columns Catalyst could prune under a bare .count() (exact_substr_cut's
+reassembly) are forced through a checksum over every column — the
+corpus_line_dedup lesson."""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIRS = sys.argv[1:] or [
+    "/root/testdata/sf0.1",
+    "/tmp/zds_scale/sf1",
+    "/tmp/zds_scale/sf10",
+]
+QUERIES = [
+    "unimax_plan",
+    "exact_quantiles",
+    "url_domain_dedup",
+    "url_token_cap_carryover",
+    "exact_substr_cut",
+    "simhash_permuted",
+    "bpe_byte_roundtrip",
+]
+#: queries measured with the full-column checksum instead of count()
+FORCE_MATERIALIZE = {"exact_substr_cut", "bpe_byte_roundtrip"}
+
+
+def steal_ticks() -> int:
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_DRIVER_MEM", "64g")
+    from pyspark.sql import functions as F
+
+    from zipkin_dependencies_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="bench_new_r10_5")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    def materialize(df):
+        name_cols = [F.xxhash64(c) for c in df.columns]
+        return df.select(F.sum(sum(name_cols[1:], name_cols[0]))).collect()
+
+    def run(name, d):
+        df = qs[name](spark, d)
+        if name in FORCE_MATERIALIZE:
+            materialize(df)
+            return -1
+        return df.count()
+
+    for name in QUERIES:
+        run(name, "/root/testdata/sf0.001")  # warm plan/codegen
+    for d in DIRS:
+        for name in QUERIES:
+            best = None
+            for rep in range(2):
+                s0 = steal_ticks()
+                t0 = time.monotonic()
+                n = run(name, d)
+                el = round(time.monotonic() - t0, 2)
+                st = round((steal_ticks() - s0) / 100.0, 1)
+                if best is None or el < best[0]:
+                    best = (el, st, n)
+            print(
+                json.dumps(
+                    {"query": name, "dir": d, "sec": best[0],
+                     "steal_cs": best[1], "rows": best[2]}
+                ),
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -139,3 +139,89 @@ def ks_statistic(
         .cast("bigint")
         .alias("ks_q6"),
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: tuple[float, ...] = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999),
+    n_buckets: int = 64,
+) -> DataFrame:
+    """EXACT quantiles of ``value_col`` by distributed selection — the
+    percentile report a pipeline wants precise (SLA cutoffs, length
+    caps) where ``percentile_approx`` gives an approximation with no
+    error contract. → (prob, rank_idx, value), one row per requested
+    probability; type-1 (lower) quantile semantics pinned identically
+    on both engines: rank = min(n, floor(p·n) + 1) over the non-null
+    values ascending.
+
+    The textbook exact formulation (global sort, pick indexes) is a
+    single-partition sort at 100 TB. Distributed selection instead:
+    approxQuantile splits bucket the values (splits only LOAD-BALANCE —
+    whatever the splits, ranks stay exact), one map-side-combined count
+    per bucket collects to the driver (n_buckets rows — a size the
+    caller chose), the driver pinpoints which bucket holds each target
+    rank and its within-bucket offset, and ONLY those buckets (≤
+    len(probs) of them) pay a sort — every other bucket is touched by
+    nothing but the count scan. Ties need no tiebreak: any permutation
+    of equal values has the same value at every rank, so the output is
+    deterministic even though the within-bucket order of duplicates is
+    not. NULLs are excluded (quantiles of the observed distribution).
+
+    The bucket-locate step mirrors `distributed_row_number`'s offsets
+    collect; the final join broadcasts a ≤len(probs)-row target table.
+    Reference parity: no statistics operators in the reference
+    (SURVEY §2); extension surface. Oracle: the naive row_number twin
+    in the registered SQL (single-partition there — DuckDB's problem,
+    not ours)."""
+    import math
+
+    from pyspark.sql import Window
+
+    vals = df.select(F.col(value_col).alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    splits = sorted(set(vals.stat.approxQuantile("v", qs, 0.01)))
+    bucket = F.lit(0)
+    for s in splits:
+        bucket = bucket + (F.col("v") > F.lit(s)).cast("int")
+    bucketed = vals.withColumn("__bkt", bucket)
+    counts = sorted(
+        (r["__bkt"], r["c"])
+        for r in bucketed.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    n = sum(c for _, c in counts)
+    spark = df.sparkSession
+    target_rows = []
+    if n:
+        prefix = {}
+        acc = 0
+        for bkt, c in counts:
+            prefix[bkt] = acc
+            acc += c
+        for p in probs:
+            r = min(n, math.floor(float(p) * n) + 1)
+            # last bucket whose exclusive prefix is < r holds rank r
+            bkt = max(b for b, off in prefix.items() if off < r)
+            target_rows.append(
+                (float(p), int(r), int(bkt), int(r - prefix[bkt]))
+            )
+    targets = spark.createDataFrame(
+        target_rows, "prob double, rank_idx long, __tbkt int, __trr long"
+    )
+    needed = {b for _, _, b, _ in target_rows}
+    w = Window.partitionBy("__bkt").orderBy("v")
+    picked = (
+        bucketed.where(F.col("__bkt").isin(*sorted(needed)) if needed
+                       else F.lit(False))
+        .withColumn("__rn", F.row_number().over(w).cast("long"))
+        .join(
+            F.broadcast(targets),
+            (F.col("__bkt") == F.col("__tbkt"))
+            & (F.col("__rn") == F.col("__trr")),
+        )
+    )
+    return picked.select("prob", "rank_idx", F.col("v").alias("value"))
