@@ -52,8 +52,10 @@ def main() -> None:
     qs = entry.queries()
 
     def materialize(df):
-        name_cols = [F.xxhash64(c) for c in df.columns]
-        return df.select(F.sum(sum(name_cols[1:], name_cols[0]))).collect()
+        # bit_xor of a row hash over every column: forces full
+        # materialization, never overflows under ANSI
+        h = F.xxhash64(*[F.col(c) for c in df.columns])
+        return df.select(h.alias("h")).agg(F.expr("bit_xor(h)")).collect()
 
     def run(name, d):
         df = qs[name](spark, d)
