@@ -5146,6 +5146,30 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED exact quantiles by distributed selection (the per-cohort
+    percentile report): lineitem extended price (cents) per return
+    flag. Same machinery as exact_quantiles with the count collect at
+    groups × buckets (the distributed_row_number offsets shape); only
+    the (group, bucket) pairs holding a target rank pay a sort,
+    semi-join-pruned before the window
+    (operators/stats.py::exact_quantiles, partition_by)."""
+    from zipkin_dependencies_spark.operators.stats import exact_quantiles
+    from zipkin_dependencies_spark.testdata import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    return exact_quantiles(
+        li, "price_cents",
+        probs=(0.1, 0.5, 0.9, 0.99),
+        partition_by=("l_returnflag",),
+    )
+
+
 def q_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax epoch-capped mixture allocation (Chung et al. 2023 — the
     waterfilling budget split a multilingual pretraining mix runs):
@@ -5412,8 +5436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_plan": q_unimax_plan,
         # r10.5: the ExactSubstr removal stage (completes Lee et al.)
         "exact_substr_cut": q_exact_substr_cut,
-        # r10.5: exact quantiles by distributed selection
+        # r10.5: exact quantiles by distributed selection (+ grouped)
         "exact_quantiles": q_exact_quantiles,
+        "group_quantiles": q_group_quantiles,
         # re-gate: canonicalize_url + registered_domain semantics changed
         # (PSL snapshot, tracker-param-only query strip, whitespace
         # strip) — the r09 row does not carry per the touched rule
@@ -7124,6 +7149,28 @@ t AS (
 )
 SELECT t.prob, t.rank_idx, r.val AS value
 FROM t JOIN r ON r.i = t.rank_idx
+""",
+        # Grouped exact-quantile twin: per-group single-partition
+        # row_number (the oracle's prerogative), same type-1 rank rule.
+        "group_quantiles": """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS val
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+n AS (SELECT l_returnflag, count(*) AS c FROM v GROUP BY 1),
+r AS (SELECT l_returnflag, val,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY val) AS i
+      FROM v),
+t AS (
+  SELECT n.l_returnflag, CAST(p.p AS DOUBLE) AS prob,
+         least(n.c, CAST(floor(CAST(p.p AS DOUBLE) * n.c) AS BIGINT) + 1)
+           AS rank_idx
+  FROM n, (VALUES (0.1), (0.5), (0.9), (0.99)) AS p(p)
+)
+SELECT t.l_returnflag, t.prob, t.rank_idx, r.val AS value
+FROM t JOIN r ON r.l_returnflag = t.l_returnflag AND r.i = t.rank_idx
 """,
         # UniMax twin: identical closed-form waterfilling — capped
         # sources form a prefix of the size-sorted order, boundary k =

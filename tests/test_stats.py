@@ -201,3 +201,37 @@ def test_exact_quantiles_randomized_vs_sorted_reference(spark):
     out = exact_quantiles(empty, "x", probs=probs)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["prob", "rank_idx", "value"]
+
+
+def test_exact_quantiles_grouped_vs_sorted_reference(spark):
+    """partition_by: per-group selection == per-group sort-and-index,
+    groups of wildly different sizes (incl. a 1-row group and a group
+    whose values are all NULL -> emits nothing)."""
+    import math
+    import random
+
+    from zipkin_dependencies_spark.operators.stats import exact_quantiles
+
+    rng = random.Random(61)
+    rows = []
+    groups = {"a": 400, "b": 37, "c": 1}
+    for g, size in groups.items():
+        for _ in range(size):
+            rows.append((g, rng.randint(0, 50)))
+    rows += [("nulls", None)] * 5
+    df = spark.createDataFrame(rows, "g string, x long")
+    probs = (0.1, 0.5, 0.9, 0.99)
+    got = {
+        (r.g, r.prob): (r.rank_idx, r.value)
+        for r in exact_quantiles(
+            df, "x", probs=probs, partition_by=("g",)
+        ).collect()
+    }
+    want = {}
+    for g, size in groups.items():
+        s = sorted(x for gg, x in rows if gg == g and x is not None)
+        n = len(s)
+        for p in probs:
+            ri = min(n, math.floor(p * n) + 1)
+            want[(g, float(p))] = (ri, s[ri - 1])
+    assert got == want

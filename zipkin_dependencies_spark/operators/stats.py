@@ -146,30 +146,34 @@ def exact_quantiles(
     value_col: str,
     probs: tuple[float, ...] = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999),
     n_buckets: int = 64,
+    partition_by: tuple[str, ...] = (),
 ) -> DataFrame:
     """EXACT quantiles of ``value_col`` by distributed selection — the
     percentile report a pipeline wants precise (SLA cutoffs, length
     caps) where ``percentile_approx`` gives an approximation with no
-    error contract. → (prob, rank_idx, value), one row per requested
-    probability; type-1 (lower) quantile semantics pinned identically
-    on both engines: rank = min(n, floor(p·n) + 1) over the non-null
-    values ascending.
+    error contract. → (*partition_by, prob, rank_idx, value), one row
+    per requested probability (per group when ``partition_by`` is
+    given); type-1 (lower) quantile semantics pinned identically on
+    both engines: rank = min(n, floor(p·n) + 1) over the group's
+    non-null values ascending.
 
     The textbook exact formulation (global sort, pick indexes) is a
     single-partition sort at 100 TB. Distributed selection instead:
-    approxQuantile splits bucket the values (splits only LOAD-BALANCE —
-    whatever the splits, ranks stay exact), one map-side-combined count
-    per bucket collects to the driver (n_buckets rows — a size the
-    caller chose), the driver pinpoints which bucket holds each target
-    rank and its within-bucket offset, and ONLY those buckets (≤
-    len(probs) of them) pay a sort — every other bucket is touched by
-    nothing but the count scan. Ties need no tiebreak: any permutation
-    of equal values has the same value at every rank, so the output is
-    deterministic even though the within-bucket order of duplicates is
-    not. NULLs are excluded (quantiles of the observed distribution).
+    approxQuantile splits bucket the values (GLOBAL splits even under
+    grouping — they only LOAD-BALANCE; whatever the splits, ranks stay
+    exact), one map-side-combined count per (group, bucket) collects to
+    the driver (groups × n_buckets rows — the `distributed_row_number`
+    offsets-collect shape: a size the caller chose), the driver
+    pinpoints which bucket holds each target rank and its within-bucket
+    offset, and ONLY those buckets (≤ groups × len(probs) of them) pay
+    a sort — every other bucket is touched by nothing but the count
+    scan (a broadcast semi-join prunes them before the window). Ties
+    need no tiebreak: any permutation of equal values has the same
+    value at every rank, so the output is deterministic even though the
+    within-bucket order of duplicates is not. NULLs are excluded
+    (quantiles of the observed distribution); a group with no non-null
+    values emits no rows.
 
-    The bucket-locate step mirrors `distributed_row_number`'s offsets
-    collect; the final join broadcasts a ≤len(probs)-row target table.
     Reference parity: no statistics operators in the reference
     (SURVEY §2); extension surface. Oracle: the naive row_number twin
     in the registered SQL (single-partition there — DuckDB's problem,
@@ -178,50 +182,97 @@ def exact_quantiles(
 
     from pyspark.sql import Window
 
-    vals = df.select(F.col(value_col).alias("v")).where(
-        F.col("v").isNotNull()
-    )
+    pcols = list(partition_by)
+    vals = df.select(
+        *[F.col(c) for c in pcols], F.col(value_col).alias("v")
+    ).where(F.col("v").isNotNull())
     qs = [i / n_buckets for i in range(1, n_buckets)]
     splits = sorted(set(vals.stat.approxQuantile("v", qs, 0.01)))
+    # chained-add bucketing is codegen-friendly IN AN AGGREGATE (the
+    # counts job below measured ~4 s at sf1); it must NOT appear under
+    # a join key — the null-filter pushdown duplicates the whole
+    # n_buckets-deep tree and drops it out of codegen (measured 50 s).
+    # The selection job therefore avoids per-row bucketing entirely:
+    # see the value-range CASE below.
     bucket = F.lit(0)
     for s in splits:
         bucket = bucket + (F.col("v") > F.lit(s)).cast("int")
     bucketed = vals.withColumn("__bkt", bucket)
-    counts = sorted(
-        (r["__bkt"], r["c"])
-        for r in bucketed.groupBy("__bkt")
+    counts = (
+        bucketed.groupBy(*pcols, "__bkt")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     )
-    n = sum(c for _, c in counts)
+    by_group: dict[tuple, list] = {}
+    for r in counts:
+        by_group.setdefault(tuple(r[c] for c in pcols), []).append(
+            (r["__bkt"], r["c"])
+        )
     spark = df.sparkSession
     target_rows = []
-    if n:
+    for g, lst in by_group.items():
         prefix = {}
         acc = 0
-        for bkt, c in counts:
+        for bkt, c in sorted(lst):
             prefix[bkt] = acc
             acc += c
+        n = acc
         for p in probs:
             r = min(n, math.floor(float(p) * n) + 1)
             # last bucket whose exclusive prefix is < r holds rank r
             bkt = max(b for b, off in prefix.items() if off < r)
             target_rows.append(
-                (float(p), int(r), int(bkt), int(r - prefix[bkt]))
+                (*g, float(p), int(r), int(bkt), int(r - prefix[bkt]))
             )
-    targets = spark.createDataFrame(
-        target_rows, "prob double, rank_idx long, __tbkt int, __trr long"
-    )
-    needed = {b for _, _, b, _ in target_rows}
-    w = Window.partitionBy("__bkt").orderBy("v")
-    picked = (
-        bucketed.where(F.col("__bkt").isin(*sorted(needed)) if needed
-                       else F.lit(False))
-        .withColumn("__rn", F.row_number().over(w).cast("long"))
-        .join(
-            F.broadcast(targets),
-            (F.col("__bkt") == F.col("__tbkt"))
-            & (F.col("__rn") == F.col("__trr")),
+    t_schema = bucketed.select(
+        *pcols,
+        F.lit(0.0).alias("prob"),
+        F.lit(0).cast("long").alias("rank_idx"),
+        F.col("__bkt").alias("__tbkt"),
+        F.lit(0).cast("long").alias("__trr"),
+    ).schema
+    targets = spark.createDataFrame(target_rows, schema=t_schema)
+    # The selection job never computes the full bucket id per row: the
+    # driver KNOWS each needed bucket's value range from the splits, so
+    # the scan filters on ≤ len(probs) range predicates (tiny codegen
+    # CASE, single evaluation of v — and nothing for the join-key
+    # null-filter pushdown to blow up) and tags the matching bucket id.
+    # A row whose value falls in a bucket only some OTHER group needs
+    # still passes (value pruning is global) — it forms its own window
+    # partition and the final targets join drops it; the extra sorted
+    # volume is bounded by groups × len(probs) buckets.
+    needed = sorted({t[-2] for t in target_rows})
+    bkt_tag = None
+    in_any = None
+    for b in needed:
+        lo = splits[b - 1] if b > 0 else None
+        hi = splits[b] if b < len(splits) else None
+        cond = F.lit(True)
+        if lo is not None:
+            cond = F.col("v") > F.lit(float(lo))
+        if hi is not None:
+            cond = cond & (F.col("v") <= F.lit(float(hi)))
+        in_any = cond if in_any is None else (in_any | cond)
+        bkt_tag = (
+            F.when(cond, F.lit(b))
+            if bkt_tag is None
+            else bkt_tag.when(cond, F.lit(b))
         )
+    if in_any is None:  # no targets (empty input)
+        in_any, bkt_tag = F.lit(False), F.lit(0)
+    pruned = vals.where(in_any).withColumn("__bkt", bkt_tag.cast("int"))
+    w = Window.partitionBy(*pcols, "__bkt").orderBy("v")
+    ranked = pruned.withColumn("__rn", F.row_number().over(w).cast("long"))
+    cond = [
+        ranked[c].eqNullSafe(targets[c]) for c in pcols
+    ] + [
+        ranked["__bkt"] == targets["__tbkt"],
+        ranked["__rn"] == targets["__trr"],
+    ]
+    picked = ranked.join(F.broadcast(targets), cond)
+    return picked.select(
+        *[targets[c] for c in pcols],
+        targets["prob"],
+        targets["rank_idx"],
+        ranked["v"].alias("value"),
     )
-    return picked.select("prob", "rank_idx", F.col("v").alias("value"))
