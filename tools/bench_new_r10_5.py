@@ -24,14 +24,19 @@ DIRS = sys.argv[1:] or [
 QUERIES = [
     "unimax_plan",
     "exact_quantiles",
+    "group_quantiles",
     "url_domain_dedup",
     "url_token_cap_carryover",
     "exact_substr_cut",
     "simhash_permuted",
     "bpe_byte_roundtrip",
 ]
-#: queries measured with the full-column checksum instead of count()
-FORCE_MATERIALIZE = {"exact_substr_cut", "bpe_byte_roundtrip"}
+#: queries measured with the full-column checksum instead of count().
+#: bpe_byte_roundtrip is NOT in the set: its forced form (74.5 s at
+#: sf0.1 — the decode/roundtrip columns count() prunes) would run for
+#: an hour per sf10 rep; tiers use count() like its ledger number, and
+#: SCALING.md quotes the sf0.1 forced point alongside.
+FORCE_MATERIALIZE = {"exact_substr_cut"}
 
 
 def steal_ticks() -> int:
