@@ -546,26 +546,35 @@ def test_prefix_filter_candidate_aggregate_is_hash_not_sort(spark):
     join output — the single widest stage in the plan (91M rows at
     sf0.1). Packing (rn_a, rn_b) into one bigint keeps it a
     HashAggregate with a map-side partial; a max(struct) would force
-    SortAggregate + a full Sort of that stage. Also pins: the index
-    side carries BOTH prefix ceilings (probe t·n and index 2t/(1+t)·n)
-    and the positional filter survives optimization (least(...) >= CEIL
-    above the aggregate)."""
+    SortAggregate + a full Sort of that stage. Also pins (r10 shape):
+    the probe-prefix frame is MATERIALIZED once (localCheckpoint — its
+    t·n ceiling runs at checkpoint build, so both join sides read
+    `Scan ExistingRDD` instead of re-running the explode → frequency →
+    window pipeline per side), the index side re-filters it with the
+    tighter 2t/(1+t)·n ceiling, and the positional filter survives
+    optimization (least(...) >= CEIL above the aggregate)."""
     from zipkin_dependencies_spark.llm.dedup import prefix_filter_pairs
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = formatted(prefix_filter_pairs(docs, k=3, threshold=0.6))
     assert "SortAggregate" not in plan
     assert plan.count("partial_max") >= 1  # map-side combine on the pair agg
-    # both prefix bounds reach one side's Filter (index ⊆ probe, fused)
+    # the candidate self-join reads the materialized probe frame on both
+    # sides — no duplicated upstream pipeline in the candidate plan (the
+    # scans/windows ran once, at checkpoint build)
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "Scan parquet" not in plan
+    assert "Window" not in plan
+    # index ⊆ probe: the index side's re-filter applies its own ceiling
     import re
 
-    fused = [
+    refilter = [
         b for b in plan.split("\n\n")
         if b.lstrip().startswith("(")
         and "Filter" in b.split("\n")[0]
-        and b.count("CEIL(round(") >= 2
+        and b.count("CEIL(round(") >= 1
     ]
-    assert fused, "index-side filter with both prefix ceilings not found"
+    assert refilter, "index-side prefix-ceiling re-filter not found"
     # positional filter: m + least(suffixes) >= alpha
     assert re.search(r"least\(.*\)\s*.*>=\s*CEIL", plan) or "least" in plan
 

@@ -57,6 +57,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..memo import register_memo
 from .text import tokens
 
 #: End-of-word marker appended to every word's symbol sequence (classic
@@ -110,7 +111,14 @@ def _apply_merge(syms: Column, a: str, b: str) -> Column:
 
     F.get (0-based, null-safe) keeps the empty-accumulator probe legal
     under ANSI mode: get([], -1) is NULL, NULL == a is NULL, and the
-    WHEN condition treats NULL as false — no size() guard needed."""
+    WHEN condition treats NULL as false — no size() guard needed.
+
+    r10 note: the QUERY paths no longer evaluate this fold — they run
+    the provably-equivalent string form (`_apply_merge_str`, below),
+    whose expression tree is ~50× smaller. The fold stays as the
+    executable statement of the semantics and the randomized-test
+    anchor (tests/test_bpe.py pins fold == string form == sequential
+    reference)."""
     merged = a + b
     return F.aggregate(
         syms,
@@ -121,6 +129,46 @@ def _apply_merge(syms: Column, a: str, b: str) -> Column:
                 F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
             ),
         ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+#: delimiter for the string-form merge engine. Symbols can never contain
+#: it: the operator's domain excludes \x01/\x02-bearing tokens on both
+#: engines (see `bpe_train`), base symbols are single chars / hex pairs,
+#: and merged symbols only concatenate existing ones.
+_D = "\x01"
+
+
+def _wrap_syms(syms: Column) -> Column:
+    """Symbol array → delimited string: every symbol individually wrapped
+    (``␟a␟␟b␟…``). The DOUBLE delimiter between symbols is load-bearing:
+    it gives each merge-pattern occurrence its own leading/trailing
+    delimiter, so one ``replace`` never consumes the boundary the next
+    occurrence needs (``[a,b,a,b]`` with rule (a,b) must merge twice)."""
+    return F.concat(F.lit(_D), F.array_join(syms, _D + _D), F.lit(_D))
+
+
+def _unwrap_syms(s: Column) -> Column:
+    """Inverse of `_wrap_syms` (arrays are never empty: EOW is always
+    appended)."""
+    return F.split(F.substring(s, 2, F.length(s) - 2), _D + _D)
+
+
+def _apply_merge_str(s: Column, a: str, b: str) -> Column:
+    """`_apply_merge` on the wrapped-string form: ONE codegen'd
+    ``replace`` per merge instead of a per-element array fold.
+
+    Equivalence: ``replace`` substitutes occurrences left-to-right and
+    resumes scanning AFTER each replacement — exactly the fold's
+    invariant (a freshly merged ``ab`` cannot re-match as the left side
+    of the same rule in the same pass; the next symbol after it starts a
+    new candidate, and its own wrap delimiters are intact thanks to the
+    double-delimiter layout). Pinned against the fold and the
+    sequential reference by tests/test_bpe.py."""
+    return F.replace(
+        s,
+        F.lit(f"{_D}{a}{_D}{_D}{b}{_D}"),
+        F.lit(f"{_D}{a + b}{_D}"),
     )
 
 
@@ -194,24 +242,42 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("wc"))
     )
+    # the vocab persists in WRAPPED-STRING form (r10 optimization): each
+    # round then chains one `replace` per pending merge — a constant-size
+    # expression node — where the array-fold form chained per-element
+    # aggregate lambdas whose construction + analysis cost grew with the
+    # round number (measured: the 8-round loop's driver-side plan work
+    # dominated its execution at sf0.1)
     base0 = words.select(
         "wc",
-        F.concat(
-            _pretok_syms("w", pretokenizer), F.array(F.lit(EOW))
-        ).alias("syms"),
+        _wrap_syms(
+            F.concat(_pretok_syms("w", pretokenizer), F.array(F.lit(EOW)))
+        ).alias("s"),
     ).persist()
     base = base0
 
     merges: list[tuple[int, str, str, str, int]] = []
-    # merges applied since `base` last materialized — chained as fold
+    # merges applied since `base` last materialized — chained as replace
     # expressions each round; cleared when the vocab re-materializes
     applied: list[tuple[str, str]] = []
+    # AQE off for the round loop (restored in the finally): every round's
+    # shuffle carries the PAIR DOMAIN — bounded by the symbol inventory
+    # squared at any corpus scale — so runtime re-planning has nothing to
+    # coalesce or re-join, and its extra per-exchange job materially
+    # slows a loop that runs n_merges driver-synced micro-queries
+    # (measured at sf0.1: ~2.5 jobs/round → 1). Scale-neutral: the
+    # corpus-scale word count runs BEFORE the loop (under the session's
+    # normal AQE — the count() below materializes the persist eagerly),
+    # and the loop's map side reads the persisted vocab.
+    base0.count()
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for rank in range(1, n_merges + 1):
-            syms = F.col("syms")
+            s = F.col("s")
             for a, b in applied:
-                syms = _apply_merge(syms, a, b)
-            cur = base.select("wc", syms.alias("syms"))
+                s = _apply_merge_str(s, a, b)
+            cur = base.select("wc", _unwrap_syms(s).alias("syms"))
             pairs = pair_counts(cur)
             best = (
                 pairs.orderBy(
@@ -234,20 +300,61 @@ def bpe_train(
             )
             applied.append((r.left_sym, r.right_sym))
             if rematerialize_every and len(applied) >= rematerialize_every:
-                syms = F.col("syms")
+                s = F.col("s")
                 for a, b in applied:
-                    syms = _apply_merge(syms, a, b)
+                    s = _apply_merge_str(s, a, b)
                 base = base.select(
-                    "wc", syms.alias("syms")
+                    "wc", s.alias("s")
                 ).localCheckpoint(eager=True)
                 applied = []
                 # the checkpoint supersedes the initial persist — free it
                 # now (idempotent; the finally is the no-checkpoint path)
                 base0.unpersist()
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         # the one explicit persist; checkpointed frames free with GC
         base0.unpersist()
     return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+#: same-session reuse of a COLLECTED merge table (driver rows — n_merges
+#: by construction). bpe_train / bpe_encode / bpe_roundtrip all replay
+#: the same 8-round training loop over the same corpus; the
+#: multi-consumer-subtree rule (memo.py) applies exactly as for the path
+#: table: first consumer pays, same-pass consumers reuse, bench passes
+#: clear it. Keyed by (caller memo key, n_merges, text col, pretokenizer).
+_MERGES_MEMO: dict = register_memo({})
+
+
+def learned_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    pretokenizer: str = "char",
+    memo_key: str | None = None,
+) -> list[tuple[int, str, str, str, int]]:
+    """`bpe_train` collected to driver rows, rank-ascending →
+    [(merge_rank, left_sym, right_sym, merged, pair_count)]. Opt-in
+    memoized under ``memo_key`` (callers must key by corpus snapshot +
+    any input transform — see __spark_entry__._memo_key)."""
+    key = None
+    if memo_key is not None:
+        key = (memo_key, n_merges, text_col, pretokenizer)
+        hit = _MERGES_MEMO.get(key)
+        if hit is not None:
+            return hit
+    rows = sorted(
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_train(
+            docs,
+            n_merges=n_merges,
+            text_col=text_col,
+            pretokenizer=pretokenizer,
+        ).collect()
+    )
+    if key is not None:
+        _MERGES_MEMO[key] = rows
+    return rows
 
 
 def apply_merges(
@@ -260,23 +367,27 @@ def apply_merges(
 
     The merge table is driver state by construction (n_merges rows), so
     the merges arrive as plain Python pairs and each becomes one
-    `_apply_merge` fold — exact greedy semantics per merge, applied in
-    training order (the BPE encode contract: encoding replays the merge
-    history). Every ``rematerialize_every`` folds the frame materializes
-    (eager localCheckpoint), bounding expression/lineage depth at R for
+    `_apply_merge_str` replace on the wrapped-string form (exact greedy
+    semantics per merge — see `_apply_merge_str`), applied in training
+    order (the BPE encode contract: encoding replays the merge history).
+    Every ``rematerialize_every`` merges the frame materializes (eager
+    localCheckpoint), bounding expression/lineage depth at R for
     arbitrarily long merge lists — the same flat-per-round shape as
-    training."""
+    training. Input and output stay symbol ARRAYS; the string form is
+    internal."""
     out = vocab
-    col: Column = F.col(syms_col)
+    col: Column = _wrap_syms(F.col(syms_col))
     pending = 0
     for a, b in merges:
-        col = _apply_merge(col, a, b)
+        col = _apply_merge_str(col, a, b)
         pending += 1
         if rematerialize_every and pending >= rematerialize_every:
             out = out.withColumn(syms_col, col).localCheckpoint(eager=True)
+            # the checkpointed column holds the wrapped STRING form;
+            # chain further replaces directly on it
             col = F.col(syms_col)
             pending = 0
-    return out.withColumn(syms_col, col)
+    return out.withColumn(syms_col, _unwrap_syms(col))
 
 
 def bpe_symbol_table(
@@ -301,62 +412,60 @@ def bpe_symbol_table(
     encode∘decode identity flag goes false on such corpora — the
     documented domain edge, same spirit as the \\x01/\\x02 exclusion).
 
-    The id RANK is assigned by the two-phase distributed row_number
-    (never a single-partition window, even on this alphabet-bounded
-    table — plan uniformity): numeric range value = tier·2³² +
-    (codepoint | rank), tiebreak = sym. For single characters codepoint
-    order equals binary UTF-8 order, which is what the DuckDB twin's
-    ORDER BY (tier, rank, sym) produces — cross-engine identical ids.
+    The id RANK is assigned by sorting on (tier, codepoint | rank, sym)
+    — for single characters codepoint order equals binary UTF-8 order,
+    which is what the DuckDB twin's ORDER BY (tier, rank, sym) produces
+    — cross-engine identical ids.
 
     ``pretokenizer="byte"`` switches to the GPT-2 byte-level layout:
     tier 0 is ALL 256 byte symbols (uppercase hex pairs, byte order —
     reserved up front whether observed or not, which is the byte-level
     point: any future text encodes with NO out-of-vocabulary base
     symbol), then EOW, then merges in training order; the numeric tier-0
-    value is the byte value (conv base 16), and fixed-width uppercase
-    hex makes the twin's lexicographic ORDER BY sym equal byte order."""
+    value is the byte value, and fixed-width uppercase
+    hex makes the twin's lexicographic ORDER BY sym equal byte order.
+
+    r10 optimization: id assignment is DRIVER-side. The table is bounded
+    by construction — 256 byte symbols (byte mode) or the observed
+    single-character ALPHABET (char mode), plus EOW, plus the n_merges
+    driver rows — so ranking it through the two-phase distributed
+    row_number spent several Spark jobs ordering a few hundred rows
+    (measured: 4.2 s of the 10.6 s byte round-trip at sf0.1 was this
+    table build). Char mode keeps ONE tiny job (the distinct-alphabet
+    collect over the vocab — the same bounded-collect class as the
+    merge table itself); byte mode launches no job at all. Sort key and
+    ids are IDENTICAL to the distributed form's; the oracle twin
+    recomputes them independently, so the gate pins the equivalence."""
     spark = words.sparkSession
-    seen = {EOW}
-    mrg_rows = []
-    for rank, (a, b) in enumerate(merges, start=1):
-        m = a + b
-        if m not in seen:
-            seen.add(m)
-            mrg_rows.append((m, 2, rank))
-    extra = spark.createDataFrame(
-        [(EOW, 1, 0)] + mrg_rows, "sym string, tier int, rnk long"
-    )
+    rows: list[tuple[str, int, int]] = []  # (sym, tier, value-or-rank)
     if pretokenizer == "byte":
         # all 256 byte symbols reserved up front (GPT-2 layout — the
         # no-OOV property); 256 rows, driver-side by construction
-        base = spark.range(256).select(
-            F.lpad(F.hex("id"), 2, "0").alias("sym"),
-            F.lit(0).alias("tier"),
-            F.lit(0).cast("long").alias("rnk"),
-        )
-        base_val = F.conv("sym", 16, 10).cast("long")
+        rows.extend((f"{i:02X}", 0, i) for i in range(256))
     else:
-        base = (
+        # observed base-symbol alphabet: distinct single characters,
+        # bounded by the character inventory. ord() is the exact driver
+        # twin of the previous plan's ascii() range value.
+        alpha = (
             words.select(
                 F.explode(_pretok_syms(word_col, pretokenizer)).alias("sym")
             )
             .distinct()
-            .select(
-                "sym", F.lit(0).alias("tier"), F.lit(0).cast("long").alias("rnk")
-            )
+            .collect()
         )
-        base_val = F.ascii("sym").cast("long")
-    keyed = base.unionByName(extra).withColumn(
-        "v",
-        F.col("tier").cast("long") * F.lit(1 << 32)
-        + F.when(F.col("tier") == 0, base_val).otherwise(F.col("rnk")),
+        rows.extend((r.sym, 0, ord(r.sym[0])) for r in alpha)
+    rows.append((EOW, 1, 0))
+    seen = {EOW}
+    for rank, (a, b) in enumerate(merges, start=1):
+        m = a + b
+        if m not in seen:
+            seen.add(m)
+            rows.append((m, 2, rank))
+    rows.sort(key=lambda r: (r[1], r[2], r[0]))
+    return spark.createDataFrame(
+        [(sym, i) for i, (sym, _, _) in enumerate(rows, start=1)],
+        "sym string, sym_id long",
     )
-    from ..operators.rank import distributed_row_number
-
-    return distributed_row_number(
-        keyed, partition_by=[], value_col="v", tiebreak_cols=["sym"],
-        out_col="sym_id",
-    ).select("sym", F.col("sym_id").cast("long").alias("sym_id"))
 
 
 def bpe_encode_ids(
