@@ -48,6 +48,11 @@ from ..memo import register_memo
 
 _COMPONENT_MEMO: dict[tuple, DataFrame] = register_memo({})
 
+#: target rows per partition for the CC loop's data-derived width (16-byte
+#: (long, long) edge rows → ~4 MB partitions, the same order as AQE's
+#: 64 MB advisory against the loop's much higher per-partition fixed cost)
+_CC_ROWS_PER_PARTITION = 250_000
+
 
 def clear_component_memo() -> None:
     """Drop all memoized component tables (see memo.clear_all_memos for
@@ -65,50 +70,108 @@ def connected_components(
 
     Deterministic: labels are ids, min is order-free. Raises if the loop
     hasn't converged after ``max_iterations`` (a dup graph needing more is a
-    sign the candidate generator is broken, not a reason to loop forever)."""
-    # both edge directions from ONE evaluation of `pairs` (explode, not
-    # union-of-self): the pair source is often an expensive pipeline
-    # (LSH candidates + verify), and a self-union would run it twice
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
-                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sign the candidate generator is broken, not a reason to loop forever).
 
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "component", F.col("id")
+    r10 loop shape (guide §2.4): ONE exchange per iteration instead of
+    three, and no per-round sorts. The pair pipeline materializes once
+    under the session's normal AQE; then, with AQE off for the loop
+    (checkpoints under AQE report UnknownPartitioning — the
+    AdaptiveSparkPlanExec wrapper hides the final plan's partitioning —
+    so the co-partitioning below only composes with AQE disabled, and
+    the label/edge tables are node/edge-cardinality with a fixed width,
+    leaving AQE nothing to re-plan), edges are hash-partitioned by
+    ``dst`` and range-sorted once, labels come out of their distinct
+    already hash(id)-partitioned, and every round's two joins are
+    co-partitioned zip-merges: eager localCheckpoint preserves both
+    outputPartitioning and outputOrdering, the SMJ emits its output
+    sorted by the join key, so the only exchange (and only sort) left
+    in a round is the neighbor-min aggregate's dst→src re-key — the one
+    shuffle an iteration fundamentally needs. Lineage still truncates
+    every round (the checkpoint), so planning cost stays flat."""
+    spark = pairs.sparkSession
+    # ONE evaluation of `pairs` (often an expensive LSH/verify pipeline),
+    # under the session's normal AQE, before the loop's AQE flip
+    pairs_m = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).localCheckpoint(eager=True)
-
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy(edges.src.alias("id"))
-            .agg(F.min("component").alias("neighbor_component"))
-        )
-        updated = (
-            labels.join(neighbor_min, "id", "left_outer")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("neighbor_component"), F.col("component")),
-                ).alias("component"),
-                (F.col("neighbor_component") < F.col("component")).alias("_changed"),
+    # loop width is DATA-DERIVED (guide §2: derive partitioning from
+    # input size, not a constant): AQE is off inside the loop, so this
+    # does by hand what AQE's byte-sized coalescing would — a fixture
+    # graph runs 1-wide (per-task overhead regime), a 100 TB graph runs
+    # at the deployment's configured shuffle width (the cap). The width
+    # is fixed for the WHOLE loop so every round's joins stay
+    # co-partitioned.
+    max_w = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_edges = 2 * pairs_m.count()
+    n_part = max(2, min(max_w, -(-n_edges // _CC_ROWS_PER_PARTITION)))  # floor 2: a SinglePartition checkpoint defeats co-partition reuse
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # every loop exchange (the labels distinct, the per-round neighbor-min
+    # re-key) must come out at the SAME width as the edge table for the
+    # co-partitioned joins to hold
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    try:
+        edges = (
+            pairs_m.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("src"), F.col("dst")),
+                        F.struct(
+                            F.col("dst").alias("src"),
+                            F.col("src").alias("dst"),
+                        ),
+                    )
+                ).alias("e")
             )
+            .select("e.src", "e.dst")
+            .distinct()
+            .repartition(n_part, "dst")
+            .sortWithinPartitions("dst")
             .localCheckpoint(eager=True)
         )
-        changed = updated.filter(F.col("_changed")).limit(1).count()
-        labels = updated.drop("_changed")
-        if changed == 0:
-            return labels
+        # the component alias is added ABOVE the checkpoint: a checkpoint
+        # of a frame where component aliases id records its partitioning
+        # under `component` (the alias-aware rewrite stores one
+        # attribute), and the round joins on `id` would then re-shuffle;
+        # the live Project carries both forms
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .repartition(n_part, "id")
+            .sortWithinPartitions("id")
+            .localCheckpoint(eager=True)
+            .withColumn("component", F.col("id"))
+        )
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy(edges.src.alias("id"))
+                .agg(F.min("component").alias("neighbor_component"))
+            )
+            updated = (
+                labels.join(neighbor_min, "id", "left_outer")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(
+                            F.col("neighbor_component"), F.col("component")
+                        ),
+                    ).alias("component"),
+                    (
+                        F.col("neighbor_component") < F.col("component")
+                    ).alias("_changed"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = updated.filter(F.col("_changed")).limit(1).count()
+            labels = updated.drop("_changed")
+            if changed == 0:
+                return labels
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )
