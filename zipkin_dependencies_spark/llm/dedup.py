@@ -872,8 +872,14 @@ def embedding_near_dup_lsh(
     if n_planes is None:
         n_planes = auto_planes(embeddings.count(), target_occupancy)
 
-    e = _with_norm(embeddings, id_col, vec_col).withColumn(
-        "sig", hyperplane_signature("vec", n_planes, dim)
+    # materialize-once (r10, guide §2.4): the signature frame feeds BOTH
+    # sides of the candidate self-join below, and Catalyst shares no
+    # subtree across join sides — without the checkpoint the corpus scan
+    # + norm fold + n_planes×dim hyperplane fold execute twice
+    e = (
+        _with_norm(embeddings, id_col, vec_col)
+        .withColumn("sig", hyperplane_signature("vec", n_planes, dim))
+        .localCheckpoint(eager=True)
     )
     probes = F.array(
         F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]

@@ -76,11 +76,16 @@ def curate_v2(
     # times, and project-collapse would re-run the regexes per reference
     # (measured 37 s vs 1.6 s at sf0.1 — see scrub_mapped's docstring)
     cleaned = scrub_mapped(docs, text_col=text_col, id_col=id_col, out_col="_clean")
+    # materialize-once (r10, guide §2.4): the gated survivor frame feeds
+    # TWO join sides below (the contamination probe and the anti-join) and
+    # scrub_mapped is only an INLINING barrier, not a materialization —
+    # without the checkpoint the Python scrub pass + all three gate
+    # expressions execute twice over the corpus
     gated = cleaned.filter(
         (quality_score("_clean") >= min_quality)
         & (language_id("_clean") == lang)
         & (dup_ngram_frac("_clean", 3) <= max_dup_3gram)
-    )
+    ).localCheckpoint(eager=True)
     bench_clean = scrub_mapped(
         benchmark, text_col=text_col, id_col=id_col, out_col="_clean"
     )
@@ -164,9 +169,10 @@ def curate_v3(
         th["min_alpha_word_frac"],
         th["min_stop_hits"],
     )["keep"]
+    # materialize-once — same two-join-side shape as curate_v2 above
     gated = cleaned.filter(
         F.coalesce(keep, F.lit(False)) & (language_id("_clean") == lang)
-    )
+    ).localCheckpoint(eager=True)
     bench_clean = scrub_mapped(
         benchmark, text_col=text_col, id_col=id_col, out_col="_clean"
     )

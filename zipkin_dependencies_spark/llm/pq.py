@@ -117,7 +117,14 @@ def pq_topk(
         n = emb.count()
         stride = max(1, (n + n_codes - 1) // n_codes)
     normed = _normalized(emb, id_col, vec_col)
-    cb = pq_codebook(normed, n_sub, subdim, stride)
+    # materialize-once (r10, guide §2.4): the codebook is referenced three
+    # times (the size guard count, the encode's broadcast side, the ADC
+    # LUT join) and each lazy reference re-runs its corpus scan + sampling
+    # window — the checkpoint is ~n_codes×n_sub rows, the saved work is
+    # two full corpus scans
+    cb = pq_codebook(normed, n_sub, subdim, stride).localCheckpoint(
+        eager=True
+    )
     k_actual = cb.count() // n_sub
     if k_actual > MAX_CENTROIDS:
         raise ValueError(

@@ -346,14 +346,26 @@ def kcore(
 
     Every round is one map-side-combined degree aggregate plus two
     semi-joins at EDGE cardinality (the node set never re-touches the
-    source data), with the same convergence-probe/fail-loud discipline
-    as service_components: counting on the already-materialized frame,
-    and a RuntimeError rather than silently returning a half-peeled
-    graph when max_rounds is exhausted. Rounds needed = number of
-    cascade waves, ≤ peeled-vertex count, in practice a handful.
-    Deterministic: the peel set per round is a pure function of the
-    graph, so the fixpoint (unlike iteration traces) is engine-exact —
-    the DuckDB twin unrolls the same peeling."""
+    source data), with the same fail-loud discipline as
+    service_components: a RuntimeError rather than silently returning a
+    half-peeled graph when max_rounds is exhausted. Rounds needed =
+    number of cascade waves, ≤ peeled-vertex count, in practice a
+    handful. Deterministic: the peel set per round is a pure function of
+    the graph, so the fixpoint (unlike iteration traces) is engine-exact
+    — the DuckDB twin unrolls the same peeling.
+
+    r10 loop-cost shape (guide §1.2/§2.4 — the cascade runs a
+    driver-synced round per wave, so per-round fixed cost multiplies by
+    wave count at any scale): TWO jobs per round instead of four. The
+    keep set is NOT separately materialized — it inlines twice into the
+    peeled frame's plan (two map-side degree aggregates over the
+    checkpointed edges, cheaper than an extra materialization barrier) —
+    and convergence is detected by EDGE-COUNT equality on the already-
+    checkpointed result instead of a separate node/keep count pair: an
+    edge survives iff both endpoints kept, so the peel dropped nothing
+    ⟺ the edge count is unchanged (the degree aggregate sees every
+    node with ≥1 edge by construction, so "no edge dropped" ⟺ "no
+    node below k")."""
     sym = (
         edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -363,21 +375,21 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_prev = cur.count()
     converged = False
     for _ in range(max_rounds):
         deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("_d"))
-        keep = (
-            deg.filter(F.col("_d") >= k).select("a").localCheckpoint(eager=True)
-        )
-        n_nodes, n_keep = deg.count(), keep.count()
-        if n_keep == n_nodes:
-            converged = True
-            break
+        keep = deg.filter(F.col("_d") >= k).select("a")
         cur = (
             cur.join(keep, "a", "left_semi")
             .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
+        n_next = cur.count()
+        if n_next == n_prev:
+            converged = True
+            break
+        n_prev = n_next
     if not converged:
         raise RuntimeError(
             f"kcore did not stabilize in {max_rounds} rounds "
