@@ -87,6 +87,49 @@ def _links_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: part co-purchase edge table (a, b, w) — part pairs co-ordered in ≥2
+#: distinct orders, w = co-order count — memoized for its TWO consumers
+#: (r10, the multi-consumer-subtree rule): part_basket_kcore peels it
+#: (dropping w) and part_communities_lpa runs weighted LPA on it; each
+#: was re-running the lineitem scan → distinct → self-join → pair-count
+#: pipeline to build the identical frame. First consumer in pass order
+#: pays the build + checkpoint.
+_PART_EDGES_MEMO: dict = None
+
+
+def _part_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipkin_dependencies_spark.testdata import load
+
+    global _PART_EDGES_MEMO
+    if _PART_EDGES_MEMO is None:
+        from zipkin_dependencies_spark.memo import register_memo
+
+        _PART_EDGES_MEMO = register_memo({})
+    key = _memo_key(sf_dir, "part_copurchase_edges")
+    hit = _PART_EDGES_MEMO.get(key)
+    if hit is not None and hit.sparkSession is spark:
+        return hit
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2"))
+    out = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(
+            F.col("p1").alias("a"), F.col("p2").alias("b"), F.col("n").alias("w")
+        )
+        .localCheckpoint(eager=True)
+    )
+    _PART_EDGES_MEMO[key] = out
+    return out
+
+
 def q_dependency_links_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 Cassandra-parity day filter: traces whose root timestamp falls
     outside the window are dropped whole (SURVEY §2.3 F2)."""
@@ -2462,12 +2505,9 @@ def q_service_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree, inbound/outbound call and error totals, and the round-9
     inbound error rate — the service-catalog summary screen, derived in
     one pass over the O(services²) links output (span volume never touches
-    this query after the linker)."""
-    from zipkin_dependencies_spark.functions import normalize_spans
-    from zipkin_dependencies_spark.operators.link import links_from_spans
-    from zipkin_dependencies_spark.testdata import derived_spans
-
-    links = links_from_spans(normalize_spans(derived_spans(spark, sf_dir)))
+    this query after the linker; the table itself comes from the shared
+    `_links_table` memo — the r10 multi-consumer-subtree rule)."""
+    links = _links_table(spark, sf_dir)
     out = links.groupBy(F.col("parent").alias("service")).agg(
         F.count(F.lit(1)).alias("fan_out"),
         F.sum("call_count").alias("calls_out"),
@@ -2772,12 +2812,9 @@ def q_service_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering-coefficient building block): edges canonicalized to
     a<b, then the standard ordered three-way self-join a<b<c — every
     join is links-cardinality (services²), the span corpus is never
-    touched after the linker."""
-    from zipkin_dependencies_spark.functions import normalize_spans
-    from zipkin_dependencies_spark.operators.link import links_from_spans
-    from zipkin_dependencies_spark.testdata import derived_spans
-
-    links = links_from_spans(normalize_spans(derived_spans(spark, sf_dir)))
+    touched after the linker; the table itself comes from the shared
+    `_links_table` memo — the r10 multi-consumer-subtree rule."""
+    links = _links_table(spark, sf_dir)
     edges = (
         links.select(
             F.least("parent", "child").alias("a"),
@@ -2830,12 +2867,9 @@ def q_service_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     service's neighborhood is — a mesh-vs-hub topology metric): triangle
     counts per vertex over the canonicalized undirected edge set, divided
     by deg·(deg−1)/2. All joins at links cardinality; round-9 single
-    division."""
-    from zipkin_dependencies_spark.functions import normalize_spans
-    from zipkin_dependencies_spark.operators.link import links_from_spans
-    from zipkin_dependencies_spark.testdata import derived_spans
-
-    links = links_from_spans(normalize_spans(derived_spans(spark, sf_dir)))
+    division; the links table comes from the shared `_links_table` memo
+    — the r10 multi-consumer-subtree rule."""
+    links = _links_table(spark, sf_dir)
     edges = (
         links.select(
             F.least("parent", "child").alias("a"),
@@ -3637,24 +3671,17 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the table's natural clustering; a min-support pre-filter on
     single-part frequency (A-priori pruning) is the documented next knob
     if per-order cardinality grows. Canonical p1 < p2 ordering halves the
-    pairs and makes the output deterministic."""
-    from zipkin_dependencies_spark.testdata import load
-
-    op = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2")
-    )
+    pairs and makes the output deterministic. The ≥2-support pair table
+    comes from the shared `_part_edges_table` memo (r10
+    multi-consumer-subtree rule; its ≥2 filter is subsumed by this
+    query's ≥3) — the kcore/LPA siblings read the same frame."""
     return (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        _part_edges_table(spark, sf_dir)
+        .select(
+            F.col("a").alias("p1"),
+            F.col("b").alias("p2"),
+            F.col("w").alias("n_orders"),
+        )
         .filter(F.col("n_orders") >= 3)
         .orderBy(F.desc("n_orders"), "p1", "p2")
         .limit(100)
@@ -3671,22 +3698,11 @@ def q_part_basket_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the Spark loop converged. Every round is edge-cardinality —
     the lineitem table is touched exactly once to build the edges."""
     from zipkin_dependencies_spark.operators.graph import kcore
-    from zipkin_dependencies_spark.testdata import load
 
-    op = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2"))
-    edges = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select(F.col("p1").alias("a"), F.col("p2").alias("b"))
-    )
+    # co-purchase edge table from the shared memo (r10
+    # multi-consumer-subtree rule; part_communities_lpa reads the same
+    # frame with its weight column)
+    edges = _part_edges_table(spark, sf_dir).select("a", "b")
     return kcore(edges, k=3)
 
 
@@ -3702,24 +3718,10 @@ def q_part_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     state. Each round is edge-cardinality (join + map-side-combined
     weight sum + max_by argmax) — never a window, never a collect."""
     from zipkin_dependencies_spark.operators.graph import lpa_communities
-    from zipkin_dependencies_spark.testdata import load
 
-    op = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2"))
-    edges = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select(
-            F.col("p1").alias("a"), F.col("p2").alias("b"), F.col("n").alias("w")
-        )
-    )
+    # co-purchase edge table from the shared memo (r10
+    # multi-consumer-subtree rule; part_basket_kcore peels the same frame)
+    edges = _part_edges_table(spark, sf_dir)
     return lpa_communities(edges, rounds=3, weight_col="w")
 
 

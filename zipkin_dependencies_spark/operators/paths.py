@@ -112,6 +112,19 @@ def trace_paths(
             F.array("svc").alias("seg"),
         )
     )
+    # keep the materialized round-0 frame: the leaf anti-join's parent
+    # set below is a pure projection of it (ptr IS the original
+    # parent_id), so deriving it here avoids re-running the corpus-scale
+    # scan → normalize pipeline a second time (r10, guide §2.4 — the
+    # same materialize-once lesson as prefix_filter_pairs). Under
+    # "persist" it must survive the loop's release discipline (each
+    # round normally frees its predecessor), so it leaves `to_release`
+    # here and is unpersisted explicitly once the result frame is
+    # materialized; under "eager" the checkpoint blocks are GC-freed as
+    # always.
+    cur0 = cur
+    if policy == "persist":
+        to_release.clear()
     for _ in range(max(1, math.ceil(math.log2(max_depth + 1)))):
         # early exit: once no live pointer remains, every chain is fully
         # resolved (or provably broken/dangling) and further rounds are
@@ -149,8 +162,8 @@ def trace_paths(
             )
         )
         cur = _materialize(cur)
-    parents = nodes.filter(F.col("parent_id").isNotNull()).select(
-        F.col("trace_key").alias("p_trace"), F.col("parent_id").alias("p_id")
+    parents = cur0.filter(F.col("ptr").isNotNull()).select(
+        F.col("trace_key").alias("p_trace"), F.col("ptr").alias("p_id")
     ).distinct()
     leaves = cur.join(
         parents,
@@ -177,6 +190,12 @@ def trace_paths(
         # for the session). The returned frame is itself persisted; a
         # caller that is done with it may unpersist() it.
         out = _materialize(out)
+    if policy == "persist":
+        # round 0 was exempted from the per-round release so the parents
+        # projection could read it; the result frame is materialized (or
+        # the caller holds only lazy frames over it), so release it now —
+        # recomputation after eviction falls back to lineage as before
+        cur0.unpersist(False)
     return out
 
 
