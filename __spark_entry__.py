@@ -88,9 +88,11 @@ def _links_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: part co-purchase edge table (a, b, w) — part pairs co-ordered in ≥2
-#: distinct orders, w = co-order count — memoized for its TWO consumers
+#: distinct orders, w = co-order count — memoized for its THREE consumers
 #: (r10, the multi-consumer-subtree rule): part_basket_kcore peels it
-#: (dropping w) and part_communities_lpa runs weighted LPA on it; each
+#: (dropping w), part_communities_lpa runs weighted LPA on it, and
+#: basket_part_pairs re-filters it to ≥3 support (subsumed by the memo's
+#: ≥2); each
 #: was re-running the lineitem scan → distinct → self-join → pair-count
 #: pipeline to build the identical frame. First consumer in pass order
 #: pays the build + checkpoint.
@@ -1817,9 +1819,10 @@ def q_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_trace_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top root→leaf service paths (pointer-doubling path construction,
-    O(log depth) self-joins; DuckDB twin is a recursive CTE): the
-    multi-hop complement of the single-edge links table."""
+    """Top root→leaf service paths (grouped Arrow-kernel path build —
+    one trace_key shuffle + per-trace Python walk, r11; DuckDB twin is a
+    recursive CTE): the multi-hop complement of the single-edge links
+    table."""
     from zipkin_dependencies_spark.functions import normalize_spans
     from zipkin_dependencies_spark.operators.paths import top_trace_paths
     from zipkin_dependencies_spark.testdata import derived_spans
@@ -2298,7 +2301,7 @@ def q_links_window_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_trace_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trace-shape health: distribution of root→leaf chain lengths from
-    the pointer-doubling path build (a deep tail = retry storm or broken
+    the grouped-kernel path build (a deep tail = retry storm or broken
     linking); output cardinality bounded by the depth cap."""
     from zipkin_dependencies_spark.functions import normalize_spans
     from zipkin_dependencies_spark.operators.paths import trace_depth_histogram
@@ -2580,7 +2583,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_path_latencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The k slowest root→leaf service paths (leaf timestamp lag behind
     the trace's first span) — the latency complement of top_trace_paths,
-    reusing the same memoized pointer-doubling path table. Integer µs
+    reusing the same memoized kernel-built path table. Integer µs
     math end-to-end: hash-exact across engines."""
     from zipkin_dependencies_spark.functions import normalize_spans
     from zipkin_dependencies_spark.operators.paths import path_latencies
@@ -5434,8 +5437,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER IS EVIDENCE POLICY: the driver's correctness gate runs
     # the first 50 entries (verified: CORRECTNESS_rNN == first 50 of that
     # round's registry, exactly). Every entry past 50 is still value-hash
-    # gated locally every round by tests/test_entry_oracle.py (all entries,
-    # sf0.001 DuckDB replica of the driver compare by default; the driver
+    # gated locally every round by tests/test_entry_oracle.py (all entries
+    # under the `slow` marker — run with -m "slow or not slow"; the default
+    # fast suite replays the pinned ORACLE_SAMPLE so `pytest tests/ -x -q`
+    # finishes inside the driver window, r11 VERDICT #1 — sf0.001 DuckDB
+    # replica of the driver compare; the driver
     # runs sf0.01, and — as packed_chunk_spans proved in r07 — the local
     # Python-value compare cannot see engine-side dtype divergence, so the
     # driver rotation is the only gate that counts for dtype-class bugs).

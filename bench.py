@@ -270,14 +270,33 @@ def main() -> None:
         with open(floors_path) as fh:
             floors = json.load(fh)
         for name, sec in timings.items():
-            fl = floors.get(name, {}).get("floor_sec")
+            ent = floors.get(name, {})
+            fl = ent.get("floor_sec")
             if fl:
                 r = round(sec / fl, 2)
                 floor_ratio[name] = r
                 # trip = 2x the recorded clean floor AND >1s absolute (a
-                # 0.3s->0.7s wobble is scheduler noise, not a regression)
-                if r > 2.0 and sec - fl > 1.0:
+                # 0.3s->0.7s wobble is scheduler noise, not a regression).
+                # Memo-family members never trip individually: their rows
+                # are order-dependent amortized costs (first consumer pays
+                # the shared build) — the family-total entries below are
+                # the real trip wire for them (r11, VERDICT r10 #2/#5).
+                if r > 2.0 and sec - fl > 1.0 and "family" not in ent:
                     floor_trips.append(name)
+        # family-total floors: sum the members measured this run and
+        # compare to the recorded family floor (tools/gen_floors.py)
+        for key, ent in floors.items():
+            members = ent.get("members")
+            if not key.startswith("family:") or not members:
+                continue
+            if any(m not in timings for m in members):
+                continue
+            tot = round(sum(timings[m] for m in members), 3)
+            fl = ent["floor_sec"]
+            r = round(tot / fl, 2)
+            floor_ratio[key] = r
+            if r > 2.0 and tot - fl > 1.0:
+                floor_trips.append(key)
         if floor_trips:
             print(
                 f"# FLOOR TRIPS (>2x clean floor): {sorted(floor_trips)}",

@@ -90,14 +90,26 @@ def test_randomized_vs_reference(spark, seed):
     assert _spark_bpe(spark, texts, 6) == sorted(_ref_bpe(texts, 6))
 
 
+@pytest.mark.parametrize("engine", ["fold", "string"])
 @pytest.mark.parametrize("rule", [("a", "b"), ("a", "a"), ("ab", "b"), ("b", "ab")])
-def test_apply_merge_equals_sequential_greedy(spark, rule):
-    """The fold-apply lemma pinned directly (not just end-to-end): the
-    array-fold accumulator equals the sequential left-to-right greedy
-    non-overlapping replacement on adversarial sequences — runs of
-    identical symbols, merged multi-char symbols as rule members, and
-    patterns whose replacement abuts the next candidate."""
-    from zipkin_dependencies_spark.llm.bpe import _apply_merge
+def test_apply_merge_equals_sequential_greedy(spark, rule, engine):
+    """The fold-apply lemma pinned directly (not just end-to-end), for
+    BOTH engines: the array-fold accumulator (semantic anchor) AND the
+    string-replace form actually on the query path since r10
+    (_wrap_syms → _apply_merge_str → _unwrap_syms) equal the sequential
+    left-to-right greedy non-overlapping replacement on adversarial
+    sequences — runs of identical symbols, merged multi-char symbols as
+    rule members, and patterns whose replacement abuts the next
+    candidate. (r10 ADVICE: the adversarial suite previously exercised
+    only the query-dead fold.)"""
+    from pyspark.sql import functions as F
+
+    from zipkin_dependencies_spark.llm.bpe import (
+        _apply_merge,
+        _apply_merge_str,
+        _unwrap_syms,
+        _wrap_syms,
+    )
 
     a, b = rule
     rng = random.Random(hash(rule) & 0xFFFF)
@@ -109,17 +121,20 @@ def test_apply_merge_equals_sequential_greedy(spark, rule):
     # targeted adversarial cases for this rule
     seqs += [[a, b], [a, b, a, b], [a, a, b, b], [a, b, b], [a, a, b],
              [b, a, b, a], [a] * 5, [b] * 5, [a, b] * 4, []]
+    # the string engine never sees empty arrays on the query path (EOW is
+    # always appended before any merge applies); keep [] for the fold
+    if engine == "string":
+        seqs = [s for s in seqs if s]
     df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(seqs)], "i long, syms array<string>"
     )
-    got = {
-        r.i: r.out
-        for r in df.select(
-            "i", _apply_merge(df.syms, a, b).alias("out")
-        ).collect()
-    }
+    if engine == "fold":
+        out = _apply_merge(df.syms, a, b)
+    else:
+        out = _unwrap_syms(_apply_merge_str(_wrap_syms(F.col("syms")), a, b))
+    got = {r.i: r.out for r in df.select("i", out.alias("out")).collect()}
     for i, s in enumerate(seqs):
-        assert got[i] == _ref_apply(s, a, b), (rule, s)
+        assert got[i] == _ref_apply(s, a, b), (rule, s, engine)
 
 
 @pytest.mark.parametrize("rule", [("a", "b"), ("a", "a"), ("ab", "b"), ("b", "ab")])

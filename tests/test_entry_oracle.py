@@ -56,8 +56,40 @@ def all_query_names():
     return sorted(e.queries().keys())
 
 
-@pytest.mark.parametrize("name", all_query_names())
-def test_query_matches_oracle(spark, ddb, name):
+#: default-suite oracle sample (r11, VERDICT r10 #1): the FULL replay below
+#: is `slow`-marked so `python -m pytest tests/ -x -q` completes inside the
+#: driver's verification window (the 206-query replay alone ran ~27 min and
+#: the driver never observed the summary line). This pinned subset keeps the
+#: fast suite exercising one representative of every engine family the
+#: optimization rounds touched: linker flagship + relational twin, the path
+#: family (pointer-doubling loop), connected-components consumers, BPE, the
+#: prefix-filter/LSH dedup pair, curation (Arrow scrub), PQ, graph memos,
+#: and the quantile two-phase rank.
+ORACLE_SAMPLE = [
+    "dependency_links",
+    "links_relational",
+    "v1_links",
+    "path_latencies",
+    "top_trace_paths",
+    "trace_depth_histogram",
+    "error_paths",
+    "near_dup_clusters",
+    "semantic_dedup",
+    "bpe_train",
+    "bpe_byte_roundtrip",
+    "prefix_filter_pairs",
+    "embedding_near_dup_lsh",
+    "curation_pipeline_v2",
+    "curation_pipeline_v3",
+    "pq_cosine_topk",
+    "service_health",
+    "part_basket_kcore",
+    "exact_quantiles",
+    "dedupe_replayed_links",
+]
+
+
+def _oracle_check(spark, ddb, name):
     import __spark_entry__ as e
 
     q = e.queries()[name]
@@ -80,6 +112,26 @@ def test_query_matches_oracle(spark, ddb, name):
     right = _rows_to_multiset(ddb_rows, ddb_cols)
     assert left == right, f"{name}: value mismatch (first diff: " \
         f"{next(((a, b) for a, b in zip(left, right) if a != b), None)})"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", all_query_names())
+def test_query_matches_oracle(spark, ddb, name):
+    _oracle_check(spark, ddb, name)
+
+
+@pytest.mark.parametrize("name", ORACLE_SAMPLE)
+def test_query_matches_oracle_sample(spark, ddb, name):
+    """Fast-suite oracle smoke over the pinned family representatives —
+    see ORACLE_SAMPLE. Redundant with the slow replay when that runs."""
+    _oracle_check(spark, ddb, name)
+
+
+def test_oracle_sample_names_valid():
+    """Every pinned sample name must exist in the registry (a renamed
+    query would silently shrink fast-suite oracle coverage)."""
+    missing = [n for n in ORACLE_SAMPLE if n not in all_query_names()]
+    assert not missing, f"stale ORACLE_SAMPLE entries: {missing}"
 
 
 def test_entry_smoke(spark):
@@ -206,7 +258,13 @@ def test_ledgers_reconciled_with_registry():
     assert all(n in names[:50] for n in missing_ev), missing_ev
     floors = json.load(open(os.path.join(root, "BASELINE_floors.json")))
     for q, row in floors.items():
-        assert q in names, f"floor for unregistered query {q}"
+        if q.startswith("family:"):
+            # memo-family total floors (r11, tools/gen_floors.py FAMILIES):
+            # every member must be a registered query
+            bad = [m for m in row["members"] if m not in names]
+            assert not bad, f"family floor {q} has unregistered members {bad}"
+        else:
+            assert q in names, f"floor for unregistered query {q}"
         assert row["floor_sec"] > 0
     # EVIDENCE.json must not carry orphan rows for renamed/removed
     # queries (gen_evidence drops them; this guards a hand-edit)

@@ -543,11 +543,13 @@ def test_mixing_plan_epochs_and_fraction(spark):
     assert code.keep_fraction9 == 1.0   # single-epoch fraction capped
 
 
-def test_trace_paths_deep_dangling_cycle_semantics(spark):
-    """Pointer-doubling path construction: a 64-deep chain resolves fully
-    root-first; a dangling parent terminates the chain at the dangling
-    span; a cyclic trace's leaves are dropped; null service renders as
-    (unknown)."""
+@pytest.mark.parametrize("strategy", ["kernel", "doubling"])
+def test_trace_paths_deep_dangling_cycle_semantics(spark, strategy):
+    """Path construction (both engines — the r11 grouped Arrow kernel and
+    the pointer-doubling loop it replaced on the query path): a 64-deep
+    chain resolves fully root-first; a dangling parent terminates the
+    chain at the dangling span; a cyclic trace's leaves are dropped; null
+    service renders as (unknown)."""
     from zipkin_dependencies_spark.operators.paths import trace_paths
     from zipkin_dependencies_spark.schemas import LINK_INPUT_SCHEMA
 
@@ -564,10 +566,42 @@ def test_trace_paths_deep_dangling_cycle_semantics(spark):
         ("cyc", "x", "z", "CLIENT", "cz", None, False, False, 1),
     ]
     norm = spark.createDataFrame(rows, schema=LINK_INPUT_SCHEMA)
-    got = {r.trace_key: r.path for r in trace_paths(norm).collect()}
+    got = {
+        r.trace_key: r.path
+        for r in trace_paths(norm, strategy=strategy).collect()
+    }
     assert got["deep"] == "->".join(f"s{i}" for i in range(65))
     assert got["dang"] == "root-ish->(unknown)"  # chain stops at dangling
     assert "cyc" not in got                       # cyclic leaves dropped
+
+
+@pytest.mark.parametrize("strategy", ["kernel", "doubling"])
+def test_trace_paths_max_depth_boundary_both_engines(spark, strategy):
+    """The exact keep/drop boundary both engines must share: a chain of
+    max_depth+1 nodes resolves (after r doubling rounds a pointer has
+    advanced 2^r hops; the kernel walk visits ≤ max_depth+1 nodes), a
+    chain of max_depth+2 nodes is dropped — same rule as the DuckDB
+    recursive twin's ``depth <= max_depth`` extension."""
+    from zipkin_dependencies_spark.operators.paths import trace_paths
+    from zipkin_dependencies_spark.schemas import LINK_INPUT_SCHEMA
+
+    def chain(tk: str, n: int):
+        rows = [(tk, None, f"{tk}0", "SERVER", "s", None, False, False, 1)]
+        rows += [
+            (tk, f"{tk}{i-1}", f"{tk}{i}", "SERVER", "s", None, False, False, 1)
+            for i in range(1, n)
+        ]
+        return rows
+
+    # max_depth=7: 8-node chain kept (depth 8), 9-node chain dropped
+    norm = spark.createDataFrame(
+        chain("keep", 8) + chain("drop", 9), schema=LINK_INPUT_SCHEMA
+    )
+    got = {
+        r.trace_key: r.depth
+        for r in trace_paths(norm, max_depth=7, strategy=strategy).collect()
+    }
+    assert got == {"keep": 8}
 
 
 @pytest.mark.parametrize("seed", [5, 23])
@@ -624,9 +658,12 @@ def test_collapse_bursts_matches_python_reference_on_random_events(spark, seed):
     assert got == sorted(expected)
 
 
+@pytest.mark.parametrize("strategy", ["kernel", "doubling"])
 @pytest.mark.parametrize("seed", [7, 41])
-def test_trace_paths_matches_python_reference_on_random_forests(spark, seed):
-    """Randomized soundness for the pointer-doubling path builder: on
+def test_trace_paths_matches_python_reference_on_random_forests(
+    spark, seed, strategy
+):
+    """Randomized soundness for the path builder (both engines): on
     arbitrary forests (dangling parents, cycles, null services, deep
     chains) the output must equal a plain-Python per-trace chain walk."""
     import random
@@ -654,7 +691,8 @@ def test_trace_paths_matches_python_reference_on_random_forests(spark, seed):
 
     norm = spark.createDataFrame(rows, schema=LINK_INPUT_SCHEMA)
     got = sorted(
-        (r.trace_key, r.leaf_id, r.path) for r in trace_paths(norm).collect()
+        (r.trace_key, r.leaf_id, r.path)
+        for r in trace_paths(norm, strategy=strategy).collect()
     )
 
     bytrace: dict = {}
@@ -763,14 +801,24 @@ def test_trace_paths_policies_agree_on_hard_forest(spark):
     for pol in ("eager", "persist"):
         out[pol] = sorted(
             (r.trace_key, r.leaf_id, r.path, r.depth)
-            for r in trace_paths(norm, materialize=pol).collect()
+            for r in trace_paths(
+                norm, materialize=pol, strategy="doubling"
+            ).collect()
         )
     assert out["eager"] == out["persist"]
+    # and the r11 kernel engine agrees with both on the same hard forest
+    out["kernel"] = sorted(
+        (r.trace_key, r.leaf_id, r.path, r.depth)
+        for r in trace_paths(norm, strategy="kernel").collect()
+    )
+    assert out["kernel"] == out["persist"]
 
     import pytest
 
     with pytest.raises(ValueError):
-        trace_paths(norm, materialize="bogus")
+        trace_paths(norm, materialize="bogus", strategy="doubling")
+    with pytest.raises(ValueError):
+        trace_paths(norm, strategy="bogus")
 
 
 def test_service_components_multi_component_graph(spark):

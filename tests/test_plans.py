@@ -781,3 +781,40 @@ def test_exact_substr_cut_doc_partitioned_jvm_only(spark):
     plan = formatted(e.q_exact_substr_cut(spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_memo_family_membership_matches_wiring():
+    """tools/gen_floors.py FAMILIES (the family-total floor groups) must
+    track the actual memo wiring in __spark_entry__.py: a consumer added
+    to or removed from a shared memo without updating FAMILIES would make
+    the family floor compare unlike totals (r11, VERDICT r10 #5)."""
+    import importlib.util
+    import inspect
+    import os
+    import re
+
+    import __spark_entry__ as e
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_floors",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "gen_floors.py"),
+    )
+    gf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gf)
+
+    markers = {
+        "links_memo": "_links_table(spark",
+        "part_edges_memo": "_part_edges_table(spark",
+        "path_memo": '"spans_paths")',
+        "bpe_merges_memo": '"bpe_merges")',
+    }
+    assert set(markers) == set(gf.FAMILIES)
+    for fam, marker in markers.items():
+        wired = set()
+        for name, fn in e.queries().items():
+            if marker in inspect.getsource(fn):
+                wired.add(name)
+        assert wired == set(gf.FAMILIES[fam]), (
+            f"{fam}: FAMILIES={sorted(gf.FAMILIES[fam])} but wiring says "
+            f"{sorted(wired)}"
+        )

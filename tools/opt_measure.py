@@ -60,7 +60,11 @@ def main() -> None:
     for n in names:
         if n.startswith("top:"):
             k = int(n.split(":")[1])
-            with open(os.path.join(REPO, "BENCH_r10_local.json")) as f:
+            ledger = os.environ.get(
+                "OPT_MEASURE_LEDGER",
+                os.path.join(REPO, "BENCH_r10_opt_local.json"),
+            )
+            with open(ledger) as f:
                 led = json.load(f)["queries"]
             expanded.extend(
                 q for q, _ in sorted(led.items(), key=lambda kv: -kv[1])[:k]
@@ -96,7 +100,9 @@ def main() -> None:
     )
     warm_dir = os.path.join(base, sibs[0]) if sibs else None
 
-    plans_dir = os.path.join(REPO, "plans", "r10")
+    plans_dir = os.path.join(
+        REPO, "plans", os.environ.get("OPT_MEASURE_ROUND", "r11")
+    )
     os.makedirs(plans_dir, exist_ok=True)
 
     def steal_ticks() -> int:

@@ -58,6 +58,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..memo import register_memo
+from ..session import scoped_conf
 from .text import tokens
 
 #: End-of-word marker appended to every word's symbol sequence (classic
@@ -260,7 +261,7 @@ def bpe_train(
     # merges applied since `base` last materialized — chained as replace
     # expressions each round; cleared when the vocab re-materializes
     applied: list[tuple[str, str]] = []
-    # AQE off for the round loop (restored in the finally): every round's
+    # AQE off for the round loop (scoped_conf restores it): every round's
     # shuffle carries the PAIR DOMAIN — bounded by the symbol inventory
     # squared at any corpus scale — so runtime re-planning has nothing to
     # coalesce or re-join, and its extra per-exchange job materially
@@ -270,48 +271,47 @@ def bpe_train(
     # normal AQE — the count() below materializes the persist eagerly),
     # and the loop's map side reads the persisted vocab.
     base0.count()
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        for rank in range(1, n_merges + 1):
-            s = F.col("s")
-            for a, b in applied:
-                s = _apply_merge_str(s, a, b)
-            cur = base.select("wc", _unwrap_syms(s).alias("syms"))
-            pairs = pair_counts(cur)
-            best = (
-                pairs.orderBy(
-                    F.col("pair_count").desc(), "left_sym", "right_sym"
-                )
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            r = best[0]
-            merges.append(
-                (
-                    rank,
-                    r.left_sym,
-                    r.right_sym,
-                    r.left_sym + r.right_sym,
-                    r.pair_count,
-                )
-            )
-            applied.append((r.left_sym, r.right_sym))
-            if rematerialize_every and len(applied) >= rematerialize_every:
+        with scoped_conf(spark, {"spark.sql.adaptive.enabled": "false"}):
+            for rank in range(1, n_merges + 1):
                 s = F.col("s")
                 for a, b in applied:
                     s = _apply_merge_str(s, a, b)
-                base = base.select(
-                    "wc", s.alias("s")
-                ).localCheckpoint(eager=True)
-                applied = []
-                # the checkpoint supersedes the initial persist — free it
-                # now (idempotent; the finally is the no-checkpoint path)
-                base0.unpersist()
+                cur = base.select("wc", _unwrap_syms(s).alias("syms"))
+                pairs = pair_counts(cur)
+                best = (
+                    pairs.orderBy(
+                        F.col("pair_count").desc(), "left_sym", "right_sym"
+                    )
+                    .limit(1)
+                    .collect()
+                )
+                if not best:
+                    break
+                r = best[0]
+                merges.append(
+                    (
+                        rank,
+                        r.left_sym,
+                        r.right_sym,
+                        r.left_sym + r.right_sym,
+                        r.pair_count,
+                    )
+                )
+                applied.append((r.left_sym, r.right_sym))
+                if rematerialize_every and len(applied) >= rematerialize_every:
+                    s = F.col("s")
+                    for a, b in applied:
+                        s = _apply_merge_str(s, a, b)
+                    base = base.select(
+                        "wc", s.alias("s")
+                    ).localCheckpoint(eager=True)
+                    applied = []
+                    # the checkpoint supersedes the initial persist — free
+                    # it now (idempotent; the finally is the no-checkpoint
+                    # path)
+                    base0.unpersist()
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         # the one explicit persist; checkpointed frames free with GC
         base0.unpersist()
     return spark.createDataFrame(merges, MERGES_SCHEMA)

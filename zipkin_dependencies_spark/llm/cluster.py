@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 #: label-cardinality frame and is invalidated when the owning
 #: SparkSession changes.
 from ..memo import register_memo
+from ..session import scoped_conf
 
 _COMPONENT_MEMO: dict[tuple, DataFrame] = register_memo({})
 
@@ -104,14 +105,18 @@ def connected_components(
     max_w = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     n_edges = 2 * pairs_m.count()
     n_part = max(2, min(max_w, -(-n_edges // _CC_ROWS_PER_PARTITION)))  # floor 2: a SinglePartition checkpoint defeats co-partition reuse
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     # every loop exchange (the labels distinct, the per-round neighbor-min
     # re-key) must come out at the SAME width as the edge table for the
-    # co-partitioned joins to hold
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
-    try:
+    # co-partitioned joins to hold; scoped_conf restores (or unsets) both
+    # keys even on a driver exception mid-loop, and documents the
+    # single-threaded-session assumption these flips rely on
+    with scoped_conf(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": str(n_part),
+        },
+    ):
         edges = (
             pairs_m.select(
                 F.explode(
@@ -169,9 +174,6 @@ def connected_components(
             labels = updated.drop("_changed")
             if changed == 0:
                 return labels
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )

@@ -3,14 +3,23 @@ system" (extension operator; the reference computes only single-edge
 links, never multi-hop paths).
 
 The path of a leaf span is the service sequence along its raw
-``parent_id`` chain, root-first, joined with ``->``. Construction is
-POINTER DOUBLING with segment concatenation (the same O(log depth)
-technique as the relational linker's E4 proof): every span starts with
-``(ptr = parent_id, seg = [service])``; each round a span splices its
-pointer's accumulated segment in front of its own and adopts the
-pointer's pointer — after r rounds a segment covers 2^r ancestors, so
-depth ``max_depth`` costs ceil(log2(max_depth+1)) narrow self-joins of a
-(trace, id, ptr, seg) frame, never a per-level loop.
+``parent_id`` chain, root-first, joined with ``->``. Two construction
+engines (``strategy``, see ``DEFAULT_STRATEGY``):
+
+- **kernel** (default since r11): ONE repartition by trace_key + one
+  Arrow ``mapInPandas`` pass that walks each trace's chains in plain
+  Python — the flagship linker's grouped-kernel shape
+  (operators/link.py). One shuffle of the narrow 4-column span
+  projection at any scale.
+- **doubling**: distributed POINTER DOUBLING with segment concatenation
+  (the same O(log depth) technique as the relational linker's E4 proof):
+  every span starts with ``(ptr = parent_id, seg = [service])``; each
+  round a span splices its pointer's accumulated segment in front of its
+  own and adopts the pointer's pointer — after r rounds a segment covers
+  2^r ancestors, so depth ``max_depth`` costs ceil(log2(max_depth+1))
+  narrow self-joins (each re-shuffling the span frame twice), never a
+  per-level loop. Kept as the semantic twin and the fully-distributed
+  route for a pathological single trace too large for one task.
 
 Semantics (deliberately raw-tree, identical to the DuckDB recursive-CTE
 twin by definition):
@@ -64,19 +73,179 @@ DEFAULT_MATERIALIZE = "persist"
 #: multi-consumer-subtree rule); opt-in via memo_key, exact by determinism
 _PATH_MEMO: dict[tuple, DataFrame] = register_memo({})
 
+#: path-construction engine (r11, guide §4.2 / §2.4). "kernel": ONE
+#: exchange (repartition by trace_key) + one Arrow pass whose per-trace
+#: chain walk runs in plain Python — the same grouped-kernel shape as the
+#: flagship linker (operators/link.py::trace_links_partitioned), measured
+#: 2× faster at sf0.1 AND strictly fewer shuffles at any scale (the
+#: doubling re-shuffles the full span frame twice per round,
+#: log2(depth) rounds). "doubling": the distributed pointer-doubling
+#: loop — kept as the semantic twin (the kernel is pinned against it on
+#: random forests) and as the route for pathological single traces too
+#: large for one task (the linker's heavy-isolation caveat applies to
+#: the kernel identically; zipkin traces are small by construction).
+DEFAULT_STRATEGY = "kernel"
+
+
+def _make_paths_walker(max_depth: int):
+    """mapInPandas kernel: walk each trace's leaf→root chains in plain
+    Python over a trace_key-sorted partition stream (the
+    link_partition carry pattern — traces may straddle Arrow batches).
+
+    Exact doubling semantics (pinned by tests/test_pipeline_ops.py's
+    random forests + the DuckDB recursive-CTE twins): a leaf is a span
+    nobody's parent_id names; the walk keeps a chain iff it terminates
+    (null parent = root, missing parent = dangling) within
+    ``max_depth + 1`` visited nodes — after r doubling rounds a pointer
+    has advanced 2^r hops, so ceil(log2(max_depth+1)) rounds resolve
+    exactly the chains of ≤ max_depth+1 nodes; cycles never terminate
+    and fall out of the same bound."""
+    bound = max_depth + 1
+
+    def walk_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        out_rows: list[tuple] = []
+
+        def flush(trace_key, ids, pars, svcs) -> None:
+            nodes = dict(zip(ids, zip(pars, svcs)))
+            parents = {p for p, _ in nodes.values() if p is not None}
+            for leaf in nodes:
+                if leaf in parents:
+                    continue
+                segs: list[str] = []
+                cur = leaf
+                for _ in range(bound):
+                    par, svc = nodes[cur]
+                    segs.append(svc)
+                    if par is None or par not in nodes:
+                        out_rows.append(
+                            (
+                                trace_key,
+                                leaf,
+                                "->".join(reversed(segs)),
+                                len(segs),
+                            )
+                        )
+                        break
+                    cur = par
+                # bound exhausted without termination: cycle or deeper
+                # than max_depth+1 — dropped, exactly like a pointer
+                # that never resolves
+
+        carry_key = None
+        carry: list[tuple] = []  # [(ids, pars, svcs) array slices]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            tk = pdf["trace_key"].to_numpy()
+            ids = pdf["id"].to_numpy()
+            # None (not NaN) for missing parents: object-dtype pandas
+            # columns from Arrow keep None, but be explicit
+            pars = np.where(pd.isna(pdf["parent_id"]), None, pdf["parent_id"])
+            svcs = pdf["svc"].to_numpy()
+            starts = [0, *(np.flatnonzero(tk[1:] != tk[:-1]) + 1).tolist(), n]
+            gi = 0
+            if carry:
+                if carry_key == tk[0]:
+                    carry.append((ids[: starts[1]], pars[: starts[1]], svcs[: starts[1]]))
+                    if len(starts) == 2:
+                        continue  # whole batch is one trace — keep carrying
+                    _flush_carry(flush, carry_key, carry)
+                    gi = 1
+                else:
+                    _flush_carry(flush, carry_key, carry)
+                carry = []
+                carry_key = None
+            for i in range(gi, len(starts) - 2):
+                s, e = starts[i], starts[i + 1]
+                flush(tk[s], ids[s:e], pars[s:e], svcs[s:e])
+            s, e = starts[-2], starts[-1]
+            carry_key = tk[s]
+            carry = [(ids[s:e], pars[s:e], svcs[s:e])]
+        if carry:
+            _flush_carry(flush, carry_key, carry)
+        yield pd.DataFrame(
+            out_rows, columns=["trace_key", "leaf_id", "path", "depth"]
+        )
+
+    return walk_partition
+
+
+def _flush_carry(flush, key, chunks) -> None:
+    """Concatenate a trace's cross-batch chunks and flush it."""
+    import numpy as np
+
+    ids = np.concatenate([c[0] for c in chunks])
+    pars = np.concatenate([c[1] for c in chunks])
+    svcs = np.concatenate([c[2] for c in chunks])
+    flush(key, ids, pars, svcs)
+
+
+def _trace_paths_kernel(
+    normalized_spans: DataFrame, max_depth: int
+) -> DataFrame:
+    """Kernel-strategy path build: project the 4 consumed columns (the
+    mapInPandas boundary is opaque to column pruning — guide §4.1), ONE
+    repartition by trace_key at Python-work-appropriate width (the
+    linker's num_partitions rationale: AQE sizes by bytes, which
+    under-parallelizes a Python-cost-bound stage), in-partition sort for
+    contiguous traces, one Arrow pass."""
+    spark = normalized_spans.sparkSession
+    nodes = normalized_spans.select(
+        "trace_key",
+        "id",
+        "parent_id",
+        F.coalesce(F.col("local_service"), F.lit("(unknown)")).alias("svc"),
+    )
+    n_part = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    return (
+        nodes.repartition(n_part, "trace_key")
+        .sortWithinPartitions("trace_key")
+        .mapInPandas(
+            _make_paths_walker(max_depth),
+            schema="trace_key string, leaf_id string, path string, depth long",
+        )
+    )
+
 
 def trace_paths(
     normalized_spans: DataFrame,
     max_depth: int = MAX_DEPTH,
     memo_key: str | None = None,
     materialize: str | None = None,
+    strategy: str | None = None,
 ) -> DataFrame:
     """→ (trace_key, leaf_id, path, depth): one row per acyclic leaf span,
     path = root-first ``->``-joined service chain. ``memo_key``: see
     ``_PATH_MEMO`` — pass a stable corpus key to share the finished table
-    across same-session consumers. ``materialize``: per-round policy, see
-    ``DEFAULT_MATERIALIZE``."""
+    across same-session consumers. ``materialize``: per-round policy for
+    the doubling engine, see ``DEFAULT_MATERIALIZE``. ``strategy``: see
+    ``DEFAULT_STRATEGY``."""
     from pyspark import StorageLevel
+
+    engine = DEFAULT_STRATEGY if strategy is None else strategy
+    if engine not in ("kernel", "doubling"):
+        raise ValueError(f"unknown strategy {engine!r}")
+    if engine == "kernel":
+        if memo_key is not None:
+            key = (memo_key, max_depth)
+            hit = _PATH_MEMO.get(key)
+            if (
+                hit is not None
+                and hit.sparkSession is normalized_spans.sparkSession
+            ):
+                return hit
+        out = _trace_paths_kernel(normalized_spans, max_depth)
+        if memo_key is not None:
+            out = out.localCheckpoint(eager=True)
+            _PATH_MEMO[(memo_key, max_depth)] = out
+        return out
 
     policy = DEFAULT_MATERIALIZE if materialize is None else materialize
     if policy not in ("eager", "persist"):
@@ -125,6 +294,33 @@ def trace_paths(
     cur0 = cur
     if policy == "persist":
         to_release.clear()
+    try:
+        return _walk_and_finish(
+            cur, cur0, max_depth, policy, memo_key, _materialize, to_release
+        )
+    except BaseException:
+        # persist pins do not GC like localCheckpoint blocks: an exception
+        # escaping mid-loop (executor loss during a round's count, ctrl-C)
+        # would otherwise leak cur0's and the last round's CacheManager
+        # pins for the session (r10 ADVICE item)
+        if policy == "persist":
+            while to_release:
+                to_release.pop().unpersist(False)
+            cur0.unpersist(False)
+        raise
+
+
+def _walk_and_finish(
+    cur: DataFrame,
+    cur0: DataFrame,
+    max_depth: int,
+    policy: str,
+    memo_key: str | None,
+    _materialize,
+    to_release: list[DataFrame],
+) -> DataFrame:
+    """Doubling rounds + leaf resolution — the body of trace_paths, split
+    out so the caller can guarantee pin release on ANY exit path."""
     for _ in range(max(1, math.ceil(math.log2(max_depth + 1)))):
         # early exit: once no live pointer remains, every chain is fully
         # resolved (or provably broken/dangling) and further rounds are
@@ -182,7 +378,7 @@ def trace_paths(
         # this also releases the final round's blocks — the memo row is
         # the only thing downstream consumers read)
         out = _materialize(out)
-        _PATH_MEMO[key] = out
+        _PATH_MEMO[(memo_key, max_depth)] = out
     elif policy == "persist":
         # non-memo path: materializing the RESULT releases the final
         # round's intermediate (CacheManager pins don't GC like

@@ -9,8 +9,39 @@ UTC-midnight based, [EXT] DateUtil.midnightUTC).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, settings: dict[str, str]):
+    """Temporarily set session conf keys, restoring the previous values —
+    or unsetting keys that had none — even when the body raises mid-loop.
+
+    Used by the driver-synced iterative operators (connected_components,
+    bpe_train) that run their rounds with AQE off at a fixed shuffle width
+    so checkpointed partitionings stay reusable. NOT re-entrant and NOT
+    thread-safe: session conf is global to the SparkSession, so any query
+    planned concurrently on the same session while the scope is open plans
+    at the scoped values (perf-only — results are unaffected — but
+    surprising; this engine assumes a single-threaded driver per session,
+    the bench/test harness contract)."""
+    prev: dict[str, str | None] = {}
+    for k, v in settings.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 
 def get_spark(
