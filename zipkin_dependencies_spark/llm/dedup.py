@@ -872,14 +872,18 @@ def embedding_near_dup_lsh(
     if n_planes is None:
         n_planes = auto_planes(embeddings.count(), target_occupancy)
 
-    # materialize-once (r10, guide §2.4): the signature frame feeds BOTH
-    # sides of the candidate self-join below, and Catalyst shares no
-    # subtree across join sides — without the checkpoint the corpus scan
-    # + norm fold + n_planes×dim hyperplane fold execute twice
+    # NO materialize-once here (r11 sf10 re-adjudication, reverting the
+    # r10 checkpoint): the signature frame does feed both candidate-join
+    # sides, but it carries the FULL embedding vectors — at 200k×64f the
+    # eager checkpoint's write+read of the fat vec payload cost far more
+    # than re-running the pruned columnar scan + codegen'd hyperplane
+    # fold (sf10 clean A/B: 70.5/108.7 s with the checkpoint vs
+    # 17.6/46.6 s without; sf0.1 was a sub-0.3 s wash). The r10 boundary
+    # rule generalizes: materialize-once pays for duplicated COMPUTE,
+    # not for duplicated wide-payload scans.
     e = (
         _with_norm(embeddings, id_col, vec_col)
         .withColumn("sig", hyperplane_signature("vec", n_planes, dim))
-        .localCheckpoint(eager=True)
     )
     probes = F.array(
         F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]

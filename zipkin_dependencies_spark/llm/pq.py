@@ -117,14 +117,14 @@ def pq_topk(
         n = emb.count()
         stride = max(1, (n + n_codes - 1) // n_codes)
     normed = _normalized(emb, id_col, vec_col)
-    # materialize-once (r10, guide §2.4): the codebook is referenced three
-    # times (the size guard count, the encode's broadcast side, the ADC
-    # LUT join) and each lazy reference re-runs its corpus scan + sampling
-    # window — the checkpoint is ~n_codes×n_sub rows, the saved work is
-    # two full corpus scans
-    cb = pq_codebook(normed, n_sub, subdim, stride).localCheckpoint(
-        eager=True
-    )
+    # NO materialize-once here (r11 sf10 re-adjudication, reverting the
+    # r10 checkpoint): the codebook IS referenced three times (size-guard
+    # count, encode broadcast side, ADC LUT join), but at sf10 the eager
+    # checkpoint barrier measured strictly slower (30.9/26.8 s vs
+    # 22.0/22.5 s clean A/B) — the re-run references are pruned columnar
+    # scans + a bounded sampling window, cheaper than serializing the
+    # codebook build into a barrier the three consumers must wait on.
+    cb = pq_codebook(normed, n_sub, subdim, stride)
     k_actual = cb.count() // n_sub
     if k_actual > MAX_CENTROIDS:
         raise ValueError(
