@@ -132,6 +132,10 @@ def build(extra: list[str]) -> dict:
                     "source": f"override:{ov['round']}",
                     "reason": ov["reason"],
                 }
+                if q in member_of:
+                    # overrides must not strip the family marker — bench.py
+                    # exempts family members from per-row trips (r11)
+                    floors[q]["family"] = member_of[q]
     return dict(sorted(floors.items()))
 
 
