@@ -558,6 +558,19 @@ def _corrupted_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.testdata import epoch_us, load
 
     orders = load(spark, sf_dir, "orders")
+    # Guide §2.5 input-skew rule ("one huge unsplittable file … repartition
+    # immediately after the read"): a single-row-group parquet file scans as
+    # ONE task, and the doc-generation (to_json×2) + from_json decode both
+    # queries run over this corpus is scan-stage expression work — it was
+    # executing SERIAL (json_decode_audit 2.4 s / json_hardened_links 5.0 s
+    # clean with one busy core). Repartitioning the three narrow source
+    # columns (Catalyst prunes before the exchange) parallelizes the chain;
+    # the guard makes it a no-op wherever the scan already splits (at real
+    # scale input splits provide the parallelism and an extra exchange
+    # would be pure loss).
+    par = spark.sparkContext.defaultParallelism
+    if orders.rdd.getNumPartitions() < par:
+        orders = orders.repartition(par)
     k = F.col("o_orderkey")
     pad16 = F.lpad(k.cast("string"), 16, "0")
     child_id = F.concat(F.lpad(k.cast("string"), 15, "0"), F.lit("c"))
