@@ -213,6 +213,18 @@ def derived_v1_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
     'error' (a_type=6) added when l_returnflag='R'; a noise key rides along.
     """
     li = load(spark, sf_dir, "lineitem")
+    # Guide §2.5 input-skew rule: unlike derived_spans (whose row_number
+    # window forces an exchange before the heavy projection), NOTHING here
+    # shuffles before the annotation-array build + explode + pivot's partial
+    # SortAggregate — over a single-row-group parquet file that whole chain
+    # ran as ONE scan task (v1_links plan nodes 7-13 serial on one core).
+    # Repartition the narrow source columns of the ANNOTATION branch only
+    # (the spans select is a cheap projection; shuffling it too measured a
+    # net loss on the shallow v1_reconstruct consumer). The guard makes it
+    # a no-op wherever the scan already splits (real deployments —
+    # parallelism then comes from input splits, the exchange pure cost).
+    par = spark.sparkContext.defaultParallelism
+    li_a = li.repartition(par) if li.rdd.getNumPartitions() < par else li
     span_id = F.col("l_orderkey") * 10 + F.col("l_linenumber")
     spans = li.select(
         F.lit(None).cast("long").alias("trace_id_high"),
@@ -247,7 +259,7 @@ def derived_v1_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
         F.col("l_returnflag") == "R",
         F.concat(per_style, F.array(a("error", F.lit("x"), 6))),
     ).otherwise(per_style)
-    annos = li.select(
+    annos = li_a.select(
         F.lit(None).cast("long").alias("trace_id_high"),
         F.col("l_orderkey").cast("long").alias("trace_id"),
         span_id.cast("long").alias("span_id"),
