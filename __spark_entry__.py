@@ -518,6 +518,12 @@ def q_json_spans_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipkin_dependencies_spark.testdata import epoch_us, load
 
     orders = load(spark, sf_dir, "orders")
+    # Guide §2.5 input-skew rule, same mechanism as _corrupted_span_docs:
+    # the to_json build + from_json decode ran serial inside the one-task
+    # single-row-group scan; guard keeps it a no-op on already-split scans.
+    par = spark.sparkContext.defaultParallelism
+    if orders.rdd.getNumPartitions() < par:
+        orders = orders.repartition(par)
     pad16 = F.lpad(F.col("o_orderkey").cast("string"), 16, "0")
     doc = F.to_json(
         F.struct(

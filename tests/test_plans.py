@@ -818,3 +818,35 @@ def test_memo_family_membership_matches_wiring():
             f"{fam}: FAMILIES={sorted(gf.FAMILIES[fam])} but wiring says "
             f"{sorted(wired)}"
         )
+
+
+def test_json_decode_parses_each_doc_once(spark):
+    # spans_from_json_strings wraps the parse input in a value-identity
+    # nondeterministic expression so the null-filter can't be pushed below
+    # the parse projection (guide §4.4 duplicate evaluation: pushed down,
+    # the full-schema from_json is inlined per predicate reference and the
+    # doc is parsed ~3x — measured 0.54 s -> 2.01 s on the 150k-doc noop).
+    # Pin: the whole plan carries exactly ONE from_json occurrence.
+    import __spark_entry__ as e
+
+    plan = formatted(e.q_json_spans_decode(spark, SF))
+    assert plan.count("from_json") == 1, plan
+
+
+def test_json_doc_generation_not_single_task(spark):
+    # _corrupted_span_docs / json_spans_decode / derived_v1_tables annos:
+    # the single-row-group fixture parquet scans as one task, and these
+    # pipelines do their expensive generation/decode work BEFORE any other
+    # exchange — a guarded round-robin repartition right after the read
+    # keeps the chain parallel (guide §2.5 input-skew rule). Pin the
+    # repartition is present (and disappears only when the scan is already
+    # wide enough, which this fixture's files never are).
+    import __spark_entry__ as e
+    from zipkin_dependencies_spark.testdata import derived_v1_tables
+
+    for df in (
+        e._corrupted_span_docs(spark, SF),
+        e.q_json_spans_decode(spark, SF),
+        derived_v1_tables(spark, SF)[1],
+    ):
+        assert "RoundRobinPartitioning" in formatted(df)

@@ -44,8 +44,21 @@ def spans_from_json_strings(df: DataFrame, json_col: str = "json") -> DataFrame:
     """(id, json-string) rows → canonical span columns; malformed JSON rows are
     dropped (they decode to a null struct). The caller can count skips as
     ``df.count() - result.count()`` without an extra scan thanks to cache or
-    AQE statistics reuse."""
-    parsed = df.select(F.from_json(F.col(json_col), SPAN_JSON_SCHEMA).alias("s"))
+    AQE statistics reuse.
+
+    The parse input is wrapped in a value-identity NONDETERMINISTIC
+    expression (``shuffle`` of a one-element array — a no-op on the value)
+    so the null-filter cannot be pushed below the parse projection: pushed
+    down, PushDownPredicates inlines the full-schema ``from_json`` into
+    each predicate reference and the document is parsed ~3× per row — the
+    guide §4.4 duplicate-evaluation hazard, measured at 0.54 s → 2.01 s on
+    the 150 k-doc noop A/B (codegen subexpression elimination does NOT
+    rescue this shape, unlike the audited decoder's CASE chain, which
+    measured flat with and without the wrapper). Retry-safe: the wrapped
+    value is bit-identical on re-execution, only the optimizer flag
+    changes."""
+    nd_json = F.element_at(F.shuffle(F.array(F.col(json_col))), 1)
+    parsed = df.select(F.from_json(nd_json, SPAN_JSON_SCHEMA).alias("s"))
     ok = parsed.filter(F.col("s").isNotNull() & F.col("s.traceId").isNotNull())
     return ok.select(*_v2_projection(F.col("s"))).withColumn(
         "day", F.lit(None).cast("date")
