@@ -520,10 +520,11 @@ def q_json_spans_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     # Guide §2.5 input-skew rule, same mechanism as _corrupted_span_docs:
     # the to_json build + from_json decode ran serial inside the one-task
-    # single-row-group scan; guard keeps it a no-op on already-split scans.
-    par = spark.sparkContext.defaultParallelism
-    if orders.rdd.getNumPartitions() < par:
-        orders = orders.repartition(par)
+    # single-row-group scan; the helper's guard keeps it a no-op on
+    # already-split scans.
+    from zipkin_dependencies_spark.scaling import ensure_min_parallelism
+
+    orders = ensure_min_parallelism(orders)
     pad16 = F.lpad(F.col("o_orderkey").cast("string"), 16, "0")
     doc = F.to_json(
         F.struct(
@@ -569,14 +570,14 @@ def _corrupted_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE task, and the doc-generation (to_json×2) + from_json decode both
     # queries run over this corpus is scan-stage expression work — it was
     # executing SERIAL (json_decode_audit 2.4 s / json_hardened_links 5.0 s
-    # clean with one busy core). Repartitioning the three narrow source
-    # columns (Catalyst prunes before the exchange) parallelizes the chain;
-    # the guard makes it a no-op wherever the scan already splits (at real
-    # scale input splits provide the parallelism and an extra exchange
-    # would be pure loss).
-    par = spark.sparkContext.defaultParallelism
-    if orders.rdd.getNumPartitions() < par:
-        orders = orders.repartition(par)
+    # clean with one busy core). Repartitioning the narrow source columns
+    # (Catalyst prunes before the exchange) parallelizes the chain; the
+    # guard inside the helper makes it a no-op wherever the scan already
+    # splits (at real scale input splits provide the parallelism and an
+    # extra exchange would be pure loss).
+    from zipkin_dependencies_spark.scaling import ensure_min_parallelism
+
+    orders = ensure_min_parallelism(orders)
     k = F.col("o_orderkey")
     pad16 = F.lpad(k.cast("string"), 16, "0")
     child_id = F.concat(F.lpad(k.cast("string"), 15, "0"), F.lit("c"))

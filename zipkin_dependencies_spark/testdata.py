@@ -220,11 +220,19 @@ def derived_v1_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
     # ran as ONE scan task (v1_links plan nodes 7-13 serial on one core).
     # Repartition the narrow source columns of the ANNOTATION branch only
     # (the spans select is a cheap projection; shuffling it too measured a
-    # net loss on the shallow v1_reconstruct consumer). The guard makes it
-    # a no-op wherever the scan already splits (real deployments —
-    # parallelism then comes from input splits, the exchange pure cost).
+    # net loss on the shallow v1_reconstruct consumer). Stricter guard than
+    # ensure_min_parallelism: the exchange moves the full lineitem
+    # projection, so it pays only when the input is truly unsplittable — a
+    # SINGLE file (the fixture's one-row-group parquet scans as one
+    # row-bearing task however many byte-range splits the planner cuts:
+    # v1_links 5.8 → 3.6 s clean at sf0.1). A multi-file input already
+    # scans wide (a derived sf1's 11 files read 31-way here) and the
+    # repartition measured a consistent small LOSS there (7.32/7.66 →
+    # 7.89/7.90 interleaved clean minima) — so fire on file count, not on
+    # split count, which over-reports single-row-group files. At any real
+    # deployment the input is many files and this is a no-op.
     par = spark.sparkContext.defaultParallelism
-    li_a = li.repartition(par) if li.rdd.getNumPartitions() < par else li
+    li_a = li.repartition(par) if par > 1 and len(li.inputFiles()) == 1 else li
     span_id = F.col("l_orderkey") * 10 + F.col("l_linenumber")
     spans = li.select(
         F.lit(None).cast("long").alias("trace_id_high"),
